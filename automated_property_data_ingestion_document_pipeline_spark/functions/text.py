@@ -1,0 +1,112 @@
+"""Text-analysis expressions for the LLM-data-pipeline surface (SURVEY
+§2.9): tokenization, language-ID heuristic, quality scoring, token
+counting, document fingerprinting. All built-in-function compositions
+(split / higher-order array fns / hashes) — no Python UDFs — so they
+vectorize at 100 TB document scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic; real deployments would
+# broadcast a bigger dim table (same plan shape).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; multi-space safe (filters empties)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+# GPT-2-style pretokenizer shape: alnum runs or single punct chars.
+# RE2-compatible (no lookaround) so the DuckDB oracle can run the same
+# pattern via regexp_extract_all.
+BPE_PIECE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe_estimate(col: Column) -> Column:
+    """BPE-ish token estimate: count of pretokenizer pieces (alnum runs +
+    punct), floored by the ~4-chars/token length prior. Deterministic,
+    regex-only."""
+    pieces = F.regexp_extract_all(col, F.lit(BPE_PIECE_RE), F.lit(0))
+    return F.greatest(F.size(pieces).cast("long"), F.ceil(F.length(col) / F.lit(4)))
+
+
+def _isin_filter(words: list[str]):
+    # NB: HOF lambdas must be single-argument — PySpark treats extra
+    # default args as additional lambda variables. Bind via closure.
+    return lambda t: t.isin(*words)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (double)."""
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, _isin_filter(STOPWORDS[lang])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit-rate,
+    'und' when no list scores > 0. Ties broken by fixed language order."""
+    toks = tokens(F.lower(col))
+    denom = F.greatest(F.size(toks), F.lit(1))
+    best_lang, best_score = F.lit("und"), F.lit(0.0)
+    for lg in sorted(STOPWORDS):  # fixed order → deterministic ties
+        score = F.size(F.filter(toks, _isin_filter(STOPWORDS[lg]))) / denom
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(col: Column) -> Column:
+    """Document quality in [0,1]: blend of length band, alpha ratio,
+    mean word length band — the reference's validation-gate spirit
+    (App.js:388-394) applied to documents."""
+    n_chars = F.length(col)
+    n_toks = F.greatest(token_count_ws(col), F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(col, r"[^A-Za-z ]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    mean_word = n_chars / n_toks
+    len_ok = (n_chars >= 64) & (n_chars <= 100_000)
+    word_ok = (mean_word >= 2.0) & (mean_word <= 12.0)
+    return (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(word_ok, 0.3).otherwise(0.0)
+        + alpha_ratio * 0.3
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — stable under token reordering (near-dup canary)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
+    return F.md5(canon)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles as an array<string> (MinHash/Jaccard input).
+    Sliding window over the token array via transform on indices."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: _join_window(toks, i, k))).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def _join_window(toks: Column, i: Column, k: int) -> Column:
+    return F.array_join(F.slice(toks, i + 1, k), " ")

@@ -1,0 +1,24 @@
+"""Vector expressions over array<float> embedding columns (SURVEY §2.9
+X5/X6): dot product, norms, cosine — via higher-order functions
+(``zip_with`` / ``aggregate``), which run as JVM codegen'd loops, not
+Python. Elements are cast to double BEFORE accumulation so Spark and the
+DuckDB oracle sum in the same precision and sequential order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

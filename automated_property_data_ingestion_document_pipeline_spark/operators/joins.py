@@ -1,0 +1,93 @@
+"""Join operators (SURVEY §2.4): broadcast dim joins, left-outer
+enrichment, semi/anti auth gates, plus the extensions the reference lacks
+(as-of join, range join) built from compositions of built-in ops.
+
+Scale notes: dims are broadcast (the reference's dict lookups, App.js:283,
+crs_bot.pyc STATE_MAP, are exactly broadcast hash joins); fact-fact joins
+shuffle on the join key and rely on AQE skew handling; the as-of join is
+the union-merge pattern — ONE shuffle on (key), no per-row subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Dimension enrichment as an explicit broadcast hash join — the
+    Spark reading of ``COUNTY_OPTIONS[stateCode]`` (App.js:283)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def enrich_left(requests: DataFrame, enriched: DataFrame, on, cols: list[str]) -> DataFrame:
+    """Parcel-enrichment shape (crs_ui_bot.py:234-250; app.py:55-58):
+    left join; misses stay null (the reference's None contract)."""
+    return requests.join(enriched.select(*cols), on, "left")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the same key (backward direction).
+
+    Implemented as union-merge: tag both sides, union, sort within key by
+    (ts, side), carry the last non-null right payload forward with
+    ``last(..., ignorenulls)`` over an unbounded-preceding window, then
+    keep left rows. Exactly ONE shuffle on ``key`` and no range
+    self-join blowup — this is the plan that survives 100 TB, unlike the
+    inequality-join + row_number formulation (quadratic per key).
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip ordering/sign at the call site")
+    l_tagged = left.withColumn("_side", F.lit(1))
+    r_tagged = right.select(
+        key, ts, *[F.col(c).alias(f"_r_{c}") for c in payload_cols]
+    ).withColumn("_side", F.lit(0))
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # side=0 (right) sorts before side=1 (left) at equal ts → ties are
+    # inclusive (right row at exactly left.ts is visible to it).
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload_cols:
+        merged = merged.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    out = merged.filter(F.col("_side") == 1).drop("_side")
+    for c in payload_cols:
+        out = out.withColumnRenamed(f"_r_{c}", f"asof_{c}")
+    return out
+
+
+def range_join_buckets(
+    events: DataFrame, buckets: DataFrame, ts: str, start: str, end: str
+) -> DataFrame:
+    """Interval containment join: event ts ∈ [start, end). Buckets are
+    broadcast when small; for fact-fact range joins, pre-bucket both
+    sides on date_trunc so the theta join runs within equal-key groups
+    (bounded fanout) instead of a full cross product."""
+    return events.join(
+        F.broadcast(buckets),
+        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)),
+    )
+
+
+def salted_join(
+    big: DataFrame, skewed_dim: DataFrame, key: str, salt_buckets: int = 8
+) -> DataFrame:
+    """Skew mitigation: salt the big side's key, explode the dim side
+    across all salt values, join on (key, salt). AQE's skew-join split
+    usually suffices; this is the manual fallback for hot keys known in
+    advance (100 TB posture, SURVEY §7e)."""
+    salted_big = big.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    salted_dim = skewed_dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_big.join(salted_dim, [key, "_salt"]).drop("_salt")

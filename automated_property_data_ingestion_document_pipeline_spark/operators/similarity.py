@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (SURVEY §2.9 X5): brute-force
+cosine top-k as the exact baseline, and an LSH-bucketed (random
+hyperplane) variant as the scale path.
+
+Scale notes: brute force is a broadcast of the (small) query set against
+the full corpus — a map-only scan, no shuffle, linear in corpus size; at
+100 TB you bound the query side, never cross-join fact×fact. The LSH
+variant shuffles once on bucket signature: candidate generation is
+|bucket|-local, the classic sub-linear ANN trade (recall vs probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark.functions.vectors import cosine, dot
+
+# Deterministic pseudo-random hyperplanes: component h_{p,d} derived from
+# xxhash64(plane, dim) scaled to [-1, 1]. No RNG state → reproducible
+# across runs and oracle-checkable in principle.
+
+
+def _plane_component(p: int, d: Column) -> Column:
+    h = F.xxhash64(F.lit(p), d)
+    return (h % 10_000).cast("double") / 10_000.0
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × scan corpus, window
+    rank per query. Ties broken by corpus id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.alias("c").join(
+        F.broadcast(q), F.col("query_id") != F.col(f"c.{id_col}")
+    ).select(
+        "query_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(f"c.{vec_col}")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bit signature (int): bit p = sign of
+    <vec, plane_p>. Row-local higher-order-function arithmetic."""
+    def plane_fn(p: int):
+        # closure, not default-arg: HOF lambdas must be single-argument
+        return lambda d: _plane_component(p, d)
+
+    sig = F.lit(0)
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), plane_fn(p)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: compare only within matching hyperplane bucket.
+    Same output schema as brute_force_topk; recall < 1 by design."""
+    sig = lambda df: df.withColumn("_sig", hyperplane_signature(F.col(vec_col), num_planes, dim))
+    q = sig(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "_sig"
+    )
+    c = sig(corpus)
+    scored = c.alias("c").join(
+        F.broadcast(q),
+        (F.col("c._sig") == q["_sig"]) & (F.col("query_id") != F.col(f"c.{id_col}")),
+    ).select(
+        "query_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(f"c.{vec_col}")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    max_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold (id_a < id_b).
+    ``max_id`` bounds the quadratic blowup for the oracle-checked small
+    variant; the scale path is lsh_topk / bucketed join."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

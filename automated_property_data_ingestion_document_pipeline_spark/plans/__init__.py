@@ -1,0 +1,25 @@
+"""Query plan registry — the bridge between operators and the driver.
+
+``registry.py`` holds the decorator + dicts; ``queries_*.py`` modules
+register every SURVEY §2 key. Importing this package populates the
+registry.
+"""
+
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import (
+    ORACLES,
+    QUERIES,
+    query,
+)
+
+# Import for registration side effects — order mirrors SURVEY §7 stages.
+from automated_property_data_ingestion_document_pipeline_spark.plans import (  # noqa: E402,F401
+    queries_scalar,
+    queries_relational,
+    queries_window,
+    queries_time,
+    queries_text,
+    queries_vector,
+    queries_pipeline,
+)
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,282 @@
+"""End-to-end pipeline registrations (SURVEY §3): validation gates,
+letter rendering, last-write-wins dedup, multimodal metadata,
+partitioned archive write, and the connector-backed rows-only keys.
+These compose the reference's four REST dataflows as DataFrame
+pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.functions import formatters as fmt
+from automated_property_data_ingestion_document_pipeline_spark.operators import validate
+from automated_property_data_ingestion_document_pipeline_spark.operators.dedup import (
+    last_write_wins,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+from automated_property_data_ingestion_document_pipeline_spark.sources import doc_sink, http_source
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SCRATCH = os.path.join(_REPO_ROOT, ".scratch")
+
+
+# -- F1/F6: required-field quarantine -----------------------------------------
+
+
+@query(
+    "q_required_fields",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN NOT (text IS NOT NULL AND trim(text) <> '') THEN 'missing_text'
+                WHEN NOT (lang IS NOT NULL AND trim(lang) <> '') THEN 'missing_lang'
+                WHEN NOT (n_chars > 0) THEN 'bad_n_chars'
+                ELSE NULL END AS _reject_reason
+    FROM documents
+    """,
+)
+def q_required_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required-field gate (app.py:51-52) as quarantine routing: the 400
+    branch becomes a ``_reject_reason`` column, first-failing-rule-wins
+    in declaration order (operators/validate.py)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return validate.with_reject_reason(
+        d,
+        {
+            "missing_text": validate.non_blank(F.col("text")),
+            "missing_lang": validate.non_blank(F.col("lang")),
+            "bad_n_chars": F.col("n_chars") > 0,
+        },
+    ).select("doc_id", "_reject_reason")
+
+
+# -- F2/F3/F7: wizard step gates ----------------------------------------------
+
+
+@query(
+    "q_validate_steps",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, value AS fee,
+             CAST(props->>'k' AS INTEGER) AS s,
+             CASE WHEN event_id % 3 = 0 THEN 100 - CAST(props->>'k' AS INTEGER)
+                  ELSE CAST(props->>'k' AS INTEGER) END AS c
+      FROM events)
+    SELECT event_id, fee, s AS due_signing, c AS due_completion,
+           (fee IS NOT NULL AND fee > 0
+            AND s IS NOT NULL AND s >= 0
+            AND c IS NOT NULL AND c >= 0
+            AND s + c = 100) AS is_valid
+    FROM b
+    """,
+)
+def q_validate_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-3 gate (App.js:388-394): fee>0, percents ≥0 and summing to
+    exactly 100 — wizard fields synthesized deterministically from the
+    events JSON payloads so both branches occur."""
+    ev = catalog.load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    b = ev.select(
+        "event_id",
+        F.col("value").alias("fee"),
+        k.alias("due_signing"),
+        F.when(F.col("event_id") % 3 == 0, 100 - k).otherwise(k).alias("due_completion"),
+    )
+    return b.withColumn(
+        "is_valid",
+        validate.step_gates(
+            F.col("fee"), F.col("due_signing"), F.col("due_completion")
+        ),
+    )
+
+
+# -- P12: letter text rendering ------------------------------------------------
+
+_CURRENCY_SQL = """CASE
+  WHEN {v} = floor({v}) THEN '$' || printf('%,d', CAST({v} AS BIGINT))
+  ELSE '$' || printf('%,d', CAST(trunc(round({v}, 2)) AS BIGINT))
+       || '.' || lpad(CAST(CAST(round({v}, 2) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+END"""
+
+
+@query(
+    "q_letter_text",
+    oracle=f"""
+    SELECT o_orderkey,
+           'Date: ' || strftime(o_orderdate, '%B %d, %Y')
+           || chr(10) || 'Client: ' || coalesce(c_name, '')
+           || chr(10) || 'Address: ' || coalesce(c_mktsegment, '')
+           || chr(10) || 'Property: ' || coalesce(o_orderpriority, '')
+           || chr(10) || 'Parcel ID: ' || coalesce(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                                                        ELSE CAST(o_orderkey AS VARCHAR) END, '')
+           || chr(10) || 'Fee: ' || {_CURRENCY_SQL.format(v='o_totalprice')}
+           || chr(10) || 'Due at signing: ' || '50%'
+           || chr(10) || 'Due at completion: ' || '50%' AS letter_text
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_letter_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template interpolation (report_generator.py:75-88): the full
+    engagement-letter body as ONE projected string column — formatter
+    semantics (P1-P3) composed in codegen; run_date is the order date so
+    the result is deterministic."""
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    parcel = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey").cast("string")
+    )
+    return joined.select(
+        "o_orderkey",
+        fmt.letter_text(
+            run_date=F.col("o_orderdate"),
+            name=F.col("c_name"),
+            address=F.col("c_mktsegment"),
+            fee=F.col("o_totalprice"),
+            due_signing=F.lit("50"),
+            due_completion=F.lit("50"),
+            property_desc=F.col("o_orderpriority"),
+            parcel_id=parcel,
+        ).alias("letter_text"),
+    )
+
+
+# -- A1: last-write-wins dedup -------------------------------------------------
+
+
+@query(
+    "q_dedup_lastwin",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_dedup_lastwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-overwrite dedup (report_generator.py:63-68, 89: regenerating
+    a letter overwrites the file): newest row per key via ranking window
+    with a unique tiebreaker."""
+    ev = catalog.load(spark, sf_dir, "events")
+    latest = last_write_wins(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# -- X7: multimodal metadata ---------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           'text/plain' AS media_type,
+           'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing (SURVEY §1.1 #4): payload as
+    BinaryType + typed metadata struct (sources/binary.py) — byte
+    length and content hash computed over the binary, filename derived
+    like the reference's artifact naming."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
+        attach_media_meta,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .withColumn("content", F.encode("text", "UTF-8"))
+        .withColumn("fname", F.format_string("doc_%s.txt", F.col("doc_id").cast("string")))
+    )
+    with_meta = attach_media_meta(d, "content", "fname", "text/plain")
+    return with_meta.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_sha256").alias("content_sha256"),
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.filename").alias("filename"),
+    )
+
+
+# -- S9: partitioned archive write (roundtrip-checked) -------------------------
+
+
+@query(
+    "q_partitioned_write",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive sink (app.py:107-119): the hand-rolled {client}/{address}/
+    tree as ``partitionBy`` parquet. Writes, reads BACK, and returns
+    per-partition counts — so the oracle verifies the write/read
+    roundtrip preserved every row in the right partition."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_SCRATCH, f"partitioned_docs_{sf_tag}")
+    d = catalog.load(spark, sf_dir, "documents")
+    doc_sink.archive_partitioned(d, out, ["lang", "source"])
+    back = spark.read.parquet(out)
+    return back.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+
+
+# -- S7: letter render sink (rows-only) ---------------------------------------
+
+
+@query("q_letter_sink")  # rows-only: writes executor-side artifacts
+def q_letter_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document render sink (report_generator.py:88-103): per-partition
+    artifact writes via mapInPandas, manifest returned. Sampled subset
+    to bound local filesystem churn."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_SCRATCH, f"letters_{sf_tag}")
+    o = catalog.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    c = catalog.load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    letters = joined.select(
+        F.concat(
+            fmt.safe_name(F.col("c_name")), F.lit("_"), F.col("o_orderkey").cast("string")
+        ).alias("client_key"),
+        fmt.letter_text(
+            run_date=F.col("o_orderdate"),
+            name=F.col("c_name"),
+            address=F.col("c_mktsegment"),
+            fee=F.col("o_totalprice"),
+            due_signing=F.lit("50"),
+            due_completion=F.lit("50"),
+            property_desc=F.col("o_orderpriority"),
+            parcel_id=F.col("o_orderkey").cast("string"),
+        ).alias("letter_text"),
+    )
+    return doc_sink.render_letters(letters, out)
+
+
+# -- S3: HTTP enrichment connector (rows-only) --------------------------------
+
+
+@query("q_http_enrich")  # rows-only: connector with pluggable transport
+def q_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parcel-enrichment connector (crs_bot.pyc two-GET flow, SURVEY
+    §3.1): mapInPandas with per-partition session + deterministic fake
+    transport; ~1/8 of rows come back null (the reference's None
+    contract), left-joinable downstream."""
+    c = catalog.load(spark, sf_dir, "customer")
+    requests = c.select(
+        F.col("c_custkey").alias("request_id"),
+        F.col("c_mktsegment").alias("county_code"),
+        F.col("c_name").alias("address"),
+    )
+    return http_source.enrich_with_parcels_mapinpandas(requests, num_partitions=8)

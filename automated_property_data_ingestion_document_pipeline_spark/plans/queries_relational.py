@@ -1,0 +1,282 @@
+"""Join / set-op / aggregation registrations (SURVEY §2.4-2.5).
+
+Scale posture per key is noted inline; the common themes: dims broadcast
+(never shuffled), fact aggregations are partial-agg'd map-side before one
+shuffle on the group keys, money sums use exact decimal accumulation
+(plans/_sql.py policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators.joins import (
+    broadcast_dim_join,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans._sql import (
+    money_sum,
+    money_sum_sql,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+# -- J1/J2: dimension broadcast join ------------------------------------------
+
+
+@query(
+    "q_broadcast_join",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """state→county dict lookup (App.js:283) as an explicit broadcast
+    hash join — zero shuffle of the fact side at any scale."""
+    nation = catalog.load(spark, sf_dir, "nation")
+    region = catalog.load(spark, sf_dir, "region")
+    return broadcast_dim_join(
+        nation, region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+# -- J3: left-outer enrichment -------------------------------------------------
+
+
+@query(
+    "q_left_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parcel enrichment shape (app.py:55-58): left join, misses stay
+    null — the reference's None-on-failure contract as join semantics."""
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# -- J4/F4: auth semi-join -----------------------------------------------------
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auth gate (app.py:30: ``username in ALLOWED_USERS``) as left-semi
+    join: customers with ≥1 order."""
+    c = catalog.load(spark, sf_dir, "customer")
+    o = catalog.load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# -- F5: anti-join (enrichment misses) ----------------------------------------
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """404 branch (app.py:56-57): records that failed enrichment = anti
+    join — customers with no URGENT order (nonempty at every sf, unlike
+    customers-without-orders which the generator doesn't produce)."""
+    c = catalog.load(spark, sf_dir, "customer")
+    urgent = catalog.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# -- J7: multi-way star join ---------------------------------------------------
+
+
+@query(
+    "q_star_join",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_rows,
+           {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=4)} AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join (record→county→state→code chain generalized): fact
+    shuffles once on the agg keys; customer/nation/region broadcast so
+    Catalyst keeps the whole enrichment map-side. Revenue via exact
+    decimal accumulation."""
+    t = catalog.load_all(spark, sf_dir)
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_rows"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
+    )
+
+
+# -- A4: TPC-H Q1-shaped group-by aggregate -----------------------------------
+
+
+@query(
+    "q_groupby_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {money_sum_sql('l_extendedprice')} AS sum_base_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=4)} AS sum_disc_price,
+           COUNT(*) AS count_order,
+           SUM(l_quantity) / COUNT(*) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate (TPC-H Q1 shape; SURVEY A4). Quantities
+    are integral doubles (<2^53) so their double sum is exact and
+    order-independent; money columns use decimal accumulation."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+    )
+
+
+# -- A5: distinct counts -------------------------------------------------------
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-kept uniques (3 states / 107 counties, App.js:10-130) as
+    exact distinct counts (expand-mode distinct aggregate)."""
+    c = catalog.load(spark, sf_dir, "customer")
+    return c.agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path where exact
+    distinct would shuffle the full key set. Estimate is engine-specific
+    → rows-only check."""
+    o = catalog.load(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# -- A6: rollup ----------------------------------------------------------------
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_cust,
+           {money_sum_sql('c_acctbal')} AS total_acctbal
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals over the region→nation hierarchy (the
+    state→county hierarchy of App.js:16-130)."""
+    t = catalog.load_all(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"),
+        money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+# -- A7: union -----------------------------------------------------------------
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT c_name AS name, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS src FROM supplier
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenated dims (TN+GA+VA county arrays, App.js:16-130) as
+    unionByName — no shuffle, pure concatenation of partitions."""
+    c = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    s = catalog.load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+# -- A8: except ----------------------------------------------------------------
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT DISTINCT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality diff (UI county list vs CRS code map coverage,
+    crs_bot.pyc vs App.js:114-129): set difference with distinct
+    semantics to match SQL EXCEPT — the q_anti_join population expressed
+    as a set op."""
+    c = catalog.load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        catalog.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.distinct().subtract(o.distinct())

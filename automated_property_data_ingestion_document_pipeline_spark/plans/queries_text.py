@@ -1,0 +1,256 @@
+"""Text-analysis registrations (SURVEY §2.9 X1-X4): wordcount, stats,
+exact dedup, language-ID, quality scoring, token counting,
+fingerprinting, Jaccard near-dup — the training-data-pipeline surface
+over ``documents``.
+
+Scale: everything except the pair queries is scan+project or one
+groupBy shuffle; the MinHash path bounds candidate generation by LSH
+banding (operators/dedup.py) instead of the quadratic exact join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.functions import text as T
+from automated_property_data_ingestion_document_pipeline_spark.operators import dedup
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+_TOKS_SQL = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+
+
+# -- X1: wordcount -------------------------------------------------------------
+
+
+@query(
+    "q_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + count: explode → groupBy. Map-side partial counts make
+    the shuffle carry one row per (partition, word) — vocabulary-sized,
+    not corpus-sized."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# -- X2: text stats ------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus stats; integer sums are exact so the avg
+    (one exact division) is bit-identical."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# -- X3: exact dedup -----------------------------------------------------------
+
+
+@query(
+    "q_doc_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, sha256(text) AS text_sha256
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: sha2-256 hash-groupBy keeping the lowest id
+    as canonical representative (operators/dedup.py; the reference's
+    key-overwrite dedup A1 generalized)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return dedup.exact_text_dedup(d).select("doc_id", "text_sha256")
+
+
+# -- language ID ---------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    toks = _TOKS_SQL.format(col="lower(text)")
+    scores = {
+        lg: (
+            f"CAST(len(list_filter({toks}, x -> list_contains({T.STOPWORDS[lg]!r}, x))) AS DOUBLE)"
+            f" / greatest(len({toks}), 1)"
+        )
+        for lg in sorted(T.STOPWORDS)
+    }
+    s = {lg: f"s_{lg}" for lg in scores}
+    defs = ", ".join(f"{expr} AS {s[lg]}" for lg, expr in scores.items())
+    return f"""
+    WITH scored AS (SELECT doc_id, {defs} FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es) <= 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+                WHEN s_en >= s_es THEN 'en'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+    """
+
+
+@query("q_langid", oracle=_langid_oracle())
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit-rate language ID (argmax over per-lang lists, ties →
+    first lang in sorted order; functions/text.py). Row-local HOF
+    arithmetic, no shuffle."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# -- quality scoring -----------------------------------------------------------
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             greatest(len({_TOKS_SQL.format(col='text')}), 1) AS nt,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio
+      FROM documents)
+    SELECT doc_id,
+           (CASE WHEN nc >= 64 AND nc <= 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN CAST(nc AS DOUBLE)/nt >= 2.0 AND CAST(nc AS DOUBLE)/nt <= 12.0
+                   THEN 0.3 ELSE 0.0 END)
+           + alpha_ratio * 0.3 AS quality
+    FROM m
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length band + word-length band + alpha
+    ratio; functions/text.py) — the reference's validation-gate spirit
+    applied to documents."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+# -- token counting ------------------------------------------------------------
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL.format(col='text')}) AS BIGINT) AS n_ws_tokens,
+           greatest(CAST(len(regexp_extract_all(text, '{T.BPE_PIECE_RE}')) AS BIGINT),
+                    CAST(ceil(length(text) / 4) AS BIGINT)) AS n_bpe_est
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish estimate (regex pretokenizer
+    pieces floored by the chars/4 prior)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+        T.token_count_bpe_estimate(F.col("text")).alias("n_bpe_est"),
+    )
+
+
+# -- fingerprint ---------------------------------------------------------------
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS_SQL.format(col='text')})), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set (bag-of-words canary for near-dup detection)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# -- n-gram/token-set Jaccard near-dup ----------------------------------------
+
+
+@query(
+    "q_jaccard_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+      FROM documents WHERE doc_id < 60)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tset, b.tset))) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs (bounded subset so the quadratic
+    verify stage is oracle-checkable; the scale path generates candidates
+    with MinHash banding first — q_minhash_neardup)."""
+    d = catalog.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sets_df = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tset")
+    )
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("tset").alias("_ta"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("tset").alias("_tb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("_ta", "_tb")).cast("double")
+            / F.size(F.array_distinct(F.concat("_ta", "_tb")))
+        ).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+# -- MinHash LSH near-dup (rows-only) -----------------------------------------
+
+
+@query("q_minhash_neardup")  # rows-only: LSH banding uses engine-specific xxhash64
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: shingle → MinHash signature → LSH band
+    bucket self-join → exact Jaccard verify ≥ 0.5. Candidate generation
+    is bucket-local (sub-quadratic); verify join only touches candidate
+    pairs."""
+    d = catalog.load(spark, sf_dir, "documents")
+    candidates = dedup.minhash_candidate_pairs(d, num_hashes=16, bands=8, shingle_k=3)
+    return dedup.ngram_jaccard_pairs(d, candidates, shingle_k=3, threshold=0.5)
+
+
+# -- SimHash (rows-only) -------------------------------------------------------
+
+
+@query("q_simhash")  # rows-only: xxhash64-based fingerprint is engine-specific
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (Charikar/Manku near-dup at crawl
+    scale): row-local bit-majority over shingle hashes."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash64(F.col("text"), shingle_k=2).alias("simhash"))

@@ -1,0 +1,146 @@
+"""Event-time registrations (SURVEY §2.7): batch-expressible
+sessionization, tumbling windows, range join, as-of join, plus a
+genuinely-streaming key (rows-only) that runs Structured Streaming with
+an availableNow trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators.joins import (
+    asof_join,
+    range_join_buckets,
+)
+from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
+    session_summary,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+from automated_property_data_ingestion_document_pipeline_spark.streaming import sessions as streaming_sessions
+
+# -- T1: gap-based sessionization (batch twin) ---------------------------------
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wizard keyed-session state (App.js:252, 286-310) as 30-min
+    gap-based sessions: lag → cumulative-sum, one shuffle on user_id
+    (operators/sessionize.py). Gap compared in integer microseconds on
+    both engines."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return session_summary(ev, gap_minutes=30)
+
+
+# -- T3: tumbling-window aggregate (batch twin) --------------------------------
+
+
+@query(
+    "q_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling buckets (timestamp-clustered artifacts, reports/
+    dir): date_trunc groupBy; value summed in exact integer cents."""
+    ev = catalog.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents).cast("double") / 100).alias("total_value"),
+    )
+
+
+# -- range join ----------------------------------------------------------------
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH buckets AS (SELECT DISTINCT date_trunc('day', ts) AS day_start FROM events)
+    SELECT b.day_start, COUNT(*) AS n_events
+    FROM events e JOIN buckets b
+      ON e.ts >= b.day_start AND e.ts < b.day_start + INTERVAL 1 DAY
+    GROUP BY b.day_start
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join of events to day buckets: the bucket dim
+    is broadcast so the inequality join is a map-side nested-loop over a
+    tiny build side — the only sane physical plan for theta joins at
+    scale (never shuffle a fact for a range predicate)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    buckets = ev.select(F.date_trunc("day", "ts").alias("day_start")).distinct()
+    buckets = buckets.withColumn("day_end", F.col("day_start") + F.expr("INTERVAL 1 DAY"))
+    joined = range_join_buckets(ev, buckets, "ts", "day_start", "day_end")
+    return joined.groupBy("day_start").agg(F.count("*").alias("n_events"))
+
+
+# -- as-of join (extension; reference lacks it) --------------------------------
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+      (SELECT v.event_id FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_event_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest prior 'view' of
+    the same user. Implemented as union-merge (operators/joins.py): ONE
+    shuffle on user_id, no range self-join blowup — the plan that holds
+    when both sides are 100 TB facts."""
+    ev = catalog.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    # Collapse equal-(user, ts) views to max event_id so the pick matches
+    # the oracle's (ts DESC, event_id DESC) tiebreak deterministically.
+    views = views.groupBy("user_id", "ts").agg(F.max("event_id").alias("event_id"))
+    out = asof_join(purchases, views, key="user_id", ts="ts", payload_cols=["event_id"])
+    return out.select("event_id", "user_id", "ts", "asof_event_id")
+
+
+# -- T1/T2 streaming-backed key (rows-only) ------------------------------------
+
+
+@query("q_stream_sessionize")  # rows-only: Structured Streaming state op
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run: file source → session_window(30 min)
+    with watermark → memory sink, availableNow trigger (batch-bounded).
+    The streaming twin of q_sessionize; driver records rows-only."""
+    stream = streaming_sessions.read_events_stream(spark, sf_dir)
+    result = streaming_sessions.session_agg(stream, gap="30 minutes")
+    return streaming_sessions.run_available_now(result, "stream_sessions")

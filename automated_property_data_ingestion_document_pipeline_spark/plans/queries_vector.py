@@ -1,0 +1,115 @@
+"""Vector/similarity registrations (SURVEY §2.9 X5-X6): array HOF
+functions, brute-force cosine top-k (exact baseline), embedding-cosine
+near-dup pairs, and the LSH-bucketed approximate variant (rows-only).
+
+Float parity: vectors are cast to double BEFORE any fold on both
+engines; every similarity is rounded to 6 dp before ranking/thresholds,
+and ranks tie-break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.functions.vectors import dot, norm
+from automated_property_data_ingestion_document_pipeline_spark.operators import similarity
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+# -- X6: array/map higher-order functions -------------------------------------
+
+
+@query(
+    "q_array_fns",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS emb_max,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS emb_norm
+    FROM embeddings
+    """,
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over embeddings: size / array_max / element_at /
+    aggregate-fold L2 norm — all JVM higher-order functions, row-local,
+    no shuffle."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.array_max("embedding").cast("double").alias("emb_max"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.round(norm(F.col("embedding")), 6).alias("emb_norm"),
+    )
+
+
+# -- X5: brute-force cosine top-k ---------------------------------------------
+
+
+@query(
+    "q_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a='q.qv', b='CAST(c.embedding AS DOUBLE[])')} AS cos_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+    """,
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast the query set, scan the corpus once,
+    rank per query — map-only + k-row shuffle; linear in corpus size,
+    the right exact plan at 100 TB (bounded query side, never fact×fact)."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+# -- embedding-cosine near-dup pairs ------------------------------------------
+
+
+@query(
+    "q_cosine_pairs",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 100)
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL.format(a='a.v', b='b.v')} AS cos_sim
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.25
+    """,
+)
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above 0.25 cosine (the corpus embeddings
+    are near-orthogonal — max pairwise ≈ 0.40), bounded subset for the
+    oracle; the unbounded scale path is LSH-bucketed (q_knn_lsh)."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, threshold=0.25, max_id=100)
+
+
+# -- LSH approximate top-k (rows-only) ----------------------------------------
+
+
+@query("q_knn_lsh")  # rows-only: approximate by design (hyperplane LSH recall < 1)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets: compares only
+    within matching 8-bit signature bucket → ~1/256 of the work of brute
+    force; recall traded for sub-linear probes."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)

@@ -1,0 +1,139 @@
+"""Sort / limit / top-k / window registrations (SURVEY §2.6).
+
+Determinism: every rank/limit breaks ties on a unique id; running sums
+accumulate integer cents (exact) instead of raw doubles so the window
+evaluation strategy (incremental vs segment-tree) can't change a bit.
+Scale: all windows partition on a natural key (customer/user), so state
+per partition is bounded and the single sort-shuffle holds at 100 TB;
+top-k uses TakeOrderedAndProject (per-partition heap + driver merge of k
+rows, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators.dedup import (
+    last_write_wins,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+# -- W1: bounded-scan top-k ----------------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded scan with early exit (crs_ui_bot.py:165-177) generalized
+    to top-k: orderBy+limit → TakeOrderedAndProject, ties broken by
+    key."""
+    o = catalog.load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# -- W2: ordered dimension -----------------------------------------------------
+
+
+@query("q_sort", oracle="SELECT n_nationkey, n_name FROM nation ORDER BY n_name")
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alphabetically-stored county lists (App.js:17-113) as a sort."""
+    return catalog.load(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
+
+
+# -- W3: latest-per-key ranking window ----------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest report per client (reports/ dir evidence;
+    report_generator.py:64-65): ranking window, one shuffle on the
+    partition key."""
+    o = catalog.load(spark, sf_dir, "orders")
+    return last_write_wins(o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")]).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").alias("latest_orderdate"),
+    )
+
+
+# -- W4: running aggregate -----------------------------------------------------
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_value
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progress metric (App.js:521) as a running per-user sum —
+    accumulated in integer cents so the result is exact (window-sum
+    evaluation order differs between engines on doubles)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(cents).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        running.alias("running_cents"),
+        (running.cast("double") / 100).alias("running_value"),
+    )
+
+
+# -- W5: lag comparison --------------------------------------------------------
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abort-then-retry comparison (App.js:354-357): lag over the per-user
+    timeline; row-local copy + IEEE subtraction, bit-exact."""
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+    )

@@ -1,0 +1,88 @@
+"""SparkSession construction and runtime tuning.
+
+Scale posture (100 TB design, local[32] test): everything here is
+runtime-settable so the same tuning applies whether *we* build the session
+(tests, bench) or the driver hands us one (``__spark_entry__``).
+
+- Arrow on: every pandas/mapInPandas exchange is columnar-batched.
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting +
+  dynamic broadcast conversion — the knobs that survive a 1000× scale-up
+  without re-tuning.
+- ``spark.sql.shuffle.partitions`` is sized by caller: small (8-32) for
+  the sf0.01-0.1 local corpus so we don't pay 200 empty-task launches;
+  on a real cluster AQE coalesces from a high initial value instead.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (naive parquet timestamps) byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session we touch.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    # read as long and convert in catalog.load (truncated to micros, the
+    # same precision DuckDB exposes).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Dims in this domain are tiny (SURVEY §2.4: all joins broadcastable).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime tuning to an existing session (idempotent).
+
+    Called at the top of ``entry()`` and every registered query so the
+    driver-provided session gets the same deterministic timezone/AQE/Arrow
+    posture as our own.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host — keep going, nothing below is load-bearing
+    if shuffle_partitions is None and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        # Host session left at the Spark default: size one task wave for
+        # local mode (AQE coalesces below this; streaming state ops can't
+        # use AQE and would otherwise run 200 tiny stateful tasks).
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def get_spark(
+    app_name: str = "apdidp-spark",
+    shuffle_partitions: int | None = None,
+    master: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session sized from the driver env contract.
+
+    ``SPARK_GRAFT_CPUS`` (default 32) sets local parallelism; shuffle
+    partitions default to the same so a local shuffle is one wave of tasks.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark, shuffle_partitions)

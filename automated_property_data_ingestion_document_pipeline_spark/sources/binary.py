@@ -1,0 +1,86 @@
+"""Multimodal binary columns (SURVEY §2.9 X7, §1.1 #4): image/audio/
+video/document payloads as opaque ``BinaryType`` columns + a typed
+metadata struct — the Spark reading of the reference's DOCX/PDF
+artifacts whose only metadata lives in the filename
+(reports/ dir; report_generator.py:64-65).
+
+Decode/feature-extraction is STUBBED (no image/audio libs in this
+container) behind ``DecodeUnavailable`` + a deterministic fake, but all
+Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# metadata struct carried alongside every binary payload
+MEDIA_META_SCHEMA = (
+    "media_type STRING, n_bytes BIGINT, content_sha256 STRING, filename STRING"
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by real decode paths: media libraries (PIL/ffmpeg/...) are
+    not installed in this environment. The deterministic fake path keeps
+    the pipeline testable."""
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """binaryFile scan (S4/S5): one row per file with path/length/bytes;
+    Spark parallelizes by file — at scale, prefer many medium objects
+    over few huge ones (source split granularity is the file)."""
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def attach_media_meta(df: DataFrame, content_col: str, filename_col: str, media_type: str) -> DataFrame:
+    """Wrap a binary column with the typed metadata struct."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(F.col(content_col)).cast("bigint").alias("n_bytes"),
+            F.sha2(F.col(content_col), 256).alias("content_sha256"),
+            F.col(filename_col).alias("filename"),
+        ),
+    )
+
+
+def extract_features(df: DataFrame, content_col: str = "content", fake: bool = True) -> DataFrame:
+    """Feature-extraction over binary media via mapInPandas (Arrow
+    batches of bytes → fixed-width feature vectors).
+
+    ``fake=True`` derives a deterministic 8-dim feature vector from the
+    payload hash — the real decode raises DecodeUnavailable, marking
+    exactly where PIL/ffmpeg plug in. Batch shape, schema, and
+    partitioning are identical either way, which is the part that has to
+    be right at 100 TB (bytes never leave the executor; one Python
+    worker per core streams Arrow batches).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["features array<double>"]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[content_col]:
+                if not fake:
+                    raise DecodeUnavailable(
+                        "real media decode requires PIL/ffmpeg; not in container"
+                    )
+                h = hashlib.sha256(bytes(payload)).digest()
+                feats.append([b / 255.0 for b in h[:8]])
+            out = pdf.copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(_extract, out_schema)

@@ -1,0 +1,117 @@
+"""Streaming sessionization & windowed aggregation (SURVEY §2.7 T1-T4).
+
+The wizard's keyed step state machine (App.js:252, 286-310; per-user
+session persisted in sessionStorage) maps to ``session_window`` with a
+gap; its abort/timeout semantics (App.js:142-147, 354-357) map to
+watermarks + ``dropDuplicatesWithinWatermark``.
+
+Scale notes: state is keyed by user → partitions by key, state store per
+executor; watermark bounds state size (late events beyond the watermark
+are dropped, exactly the reference's stale-abort). File-source streams
+use ``maxFilesPerTrigger`` for backpressure; ``availableNow`` gives
+batch-bounded runs (used by tests and the rows-only driver key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ts arrives as nano-epoch long (session.tune sets nanosAsLong for the
+# TIMESTAMP(NANOS) parquet) and is converted to micros after read.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY (its basePath); stage
+    a symlink to the events parquet under .scratch/."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(repo_root, ".scratch", f"stream_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except OSError:
+            import shutil
+
+            shutil.copy(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema required for
+    streaming reads)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def session_agg(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user with late-data watermark —
+    the streaming twin of operators/sessionize.py."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Duplicate/stale discard (App.js:354-357 abort-stale):
+    dropDuplicatesWithinWatermark on the event id."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type counts (T3)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events")
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming DF to completion with the availableNow trigger
+    into a memory sink; returns the materialized table. Used for
+    batch-bounded correctness checks of the streaming surface."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

