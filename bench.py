@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced through the noop sink (full materialization of every
+output column — ``count()`` would let Catalyst prune the projections we
+mean to measure). Timings include plan+execute, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from automated_property_data_ingestion_document_pipeline_spark.session import get_spark
+from automated_property_data_ingestion_document_pipeline_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — scan, scalar-heavy projection,
+# JSON ingest, star join, Q1 agg, top-k, ranking window, sessionization,
+# tumbling window, as-of join, wordcount, exact dedup, fingerprint, knn,
+# letter render, last-win dedup.
+HEADLINE = [
+    "q_scan_count",
+    "q_json_ingest",
+    "q_currency_format",
+    "q_letter_text",
+    "q_star_join",
+    "q_groupby_agg",
+    "q_topk",
+    "q_window_rank",
+    "q_dedup_lastwin",
+    "q_sessionize",
+    "q_tumbling_window",
+    "q_asof_join",
+    "q_wordcount",
+    "q_doc_dedup",
+    "q_fingerprint",
+    "q_knn",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="apdidp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/scan path once so per-query numbers measure the plan,
+    # not first-touch class loading.
+    materialize(QUERIES["q_scan_count"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[key](spark, SF_DIR))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[key] = dt
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Operator-semantics unit tests on hand-built fixtures: as-of join vs a
+naive reference implementation, last-write-wins, exact/minhash dedup,
+sessionization gap behavior, simhash near-dup property."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark.operators import (
+    dedup,
+    joins,
+    sessionize,
+    similarity,
+)
+
+
+def ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def test_asof_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(30), "p2"), (2, ts(5), "p3"), (3, ts(1), "p4")],
+        "user_id bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 100), (1, ts(10), 101), (1, ts(29, 59), 102), (2, ts(6), 103)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    out = joins.asof_join(left, right, key="user_id", ts="ts", payload_cols=["event_id"])
+    got = {r["tag"]: r["asof_event_id"] for r in out.collect()}
+    # p1@12:10 → event at exactly 12:10 (inclusive tie); p2 → 12:29:59;
+    # p3@12:05 has no prior → null; p4 user 3 has no right rows → null
+    assert got == {"p1": 101, "p2": 102, "p3": None, "p4": None}
+
+
+def test_last_write_wins_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k", ts(1), 1), ("k", ts(2), 2), ("k", ts(2), 3)],
+        "key string, ts timestamp, payload int",
+    )
+    out = dedup.last_write_wins(df, ["key"], [F.col("ts"), F.col("payload")])
+    assert out.collect()[0]["payload"] == 3  # max ts, then max payload
+
+
+def test_exact_text_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "other")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"] for r in dedup.exact_text_dedup(df).collect()}
+    assert out == {2, 9}
+
+
+def test_minhash_candidates_find_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (0, base),
+        (1, base + " extra"),  # near-dup of 0
+        (2, "completely different words about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    cands = dedup.minhash_candidate_pairs(df, num_hashes=16, bands=8, shingle_k=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 1) in pairs
+    verified = dedup.ngram_jaccard_pairs(df, cands, shingle_k=2, threshold=0.5)
+    vpairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert vpairs == {(0, 1)}
+
+
+def test_simhash_near_for_near_dups(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(0, a), (1, a + " lambda"), (2, "one two three four five six seven")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dedup.simhash64(F.col("text"), shingle_k=2).alias("sh")
+    ).collect()}
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+    assert hamming(out[0], out[1]) < hamming(out[0], out[2])
+    assert all(v >= 0 for v in out.values())  # sign bit never set
+
+
+def test_sessionize_gap_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0), 1), (1, ts(29), 2), (1, ts(59, 1), 3), (2, ts(0), 4)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    out = sessionize.session_summary(df, gap_minutes=30)
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
+    # events at :00 and :29 share a session (gap 29m ≤ 30m); :59:01 is
+    # 30m01s after :29 → new session; user 2 independent
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_brute_force_topk_excludes_self_and_ranks(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: -r["cos_sim"])
+    assert [r["neighbor_id"] for r in rows] == [1, 3]
+    assert all(r["query_id"] == 0 for r in rows)

@@ -1,0 +1,110 @@
+"""Connector & sink tests (SURVEY §2.1, §4.3): HTTP enrichment
+DataSource + mapInPandas path, JSON bronze ingest, multimodal binary
+plumbing, document render sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark.sources import (
+    binary,
+    doc_sink,
+    http_source,
+    json_source,
+)
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def test_json_ingest_permissive(spark):
+    df = spark.createDataFrame(
+        [('{"name": "Jo", "fee": "1500", "county": "Shelby County, TN"}',), ("not json",), (None,)],
+        "props string",
+    )
+    out = json_source.ingest_request_bodies(df).collect()
+    by_props = {r["props"]: r for r in out}
+    assert by_props['{"name": "Jo", "fee": "1500", "county": "Shelby County, TN"}']["name"] == "Jo"
+    assert by_props["not json"]["name"] is None  # permissive: bad doc → nulls
+    assert len(out) == 3
+
+
+def test_http_enrich_mapinpandas_null_contract(spark):
+    reqs = spark.createDataFrame(
+        [(i, f"C{i % 3}", f"{i} Main St") for i in range(64)],
+        "request_id bigint, county_code string, address string",
+    )
+    out = http_source.enrich_with_parcels_mapinpandas(reqs, num_partitions=4)
+    rows = out.collect()
+    assert len(rows) == 64
+    hits = [r for r in rows if r["parcel_id"] is not None]
+    misses = [r for r in rows if r["parcel_id"] is None]
+    assert hits and misses  # ~1/8 deterministic misses (reference None contract)
+    assert all(r["parcel_id"].startswith(r["county_code"] + "-") for r in hits)
+    # deterministic: same input → same output
+    again = {r["request_id"]: r["parcel_id"] for r in out.collect()}
+    assert all(again[r["request_id"]] == r["parcel_id"] for r in rows)
+
+
+def test_parcel_datasource_registration(spark):
+    """Spark 4 Python DataSource path (S3): register + read."""
+    import json
+
+    if not http_source.HAS_DATASOURCE_API:
+        import pytest
+
+        pytest.skip("pyspark<4: Python DataSource API absent")
+    spark.dataSource.register(http_source.ParcelEnrichmentDataSource)
+    reqs = json.dumps(
+        [{"request_id": i, "county_code": f"C{i % 2}", "address": f"{i} Elm"} for i in range(10)]
+    )
+    df = (
+        spark.read.format("parcel_enrichment")
+        .option("requests", reqs)
+        .option("numPartitions", "2")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    assert set(df.columns) == {"request_id", "county_code", "address", "parcel_id"}
+
+
+def test_multimodal_meta_and_features(spark):
+    df = spark.createDataFrame([(1, b"payload-bytes", "a.bin")], "id bigint, content binary, fname string")
+    with_meta = binary.attach_media_meta(df, "content", "fname", "application/octet-stream")
+    m = with_meta.collect()[0]["media_meta"]
+    assert m["n_bytes"] == len(b"payload-bytes")
+    assert m["filename"] == "a.bin"
+    feats = binary.extract_features(df, "content").collect()[0]["features"]
+    assert len(feats) == 8 and all(0 <= v <= 1 for v in feats)
+    # deterministic fake: same payload → same features
+    feats2 = binary.extract_features(df, "content").collect()[0]["features"]
+    assert feats == feats2
+
+
+def test_render_letters_writes_artifacts(spark):
+    out_dir = os.path.join(SCRATCH, "letters_unit")
+    letters = spark.createDataFrame(
+        [("Jo_Smith_1", "Dear Jo"), ("Al_Jones_2", "Dear Al")],
+        "client_key string, letter_text string",
+    )
+    manifest = {r["client_key"]: r for r in doc_sink.render_letters(letters, out_dir).collect()}
+    assert manifest["Jo_Smith_1"]["filename"] == "Engagement_Letter_Jo_Smith_1.txt"
+    path = os.path.join(out_dir, "Engagement_Letter_Jo_Smith_1.txt")
+    assert os.path.exists(path)
+    assert open(path, "rb").read() == b"Dear Jo"
+    assert manifest["Al_Jones_2"]["n_bytes"] == len(b"Dear Al")
+
+
+def test_archive_partitioned_roundtrip(spark):
+    out_dir = os.path.join(SCRATCH, "archive_unit")
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "client string, addr string, v int"
+    )
+    doc_sink.archive_partitioned(df, out_dir, ["client", "addr"])
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 3
+    # partition pruning applies: reading client=a sees only 2 rows
+    assert back.filter(F.col("client") == "a").count() == 2
+    assert os.path.isdir(os.path.join(out_dir, "client=a", "addr=x"))

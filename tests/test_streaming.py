@@ -1,0 +1,67 @@
+"""Structured Streaming surface tests (SURVEY §2.7): the streaming
+session aggregation agrees with the batch twin; duplicate discard and
+tumbling windows behave under availableNow."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
+    session_summary,
+)
+from automated_property_data_ingestion_document_pipeline_spark.streaming import sessions as ss
+
+
+def test_stream_sessions_match_batch(spark, sf_dir):
+    stream = ss.read_events_stream(spark, sf_dir)
+    result = ss.session_agg(stream, gap="30 minutes")
+    got = ss.run_available_now(result, "t_sessions")
+    batch = session_summary(catalog.load(spark, sf_dir, "events"), gap_minutes=30)
+
+    # session_window(gap) closes at last_ts + gap exclusive; compare the
+    # per-user session count + total events, which both formulations
+    # must agree on.
+    g = {
+        (r["user_id"],): (r["n"], r["tot"])
+        for r in got.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("n_events").alias("tot"))
+        .collect()
+    }
+    b = {
+        (r["user_id"],): (r["n"], r["tot"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("n_events").alias("tot"))
+        .collect()
+    }
+    assert g == b
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    stream = ss.read_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)  # every event twice
+    deduped = ss.dedup_within_watermark(doubled)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.table("t_dedup").count()
+    expected = catalog.load(spark, sf_dir, "events").count()
+    assert n == expected
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir):
+    stream = ss.read_events_stream(spark, sf_dir)
+    got = ss.run_available_now(ss.tumbling_counts(stream, width="1 hour"), "t_tumble")
+    batch = (
+        catalog.load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    g = {(r["bucket_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    b = {(r["bucket_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert g == b
