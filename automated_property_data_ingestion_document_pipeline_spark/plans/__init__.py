@@ -20,6 +20,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_text,
     queries_vector,
     queries_pipeline,
+    queries_analytic,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

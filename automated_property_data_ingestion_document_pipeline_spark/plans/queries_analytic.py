@@ -1,0 +1,347 @@
+"""Extended analytic registrations: cube / grouping sets / intersect,
+richer windows (ntile, dense_rank, cume_dist), string & date function
+batteries, conditional and statistical aggregates, exact percentiles,
+positional explode, regex extraction, histogram binning.
+
+These widen the engine surface beyond the reference's literal operators
+(SURVEY §2.5 A6/A8 call out cube/intersect; the rest are the standard
+analytic vocabulary any replacement engine must carry). Cross-engine
+parity notes are inline where conventions differ (day-of-week origin,
+HUGEINT sums, accumulation-order-sensitive moments → rounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans._sql import (
+    money_sum,
+    money_sum_sql,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+# -- cube ----------------------------------------------------------------------
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_cust,
+           {money_sum_sql('c_acctbal')} AS total_acctbal
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, n_name)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over the region→nation hierarchy (q_rollup's sibling;
+    adds the nation-only marginals)."""
+    t = catalog.load_all(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.cube("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"),
+        money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+# -- grouping sets -------------------------------------------------------------
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (lang marginal + source marginal + grand
+    total) via Spark SQL over a temp view."""
+    catalog.load(spark, sf_dir, "documents").createOrReplaceTempView("gs_documents")
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n_docs
+        FROM gs_documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+# -- intersect -----------------------------------------------------------------
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection with distinct semantics (A8: counties present in
+    both the UI list and the CRS code map)."""
+    c = catalog.load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = catalog.load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+# -- richer ranking windows ----------------------------------------------------
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           dense_rank() OVER w AS drank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / dense_rank / cume_dist over a totally-ordered window
+    (tiebreak on key → no peer groups → deterministic everywhere)."""
+    o = catalog.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# -- string battery ------------------------------------------------------------
+
+
+@query(
+    "q_string_fns",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS lo,
+           substring(c_name, 1, 8) AS sub8,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           concat_ws('-', c_mktsegment, c_name) AS joined,
+           reverse(c_name) AS rev,
+           levenshtein(c_name, reverse(c_name)) AS lev,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery: case mapping, substring, padding,
+    concat_ws, reverse, Levenshtein distance."""
+    c = catalog.load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("joined"),
+        F.reverse("c_name").alias("rev"),
+        F.levenshtein("c_name", F.reverse("c_name")).alias("lev"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+# -- date battery --------------------------------------------------------------
+
+
+@query(
+    "q_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow0,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3mo,
+           CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS qtr_start
+    FROM orders
+    """,
+)
+def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function battery. Convention alignment: Spark dayofweek is
+    1=Sunday, DuckDB 0=Sunday → emit the 0-based form; add_months clamps
+    end-of-month identically in both engines; DATE outputs emitted as
+    ISO strings (pandas renders DuckDB DATE as midnight timestamps,
+    Spark DATE as date objects — strings sidestep the normalization)."""
+    o = catalog.load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow0"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.add_months(d, 3).cast("string").alias("plus3mo"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").cast("string").alias("qtr_start"),
+    )
+
+
+# -- conditional aggregates ----------------------------------------------------
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           COUNT(*) AS n_all,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 100 AS even_user_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (count_if + CASE-gated sums in
+    exact cents)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.count("*").alias("n_all"),
+        (
+            F.sum(F.when(F.col("user_id") % 2 == 0, cents).otherwise(F.lit(0))).cast("double")
+            / 100
+        ).alias("even_user_value"),
+    )
+
+
+# -- exact percentiles ---------------------------------------------------------
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: both linear-interpolate at p·(n−1)); rounded to
+    4 dp — interpolation arithmetic is the one row-local op the engines
+    may do in different order."""
+    o = catalog.load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# -- statistical aggregates ----------------------------------------------------
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+    SELECT lang,
+           round(stddev_samp(n_chars), 6) AS sd_chars,
+           round(var_samp(n_chars), 6) AS var_chars,
+           round(corr(CAST(n_chars AS DOUBLE), CAST(doc_id AS DOUBLE)), 6) AS corr_chars_id
+    FROM documents GROUP BY lang
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation), rounded:
+    Welford-style merge order differs across engines in the last ulp."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.stddev_samp("n_chars"), 6).alias("sd_chars"),
+        F.round(F.var_samp("n_chars"), 6).alias("var_chars"),
+        F.round(
+            F.corr(F.col("n_chars").cast("double"), F.col("doc_id").cast("double")), 6
+        ).alias("corr_chars_id"),
+    )
+
+
+# -- positional explode --------------------------------------------------------
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (UDTF surface, SURVEY §2.8): token + position.
+    DuckDB zips parallel unnests of equal length; Spark posexplode emits
+    (pos, val) directly."""
+    d = catalog.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+
+
+# -- regex extraction ----------------------------------------------------------
+
+
+@query(
+    "q_regexp_extract",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '#([0-9]+)', 1) AS digit_run,
+           CAST(TRY_CAST(regexp_extract(c_name, '#([0-9]+)', 1) AS BIGINT) AS BIGINT) AS id_num
+    FROM customer
+    """,
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction + numeric parse of the Customer#NNN id
+    (the parcel-id-extraction shape, crs_bot.pyc ~75-95)."""
+    c = catalog.load(spark, sf_dir, "customer")
+    grp = F.regexp_extract("c_name", "#([0-9]+)", 1)
+    return c.select(
+        "c_custkey",
+        grp.alias("digit_run"),
+        grp.try_cast("bigint").alias("id_num"),
+    )
+
+
+# -- histogram binning ---------------------------------------------------------
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           round(CAST(floor(value / 25) AS BIGINT) * 25.0, 1) AS bucket_lo
+    FROM events GROUP BY floor(value / 25)
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor binning (portable width_bucket:
+    DuckDB 1.0 lacks the builtin)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25).cast("bigint")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(bucket * 25.0, 1).alias("bucket_lo"),
+    )

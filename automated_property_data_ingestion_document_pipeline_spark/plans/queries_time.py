@@ -133,6 +133,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "asof_event_id")
 
 
+# -- T1: wizard step state machine (rows-only) ---------------------------------
+
+
+@query("q_wizard_steps")  # rows-only: stateful fold, not SQL-expressible
+def q_wizard_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 4-step wizard state machine (App.js:252, clamped
+    transitions 706/720) replayed over the event log per user via
+    applyInPandas — emits completed/aborted/in-progress wizard runs.
+    Streaming twin in streaming/state_machine.py
+    (applyInPandasWithState)."""
+    from automated_property_data_ingestion_document_pipeline_spark.streaming.state_machine import (
+        wizard_outcomes_batch,
+    )
+
+    return wizard_outcomes_batch(catalog.load(spark, sf_dir, "events"))
+
+
 # -- T1/T2 streaming-backed key (rows-only) ------------------------------------
 
 
