@@ -57,6 +57,20 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Language ID from a materialized lowercase token-array column
+    (same perf contract as :func:`shingles_of` — the scorer references
+    the tokens once per language)."""
+    denom = F.greatest(F.size(toks), F.lit(1))
+    best_lang, best_score = F.lit("und"), F.lit(0.0)
+    for lg in sorted(STOPWORDS):  # fixed order → deterministic ties
+        score = F.size(F.filter(toks, _isin_filter(STOPWORDS[lg]))) / denom
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit-rate,
     'und' when no list scores > 0. Ties broken by fixed language order."""
@@ -97,16 +111,29 @@ def fingerprint(col: Column) -> Column:
     return F.md5(canon)
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """k-token shingles as an array<string> (MinHash/Jaccard input).
-    Sliding window over the token array via transform on indices."""
-    toks = tokens(col)
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """k-token shingles from a token-array column.
+
+    PERF CONTRACT: ``toks`` must be a MATERIALIZED column (project
+    ``tokens(text)`` first), not the tokenize expression itself — lambda
+    bodies get no common-subexpression elimination, so an inline
+    tokenize is re-evaluated for every element_at reference (measured
+    ~5× slowdown at sf0.1). Windows are built with k fixed
+    ``element_at`` lookups + ``concat_ws`` (no per-window array
+    allocation)."""
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(idx, lambda i: _join_window(toks, i, k))).otherwise(
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+
+    def window_at(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+
+    return F.when(n >= k, F.transform(idx, window_at)).otherwise(
         F.array(F.array_join(toks, " "))
     )
 
 
-def _join_window(toks: Column, i: Column, k: int) -> Column:
-    return F.array_join(F.slice(toks, i + 1, k), " ")
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles straight from a text column — convenience form
+    for small expressions; df-level operators should project
+    ``tokens(col)`` and use :func:`shingles_of` (see its perf note)."""
+    return shingles_of(tokens(col), k)

@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from automated_property_data_ingestion_document_pipeline_spark.functions.text import shingles
+from automated_property_data_ingestion_document_pipeline_spark.functions.text import (
+    shingles_of,
+    tokens,
+)
 
 
 def last_write_wins(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
@@ -45,23 +48,26 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
-    """MinHash signature as array<bigint>: per seed i, min over shingles
-    of xxhash64(shingle, i). Row-local, JVM-side (xxhash64 is a builtin);
-    no UDF, no shuffle."""
-    sh = shingles(text, shingle_k)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    # Single pass over shingles with a signature-wide accumulator
-    # (zip_with least) instead of num_hashes separate array scans.
-    long_max = F.lit(2**63 - 1).cast("long")
-    return F.aggregate(
-        sh,
-        F.array_repeat(long_max, num_hashes),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(seeds, lambda i: F.xxhash64(s, i)),
-            lambda cur, h: F.least(cur, h),
-        ),
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as columns ``_m0.._m{n-1}``: per seed i, min
+    over shingles of xxhash64(shingle, i).
+
+    Explode → ``num_hashes`` codegen'd MIN aggregates → one shuffle on
+    the doc id. (A higher-order-function fold with a signature-wide
+    accumulator is interpreted per element and benchmarked ~5× slower —
+    same lesson as simhash64_df.)"""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    hashed = toked.select(
+        F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_k)).alias("_sh")
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
     )
 
 
@@ -82,16 +88,15 @@ def minhash_candidate_pairs(
     work we want. AQE skew-join handles pathological clusters.
     """
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
+    sig = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_k).withColumnRenamed(
+        id_col, "_id"
     )
     banded = sig.select(
         "_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.array_join(F.slice("_sig", b * r + 1, r), ","), F.lit(b))
+                    F.xxhash64(*[F.col(f"_m{b * r + j}") for j in range(r)], F.lit(b))
                     for b in range(bands)
                 ]
             )
@@ -111,35 +116,36 @@ def minhash_candidate_pairs(
     )
 
 
-def simhash64(text: Column, shingle_k: int = 2) -> Column:
+def simhash64_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 2
+) -> DataFrame:
     """63-bit SimHash (sign bit skipped): majority vote per bit over
     per-shingle xxhash64 values. Near-dups differ in few bits (Charikar
-    2002; Manku et al. WWW'07 dedup-at-Google design).
+    2002; Manku et al. WWW'07 dedup-at-Google design). Returns
+    (id_col, simhash).
 
-    Single-pass formulation: ONE aggregate fold over the shingle hashes
-    carrying a 63-wide bit-count accumulator (zip_with add), then one
-    pass over the counts to assemble the fingerprint. An earlier
-    63-filter-passes version was ~60× slower — HOF expression size
-    matters at scale.
-    """
-    hs = F.transform(shingles(text, shingle_k), lambda s: F.xxhash64(s))
-    n = F.size(hs)
-    bit_idx = F.sequence(F.lit(0), F.lit(62))
-    counts = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0), 63),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(bit_idx, lambda b: F.bit_get(h, b).cast("int")),
-            lambda a, bit: a + bit,
-        ),
-    )
-    # majority vote per bit, then positional fold (acc*2 + bit) from the
-    # high bit down — no Column-valued shifts needed.
-    bits = F.transform(counts, lambda cnt: F.when(cnt * 2 >= n, 1).otherwise(0).cast("long"))
-    return F.aggregate(
-        F.reverse(bits), F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
-    )
+    Formulation matters: explode shingles → 63 codegen'd SUM(bit_get)
+    aggregates → one shuffle on the doc id → assemble the fingerprint
+    from the counts. Higher-order-function folds over a 63-wide
+    accumulator are interpreted per element (no whole-stage codegen for
+    lambda bodies) and ran ~40× slower at sf0.1; plain aggregates stay
+    in Tungsten."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    hashed = toked.select(
+        F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_k)).alias("_sh")
+    ).select(id_col, F.xxhash64("_sh").alias("_h"))
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.bit_get("_h", F.lit(b)).cast("int")).alias(f"_b{b}") for b in range(63)
+    ]
+    counts = hashed.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(63):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return counts.select(F.col(id_col), fp.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -157,8 +163,9 @@ def ngram_jaccard_pairs(
     |A∩B| / |A∪B| via array intersection — exact, so this is the
     verification stage after LSH recall."""
     sets_df = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("_set"),
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "_id", F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("_set")
     )
     a = sets_df.alias("a")
     b = sets_df.alias("b")

@@ -11,6 +11,9 @@ variant shuffles once on bucket signature: candidate generation is
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -96,6 +99,65 @@ def lsh_topk(
     scored = c.alias("c").join(
         F.broadcast(q),
         (F.col("c._sig") == q["_sig"]) & (F.col("query_id") != F.col(f"c.{id_col}")),
+    ).select(
+        "query_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(f"c.{vec_col}")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to ``num_cells`` centroid cells,
+    search only the query's cell.
+
+    Centroids are the first ``num_cells`` corpus vectors (deterministic
+    codebook stand-in — swap in k-means centroids without changing the
+    plan). Assignment is a row-local argmax of cosine against the
+    broadcast codebook; the search join shuffles on cell id, so probe
+    cost is |cell|, not |corpus| — the standard IVF trade (Johnson et
+    al., billion-scale similarity search)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(
+        [
+            [float(x) for x in r[vec_col]]
+            for r in corpus.orderBy(id_col).limit(num_cells).collect()
+        ]
+    )
+    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    # Cell assignment is a dense matrix multiply — exactly the case where
+    # a vectorized (Arrow-batched) pandas UDF beats built-in HOF
+    # expressions: the codebook is closed over (broadcast with the task),
+    # each batch is one V @ C.T.
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy())
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Vn @ cents_n.T, axis=1).astype("int32"))
+
+    c_cells = corpus.withColumn("_cell", cell_of(F.col(vec_col)))
+    q = queries.withColumn("_cell", cell_of(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "_cell"
+    )
+    scored = c_cells.alias("c").join(
+        F.broadcast(q),
+        (F.col("c._cell") == q["_cell"]) & (F.col("query_id") != F.col(f"c.{id_col}")),
     ).select(
         "query_id",
         F.col(f"c.{id_col}").alias("neighbor_id"),

@@ -21,6 +21,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_vector,
     queries_pipeline,
     queries_analytic,
+    queries_advanced,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

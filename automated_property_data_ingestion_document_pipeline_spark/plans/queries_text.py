@@ -119,7 +119,8 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     first lang in sorted order; functions/text.py). Row-local HOF
     arithmetic, no shuffle."""
     d = catalog.load(spark, sf_dir, "documents")
-    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+    toked = d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("_toks"))
+    return toked.select("doc_id", T.lang_id_from_tokens(F.col("_toks")).alias("lang_pred"))
 
 
 # -- quality scoring -----------------------------------------------------------
@@ -250,7 +251,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_simhash")  # rows-only: xxhash64-based fingerprint is engine-specific
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (Charikar/Manku near-dup at crawl
-    scale): row-local bit-majority over shingle hashes."""
+    """63-bit SimHash fingerprints (Charikar/Manku near-dup at crawl
+    scale): explode → codegen'd per-bit majority aggregates."""
     d = catalog.load(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash64(F.col("text"), shingle_k=2).alias("simhash"))
+    return dedup.simhash64_df(d, shingle_k=2)

@@ -43,6 +43,9 @@ HEADLINE = [
     "q_doc_dedup",
     "q_fingerprint",
     "q_knn",
+    "q_simhash",
+    "q_minhash_neardup",
+    "q_resample_ffill",
 ]
 
 

@@ -75,9 +75,7 @@ def test_simhash_near_for_near_dups(spark):
         [(0, a), (1, a + " lambda"), (2, "one two three four five six seven")],
         "doc_id bigint, text string",
     )
-    out = {r["doc_id"]: r["sh"] for r in df.select(
-        "doc_id", dedup.simhash64(F.col("text"), shingle_k=2).alias("sh")
-    ).collect()}
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash64_df(df, shingle_k=2).collect()}
     def hamming(x, y):
         return bin(x ^ y).count("1")
     assert hamming(out[0], out[1]) < hamming(out[0], out[2])
