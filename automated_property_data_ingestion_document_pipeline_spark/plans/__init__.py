@@ -22,6 +22,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_pipeline,
     queries_analytic,
     queries_advanced,
+    queries_scale,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,115 @@
+"""Scale-technique registrations: salted two-level aggregation (skew
+mitigation with an oracle proving result equivalence), HTML DOM
+extraction over synthesized property pages, and approximation-quality
+measurement (LSH recall vs the exact baseline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans._sql import (
+    money_sum_sql,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+# -- salted two-level aggregation ---------------------------------------------
+
+
+@query(
+    "q_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {money_sum_sql('l_extendedprice')} AS total_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: pre-aggregate on (key, salt) — 16-way
+    fan-out of each hot key — then merge per key. The oracle is the
+    PLAIN group-by, proving the two-level plan is result-identical; at
+    100 TB this is the pattern for power-law keys that overwhelm one
+    reducer (here l_returnflag has only 3 values — maximal skew).
+    Decimal partial sums merge exactly, so salting can't change a bit."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", (F.xxhash64("l_orderkey") % 16).cast("int"))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)")).alias("_s"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_s").cast("double").alias("total_price"),
+    )
+
+
+# -- S2: HTML DOM sibling-join extraction (rows-only) -------------------------
+
+
+@query("q_html_extract")  # rows-only: mapInPandas HTML parsing
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML property-page scrape (crs_ui_bot.py:211-228): pages are
+    synthesized from customer rows (deterministic, with NBSP padding and
+    a no-parcel variant every 9th row to exercise the null contract),
+    then parsed executor-side via mapInPandas."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.html_source import (
+        extract_field,
+    )
+
+    c = catalog.load(spark, sf_dir, "customer")
+    page = F.when(
+        F.col("c_custkey") % 9 == 0,
+        F.format_string(
+            "<html><table><tr><th>Owner</th><td>%s</td></tr></table></html>", F.col("c_name")
+        ),
+    ).otherwise(
+        F.format_string(
+            "<html><table><tr><th>Owner</th><td>%s</td></tr>"
+            "<tr><th>Parcel ID</th><td>  %s-%s  </td></tr></table></html>",
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.col("c_custkey").cast("string"),
+        )
+    )
+    pages = c.select("c_custkey", page.alias("page_html"))
+    out = extract_field(pages, "page_html", "Parcel ID", "parcel_id")
+    return out.select("c_custkey", "parcel_id")
+
+
+# -- approximation quality: LSH recall vs exact -------------------------------
+
+
+@query("q_lsh_recall")  # rows-only: measures our own approximation
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the hyperplane-LSH ANN against the exact brute-force
+    top-5 for the same queries — the metric that governs the
+    probes-vs-recall trade at scale. One row per query + an overall
+    row."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import similarity
+
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    approx = similarity.lsh_topk(e, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("n_approx")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (F.col("n_exact") == F.col("n_approx")),
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_true")).alias("recall_at_5"),
+        )
+    )
+    return per_q

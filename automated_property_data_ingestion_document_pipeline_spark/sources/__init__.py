@@ -5,6 +5,7 @@ archive sinks."""
 from automated_property_data_ingestion_document_pipeline_spark.sources import (  # noqa: F401
     binary,
     doc_sink,
+    html_source,
     http_source,
     json_source,
 )
