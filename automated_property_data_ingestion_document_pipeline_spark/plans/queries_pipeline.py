@@ -233,6 +233,109 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
 
 
+# -- §3 composite: the full engagement dataflow --------------------------------
+
+
+@query(
+    "q_engagement_pipeline",
+    oracle=f"""
+    WITH req AS (
+      SELECT e.event_id, e.ts, e.value AS fee,
+             CAST(e.props->>'k' AS INTEGER) AS s,
+             CASE WHEN e.event_id % 3 = 0 THEN 100 - CAST(e.props->>'k' AS INTEGER)
+                  ELSE CAST(e.props->>'k' AS INTEGER) END AS c,
+             c.c_name AS client_name, c.c_mktsegment AS address, n.n_name AS county
+      FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), gated AS (
+      SELECT *,
+             CASE WHEN NOT (client_name IS NOT NULL AND trim(client_name) <> '') THEN 'missing_name'
+                  WHEN NOT (county IS NOT NULL AND trim(county) <> '') THEN 'missing_county'
+                  WHEN NOT (fee IS NOT NULL AND fee > 0 AND s IS NOT NULL AND s >= 0
+                            AND c IS NOT NULL AND c >= 0 AND s + c = 100) THEN 'invalid_steps'
+                  ELSE NULL END AS _reject_reason
+      FROM req
+    ), enriched AS (
+      SELECT *,
+             CASE WHEN _reject_reason IS NOT NULL THEN NULL
+                  WHEN event_id % 8 = 0 THEN NULL
+                  ELSE upper(substring(md5(county || '|' || address), 1, 9)) END AS parcel_id
+      FROM gated
+    )
+    SELECT event_id, _reject_reason, parcel_id,
+           CASE WHEN _reject_reason IS NULL THEN
+             'Date: ' || strftime(ts, '%B %d, %Y')
+             || chr(10) || 'Client: ' || coalesce(client_name, '')
+             || chr(10) || 'Address: ' || coalesce(address, '')
+             || chr(10) || 'Property: ' || coalesce(county, '')
+             || chr(10) || 'Parcel ID: ' || coalesce(parcel_id, '')
+             || chr(10) || 'Fee: ' || {_CURRENCY_SQL.format(v='fee')}
+             || chr(10) || 'Due at signing: ' || CAST(s AS VARCHAR) || '%'
+             || chr(10) || 'Due at completion: ' || CAST(c AS VARCHAR) || '%'
+           ELSE NULL END AS letter_text
+    FROM enriched
+    """,
+)
+def q_engagement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full dataflow (SURVEY §3.1-3.2) as ONE pipeline:
+    JSON ingest → dim enrichment joins → validation gates with
+    quarantine reasons → parcel enrichment with the null-on-failure
+    contract (every 8th request misses, like the fake connector) →
+    letter rendering for accepted rows only.
+
+    All stages stay in a single codegen'd projection chain after the
+    two broadcast joins — the 100 TB shape: no shuffle anywhere, the
+    400/404/500 branches are columns."""
+    ev = catalog.load(spark, sf_dir, "events")
+    cust = catalog.load(spark, sf_dir, "customer")
+    nat = catalog.load(spark, sf_dir, "nation")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    req = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "event_id",
+            "ts",
+            F.col("value").alias("fee"),
+            k.alias("s"),
+            F.when(F.col("event_id") % 3 == 0, 100 - k).otherwise(k).alias("c"),
+            F.col("c_name").alias("client_name"),
+            F.col("c_mktsegment").alias("address"),
+            F.col("n_name").alias("county"),
+        )
+    )
+    gated = validate.with_reject_reason(
+        req,
+        {
+            "missing_name": validate.non_blank(F.col("client_name")),
+            "missing_county": validate.non_blank(F.col("county")),
+            "invalid_steps": validate.step_gates(F.col("fee"), F.col("s"), F.col("c")),
+        },
+    )
+    ok = F.col("_reject_reason").isNull()
+    parcel = F.when(~ok, F.lit(None)).when(F.col("event_id") % 8 == 0, F.lit(None)).otherwise(
+        F.upper(F.substring(F.md5(F.concat(F.col("county"), F.lit("|"), F.col("address"))), 1, 9))
+    )
+    enriched = gated.withColumn("parcel_id", parcel)
+    letter = fmt.letter_text(
+        run_date=F.col("ts"),
+        name=F.col("client_name"),
+        address=F.col("address"),
+        fee=F.col("fee"),
+        due_signing=F.col("s").cast("string"),
+        due_completion=F.col("c").cast("string"),
+        property_desc=F.col("county"),
+        parcel_id=F.col("parcel_id"),
+    )
+    return enriched.select(
+        "event_id",
+        "_reject_reason",
+        "parcel_id",
+        F.when(ok, letter).otherwise(F.lit(None)).alias("letter_text"),
+    )
+
+
 # -- S7: letter render sink (rows-only) ---------------------------------------
 
 

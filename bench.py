@@ -31,6 +31,7 @@ HEADLINE = [
     "q_json_ingest",
     "q_currency_format",
     "q_letter_text",
+    "q_engagement_pipeline",
     "q_star_join",
     "q_groupby_agg",
     "q_topk",
