@@ -112,6 +112,73 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- sliding event-time window (RANGE frame) -----------------------------------
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_events
+    FROM events
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour event-time window (RANGE frame): per-user trailing
+    totals in integer cents. Spark's rangeBetween needs a numeric order
+    key → epoch microseconds; RANGE peers are defined by ts alone so
+    equal-ts rows share a frame on both engines (no tiebreak wanted
+    here)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("hour_cents"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
+
+
+# -- null-handling battery -----------------------------------------------------
+
+
+@query(
+    "q_null_fns",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           ifnull(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           coalesce(NULL, NULL, o_orderpriority) AS pri,
+           (o_orderstatus IS DISTINCT FROM 'O') AS not_open
+    FROM orders
+    """,
+)
+def q_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling battery (nullif / ifnull / coalesce / null-safe
+    comparison) — the vocabulary of the reference's pervasive
+    null-on-failure contract (SURVEY §1.2)."""
+    o = catalog.load(spark, sf_dir, "orders")
+    son = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        son.alias("status_or_null"),
+        F.ifnull(son, F.lit("OPEN")).alias("status_filled"),
+        F.coalesce(F.lit(None), F.lit(None), F.col("o_orderpriority")).alias("pri"),
+        (~F.col("o_orderstatus").eqNullSafe("O")).alias("not_open"),
+    )
+
+
 # -- W5: lag comparison --------------------------------------------------------
 
 
