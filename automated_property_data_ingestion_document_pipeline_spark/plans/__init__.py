@@ -23,6 +23,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_analytic,
     queries_advanced,
     queries_scale,
+    queries_sql,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

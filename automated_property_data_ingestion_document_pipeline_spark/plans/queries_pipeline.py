@@ -210,6 +210,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- X7: multimodal frame sampling (rows-only) ---------------------------------
+
+
+@query("q_frame_sample")  # rows-only: executor-side binary fan-out
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary media (sources/binary.py):
+    each document payload fans out to 4 deterministic frames with
+    per-frame keys — the mapInPandas UDTF shape a video pipeline uses
+    for keyframe extraction."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
+        sample_frames,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .withColumn("content", F.encode("text", "UTF-8"))
+    )
+    return sample_frames(d, n_frames=4)
+
+
 # -- S9: partitioned archive write (roundtrip-checked) -------------------------
 
 

@@ -1,0 +1,105 @@
+"""SQL front-end registrations: the same ANSI SQL string runs on BOTH
+engines (Spark via ``spark.sql`` over temp views, DuckDB as the oracle)
+— demonstrating that the engine's declarative surface is genuinely
+portable: correlated scalar subqueries, IN-subqueries, LATERAL top-k,
+recursive CTEs, and a TPC-H Q3-shaped pruned star query.
+
+Scale notes: Catalyst decorrelates the scalar/IN subqueries into joins
+(no per-row re-execution); the LATERAL per-group top-k compiles to a
+ranked window; the recursive CTE (Spark 4) iterates driver-coordinated
+with each step a distributed job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+
+def _sql_query(key: str, sql: str, doc: str):
+    """Register a same-SQL-both-engines key."""
+
+    @query(key, oracle=sql)
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    fn.__name__ = key
+    fn.__doc__ = doc
+    return fn
+
+
+_sql_query(
+    "q_correlated_scalar",
+    """
+    SELECT c.c_custkey, c.c_name,
+           (SELECT MAX(o.o_totalprice) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS max_order_price
+    FROM customer c
+    """,
+    "Correlated scalar subquery (decorrelated by Catalyst into a left "
+    "outer aggregate join); null for customers without orders.",
+)
+
+_sql_query(
+    "q_in_subquery",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+    "IN-subquery (semi-join after decorrelation): orders of customers "
+    "with negative account balance.",
+)
+
+_sql_query(
+    "q_lateral_topk",
+    """
+    SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+         LATERAL (SELECT o.o_orderkey, o.o_totalprice FROM orders o
+                   WHERE o.o_orderpriority = p.o_orderpriority
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) l
+    """,
+    "LATERAL correlated top-k per group (the reference's bounded "
+    "scan-with-early-exit per county, crs_ui_bot.py:165-177, as SQL).",
+)
+
+_sql_query(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE t(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM t WHERE n < 100
+    )
+    SELECT COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS total,
+           CAST(MAX(n) AS INT) AS max_n
+    FROM t
+    """,
+    "Recursive CTE (Spark 4 WITH RECURSIVE): 100-step series generation "
+    "+ aggregate — iterative dataflow on the SQL surface.",
+)
+
+_sql_query(
+    "q_sql_tpch_q3",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderpriority
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape (shipping-priority): segment filter pushed into the "
+    "customer scan, date filters into orders/lineitem scans, exact "
+    "decimal revenue, deterministic top-10.",
+)

@@ -49,6 +49,69 @@ def attach_media_meta(df: DataFrame, content_col: str, filename_col: str, media_
     )
 
 
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame-sampling over video-typed binary columns: one input row →
+    ``n_frames`` output rows ``(id, frame_idx, frame_bytes, frame_meta)``
+    via mapInPandas (a flat-mapping Arrow batch transform — the UDTF
+    shape).
+
+    ``fake=True`` slices the payload into n deterministic chunks (real
+    decode = ffmpeg keyframe extraction behind DecodeUnavailable). The
+    Spark-side contract — fan-out batch shape, per-frame metadata
+    struct, executor-local byte handling — is the part exercised at
+    scale."""
+    import hashlib
+
+    import pandas as pd
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, metas = [], [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col])
+                if not fake:
+                    raise DecodeUnavailable("ffmpeg frame extraction not in container")
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = payload[i * step : (i + 1) * step] or b"\x00"
+                    ids.append(row[id_col])
+                    idxs.append(i)
+                    frames.append(chunk)
+                    metas.append(hashlib.sha256(chunk).hexdigest()[:16])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_bytes": frames, "frame_key": metas}
+            )
+
+    return df.mapInPandas(
+        _sample, f"{id_col} bigint, frame_idx int, frame_bytes binary, frame_key string"
+    )
+
+
+def resize_stub(df: DataFrame, content_col: str = "content", target: int = 64) -> DataFrame:
+    """Image-resize plumbing: binary in → binary out with updated
+    metadata. Fake path truncates/pads payloads to ``target`` bytes
+    deterministically (real path = PIL resize behind DecodeUnavailable);
+    schema and batch shape match the real operator."""
+    import pandas as pd
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[content_col] = [
+                (bytes(p)[:target]).ljust(target, b"\x00") for p in pdf[content_col]
+            ]
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(_resize, schema)
+
+
 def extract_features(df: DataFrame, content_col: str = "content", fake: bool = True) -> DataFrame:
     """Feature-extraction over binary media via mapInPandas (Arrow
     batches of bytes → fixed-width feature vectors).

@@ -83,6 +83,18 @@ def test_multimodal_meta_and_features(spark):
     assert feats == feats2
 
 
+def test_sample_frames_and_resize(spark):
+    df = spark.createDataFrame(
+        [(1, b"0123456789abcdef")], "doc_id bigint, content binary"
+    )
+    frames = binary.sample_frames(df, n_frames=4).collect()
+    assert len(frames) == 4
+    assert [bytes(r["frame_bytes"]) for r in frames] == [b"0123", b"4567", b"89ab", b"cdef"]
+    assert len({r["frame_key"] for r in frames}) == 4
+    resized = binary.resize_stub(df, target=8).collect()[0]
+    assert len(bytes(resized["content"])) == 8
+
+
 def test_render_letters_writes_artifacts(spark):
     out_dir = os.path.join(SCRATCH, "letters_unit")
     letters = spark.createDataFrame(
