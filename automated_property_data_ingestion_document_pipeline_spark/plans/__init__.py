@@ -24,6 +24,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_advanced,
     queries_scale,
     queries_sql,
+    queries_misc,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]
