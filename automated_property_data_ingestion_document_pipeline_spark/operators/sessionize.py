@@ -23,14 +23,20 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Assign ``session_id`` (1-based per key): a new session starts when
-    the gap to the previous event exceeds ``gap_minutes``."""
+    the gap to the previous event reaches ``gap_minutes``.
+
+    Boundary convention: the split predicate is ``gap >= gap_sec`` —
+    Spark's streaming ``session_window`` closes a session at
+    ``last_ts + gap`` *exclusive*, so an event exactly ``gap`` after the
+    previous one starts a new session. The batch twin must agree on that
+    boundary or the two forms diverge on exact-gap pairs."""
     order = [F.col(ts).asc(), F.col(id_col).asc()]
     w = Window.partitionBy(key).orderBy(*order)
     gap_sec = gap_minutes * 60
     is_new = (
         F.when(F.lag(ts).over(w).isNull(), 1)
         .when(
-            F.col(ts).cast("double") - F.lag(ts).over(w).cast("double") > gap_sec, 1
+            F.col(ts).cast("double") - F.lag(ts).over(w).cast("double") >= gap_sec, 1
         )
         .otherwise(0)
     )

@@ -81,14 +81,17 @@ def q_currency_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percent_format",
     oracle="""
     SELECT event_id,
-           CAST(CAST(trunc(value) AS INTEGER) AS VARCHAR) || '%' AS pct_fmt
+           COALESCE(CAST(TRY_CAST(trunc(value) AS INTEGER) AS VARCHAR) || '%', '') AS pct_fmt
     FROM events
     """,
 )
 def q_percent_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``_format_percent`` (report_generator.py:12-20): int(float(v)) —
     truncates toward zero (49.9 → "49%"), which is exactly Spark's
-    double→int cast; DuckDB's rounding cast needs explicit trunc()."""
+    double→int cast; DuckDB's rounding cast needs explicit trunc().
+    The oracle mirrors the full Spark contract: NULL/unparseable/out-of-
+    int32-range values coalesce to '' (try_cast → NULL → COALESCE), so a
+    corpus change introducing NULLs or huge values can't flip the hash."""
     ev = catalog.load(spark, sf_dir, "events")
     return ev.select("event_id", fmt.format_percent(F.col("value")).alias("pct_fmt"))
 

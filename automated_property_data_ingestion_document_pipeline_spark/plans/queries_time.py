@@ -29,7 +29,7 @@ from automated_property_data_ingestion_document_pipeline_spark.streaming import 
     WITH ordered AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1
                   ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -49,7 +49,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wizard keyed-session state (App.js:252, 286-310) as 30-min
     gap-based sessions: lag → cumulative-sum, one shuffle on user_id
     (operators/sessionize.py). Gap compared in integer microseconds on
-    both engines."""
+    both engines; split at ``gap >= 30min`` to match streaming
+    ``session_window``'s exclusive close (see operators/sessionize.py)."""
     ev = catalog.load(spark, sf_dir, "events")
     return session_summary(ev, gap_minutes=30)
 
@@ -139,15 +140,26 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_wizard_steps")  # rows-only: stateful fold, not SQL-expressible
 def q_wizard_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 4-step wizard state machine (App.js:252, clamped
-    transitions 706/720) replayed over the event log per user via
-    applyInPandas — emits completed/aborted/in-progress wizard runs.
-    Streaming twin in streaming/state_machine.py
-    (applyInPandasWithState)."""
+    transitions BOTH ways: 706 advance / 720 retreat) replayed over the
+    event log per user via applyInPandas — emits completed/aborted/
+    in-progress wizard runs. To exercise the retreat and session-restore
+    transitions on the generic corpus, a deterministic slice of clicks is
+    remapped JVM-side before the replay: ``props.k % 11 == 3`` → ``back``
+    (App.js:720), ``props.k % 11 == 7`` → ``restore`` (sessionStorage
+    thg_session_v1, App.js:286-310). Streaming twin in
+    streaming/state_machine.py (applyInPandasWithState)."""
     from automated_property_data_ingestion_document_pipeline_spark.streaming.state_machine import (
         wizard_outcomes_batch,
     )
 
-    return wizard_outcomes_batch(catalog.load(spark, sf_dir, "events"))
+    ev = catalog.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    remapped = F.when(
+        (F.col("event_type") == "click") & (k % 11 == 3), F.lit("back")
+    ).when(
+        (F.col("event_type") == "click") & (k % 11 == 7), F.lit("restore")
+    ).otherwise(F.col("event_type"))
+    return wizard_outcomes_batch(ev.withColumn("event_type", remapped))
 
 
 # -- T1/T2 streaming-backed key (rows-only) ------------------------------------

@@ -20,6 +20,7 @@ session lifecycle, throttling, null contract — real and testable.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from dataclasses import dataclass
 
 try:  # Spark 4 Python DataSource API
@@ -80,7 +81,12 @@ class ParcelEnrichmentReader(DataSourceReader):
         transport = FakeTransport()
         shard = partition.value if hasattr(partition, "value") else 0
         for r in rows:
-            if hash(r.get("county_code", "")) % self.num_partitions != shard:
+            # Seed-independent shard hash: builtin hash() is randomized per
+            # interpreter (PYTHONHASHSEED), so executors that don't share a
+            # seed would disagree on row→shard assignment and silently drop
+            # or duplicate rows. crc32 is stable everywhere.
+            county = r.get("county_code", "") or ""
+            if zlib.crc32(county.encode("utf-8")) % self.num_partitions != shard:
                 continue
             term = f"{r.get('address', '')}"
             token = transport.autocomplete(term, r.get("county_code", ""))

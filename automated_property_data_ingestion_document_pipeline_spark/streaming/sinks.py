@@ -15,13 +15,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def archive_batch(batch_df: DataFrame, out_dir: str) -> None:
+def archive_batch(batch_df: DataFrame, out_dir: str, batch_id: int = 0) -> None:
     """Archive sink (app.py:107-119): hand-rolled ``{client}/{address}/``
-    directory layout = ``partitionBy`` parquet write."""
+    directory layout = ``partitionBy`` parquet write.
+
+    Idempotent per micro-batch: each batch overwrites its own
+    ``batch_id=N`` subdirectory, so a failed-and-retried micro-batch
+    (foreachBatch replays the same batch_id) overwrites rather than
+    appends duplicates — matching the reference's overwrite-per-client
+    archive semantics (report_generator.py:63-68). Readers load the
+    ``archive/`` root; ``batch_id=N`` surfaces as a partition column."""
     (
-        batch_df.write.mode("append")
+        batch_df.write.mode("overwrite")
         .partitionBy("client_key")
-        .parquet(os.path.join(out_dir, "archive"))
+        .parquet(os.path.join(out_dir, "archive", f"batch_id={batch_id}"))
     )
 
 

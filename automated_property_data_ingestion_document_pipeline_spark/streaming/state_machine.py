@@ -1,26 +1,36 @@
 """The wizard step state machine (SURVEY §2.7 T1, §4.3 #3) as a custom
 stateful operator.
 
-The reference keeps a per-user ``step`` (1-4) with clamped transitions
-(App.js:252: advance/retreat clamped at 706/720), persists it across
-requests (sessionStorage ``thg_session_v1``), and aborts stale flows.
-Two faithful Spark forms:
+The reference keeps a per-user ``step`` (1-4) with clamped transitions in
+BOTH directions (App.js:706 ``Math.min(s+1,4)`` advance, App.js:720
+``Math.max(s-1,1)`` retreat), persists it across requests (sessionStorage
+``thg_session_v1``, App.js:286-310 restore-on-load), and aborts stale
+flows (App.js:142-147). Three faithful Spark forms share ONE transition
+core (:func:`_replay_core`):
 
-- **Streaming**: ``transformWithStateInPandas`` keyed by user — real
-  value-state per key, the Spark-4 replacement for arbitrary stateful
-  processing. State size is O(keys), partitioned by user → scales
-  horizontally with executors.
+- **Streaming**: ``applyInPandasWithState`` keyed by user with an
+  event-time timeout — per-key state is expired at
+  ``last_event + stale_timeout`` past the watermark, emitting the
+  in-flight run as ``in_progress`` (the reference's stale-abort made
+  explicit; also what bounds state-store growth at 100 TB key counts).
 - **Batch replay**: ``applyInPandas`` per user replays the event log in
-  time order through the same transition function — used for backfill
-  and as the differential check of the streaming operator.
+  time order — used for backfill and as the differential check of the
+  streaming operator.
+- **transformWithStateInPandas**: the Spark-4 arbitrary-state API;
+  gated on protobuf (:func:`has_transform_with_state_runtime`).
 
 Event→transition mapping on the generic corpus stream: signup=start(1),
 view=advance, click=advance, purchase=submit (complete at step 4),
-error=abort (reset). Transitions clamp to [1, 4] like the reference.
+error=abort (reset), back=retreat (clamped at 1), restore=jump to
+``props.step`` clamped to [1,4] (the sessionStorage restore path).
+Only advance events can complete a run — retreat/restore never trigger
+the submit branch, mirroring the UI (submit is its own action,
+App.js:444).
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,20 +45,31 @@ OUTPUT_SCHEMA = (
 
 # step transition per event type; clamped to [1,4] (App.js:706/720)
 _ADVANCE = {"signup": 1, "view": 1, "click": 1, "purchase": 1}
+_RETREAT = {"back", "prev"}
+_RESTORE = "restore"
 
 
-def _replay(events: pd.DataFrame) -> list[tuple]:
-    """Replay one user's ordered events through the clamped step machine;
-    emit one row per completed or aborted wizard run."""
+def _restored_step(props) -> int:
+    """sessionStorage restore payload → step, clamped to [1,4]
+    (App.js:286-310 reads ``thg_session_v1.step``; malformed → 1)."""
+    try:
+        return min(max(int(json.loads(props).get("step", 1)), 1), 4)
+    except (TypeError, ValueError, AttributeError):
+        return 1
+
+
+def _replay_core(uid, event_types, tss, propss, step, n, start, last):
+    """Replay ordered events through the clamped step machine from a
+    carried state; returns (emitted rows, final (step, n, start, last)).
+
+    The replay is inherently sequential (state feeds forward), so a
+    Python loop over pre-extracted numpy columns IS the vectorized form —
+    zip over arrays, never ``iterrows`` (~5× per-row Series cost,
+    PERFORMANCE.md). props is only parsed on the rare restore events.
+    """
     out = []
-    step, n, start = 0, 0, None
-    uid = int(events["user_id"].iloc[0])
-    # itertuples over the two needed columns: ~5× cheaper than iterrows
-    # (no per-row Series construction) — the replay is inherently
-    # sequential, so row-iteration cost IS the operator cost.
-    last_ts = None
-    for et, ts_ in zip(events["event_type"].to_numpy(), events["ts"].to_numpy()):
-        last_ts = ts_
+    for i, (et, ts_) in enumerate(zip(event_types, tss)):
+        last = ts_
         if start is None:
             start = ts_
         n += 1
@@ -56,12 +77,38 @@ def _replay(events: pd.DataFrame) -> list[tuple]:
             out.append((uid, "aborted", step, n, start, ts_))
             step, n, start = 0, 0, None
             continue
+        if et in _RETREAT:
+            # App.js:720 Math.max(s-1,1): clamped at 1; a retreat with no
+            # open run opens one at step 1 (the literal clamp).
+            step = max(step - 1, 1)
+            continue
+        if et == _RESTORE:
+            step = _restored_step(propss[i] if propss is not None else None)
+            continue
         step = min(step + _ADVANCE.get(et, 0), 4)
         if step >= 4:
             out.append((uid, "completed", step, n, start, ts_))
             step, n, start = 0, 0, None
+    return out, (step, n, start, last)
+
+
+def _replay(events: pd.DataFrame) -> list[tuple]:
+    """Replay one user's ordered events from a cold start; emit one row
+    per completed/aborted run plus a trailing in_progress row."""
+    uid = int(events["user_id"].iloc[0])
+    propss = events["props"].to_numpy() if "props" in events.columns else None
+    out, (step, n, start, last) = _replay_core(
+        uid,
+        events["event_type"].to_numpy(),
+        events["ts"].to_numpy(),
+        propss,
+        0,
+        0,
+        None,
+        None,
+    )
     if n > 0:
-        out.append((uid, "in_progress", step, n, start, last_ts))
+        out.append((uid, "in_progress", step, n, start, last))
     return out
 
 
@@ -92,12 +139,20 @@ def has_transform_with_state_runtime() -> bool:
         return False
 
 
-def wizard_outcomes_stream(events_stream: DataFrame) -> DataFrame:
+def wizard_outcomes_stream(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+    stale_timeout_minutes: int = 30,
+) -> DataFrame:
     """Streaming form via ``applyInPandasWithState``: per-key group state
-    carrying (step, n, start_us). Emits completed/aborted runs as they
-    happen; in-progress state stays in the store (bounded by key count;
-    a state timeout would give the reference's abort-on-timeout
-    semantics, App.js:142-147)."""
+    carrying (step, n, start_us, last_us). Emits completed/aborted runs
+    as they happen; an idle in-flight run is expired by an EVENT-TIME
+    timeout at ``last_event + stale_timeout`` once the watermark passes
+    it, emitting the run as ``in_progress`` — the same row class the
+    batch replay emits for trailing runs, and the reference's
+    stale-abort (App.js:142-147). Without the timeout, per-user state
+    would live forever for users that never complete/abort (unbounded
+    state-store growth)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
         IntegerType,
@@ -125,8 +180,10 @@ def wizard_outcomes_stream(events_stream: DataFrame) -> DataFrame:
             StructField("step", IntegerType()),
             StructField("n", LongType()),
             StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
         ]
     )
+    stale_ms = stale_timeout_minutes * 60 * 1000
 
     def _to_us(ts) -> int:
         return int(pd.Timestamp(ts).value // 1000)
@@ -136,32 +193,55 @@ def wizard_outcomes_stream(events_stream: DataFrame) -> DataFrame:
 
     def process(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         uid = key[0]
-        step, n, start_us = state.get() if state.exists else (0, 0, -1)
+        cols = ["user_id", "outcome", "final_step", "n_events", "started_ts", "ended_ts"]
+        if state.hasTimedOut:
+            # stale-abort: flush the in-flight run as in_progress (the
+            # batch twin's trailing-row class) and free the key's state.
+            step, n, start_us, last_us = state.get  # GroupState.get is a property
+            state.remove()
+            if n > 0:
+                yield pd.DataFrame(
+                    [(uid, "in_progress", step, n, _from_us(start_us), _from_us(last_us))],
+                    columns=cols,
+                )
+            return
+        step, n, start_us, last_us = state.get if state.exists else (0, 0, -1, -1)
         batch = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
-        out = []
-        for et, ts_ in zip(batch["event_type"].to_numpy(), batch["ts"].to_numpy()):
-            if start_us < 0:
-                start_us = _to_us(ts_)
-            n += 1
-            if et == "error":
-                out.append((uid, "aborted", step, n, _from_us(start_us), ts_))
-                step, n, start_us = 0, 0, -1
-                continue
-            step = min(step + _ADVANCE.get(et, 0), 4)
-            if step >= 4:
-                out.append((uid, "completed", step, n, _from_us(start_us), ts_))
-                step, n, start_us = 0, 0, -1
-        state.update((step, n, start_us))
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=["user_id", "outcome", "final_step", "n_events", "started_ts", "ended_ts"],
+        start = _from_us(start_us) if start_us >= 0 else None
+        last = _from_us(last_us) if last_us >= 0 else None
+        propss = batch["props"].to_numpy() if "props" in batch.columns else None
+        out, (step, n, start, last) = _replay_core(
+            uid,
+            batch["event_type"].to_numpy(),
+            batch["ts"].to_numpy(),
+            propss,
+            step,
+            n,
+            start,
+            last,
+        )
+        if n > 0 or last is not None:
+            last_us = _to_us(last)
+            state.update((step, n, _to_us(start) if start is not None else -1, last_us))
+            # expire this key once the watermark passes last+stale; the
+            # timestamp must exceed the current watermark or Spark rejects
+            # it, hence the max().
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + stale_ms, state.getCurrentWatermarkMs() + 1)
             )
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
-    return events_stream.groupBy("user_id").applyInPandasWithState(
-        process, out_struct, state_struct, "append", GroupStateTimeout.NoTimeout
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            process, out_struct, state_struct, "append", GroupStateTimeout.EventTimeTimeout
+        )
     )
 
 
@@ -169,7 +249,8 @@ def wizard_outcomes_stream_tws(events_stream: DataFrame) -> DataFrame:
     """Spark-4 ``transformWithStateInPandas`` form (value state per key).
     Requires protobuf in the Python runtime
     (:func:`has_transform_with_state_runtime`) and the RocksDB state
-    store; functionally identical to :func:`wizard_outcomes_stream`."""
+    store; functionally identical to :func:`wizard_outcomes_stream`
+    (state expiry would use ``registerTimer`` in this API)."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import (  # noqa: F401 (used below)
         IntegerType,
@@ -218,19 +299,17 @@ def wizard_outcomes_stream_tws(events_stream: DataFrame) -> DataFrame:
             batch = pd.concat(list(rows), ignore_index=True).sort_values(
                 ["ts", "event_id"], kind="mergesort"
             )
-            out = []
-            for _, e in batch.iterrows():
-                if start is None:
-                    start = e["ts"]
-                n += 1
-                if e["event_type"] == "error":
-                    out.append((uid, "aborted", step, n, start, e["ts"]))
-                    step, n, start = 0, 0, None
-                    continue
-                step = min(step + _ADVANCE.get(e["event_type"], 0), 4)
-                if step >= 4:
-                    out.append((uid, "completed", step, n, start, e["ts"]))
-                    step, n, start = 0, 0, None
+            propss = batch["props"].to_numpy() if "props" in batch.columns else None
+            out, (step, n, start, _last) = _replay_core(
+                uid,
+                batch["event_type"].to_numpy(),
+                batch["ts"].to_numpy(),
+                propss,
+                step,
+                n,
+                start,
+                None,
+            )
             self.state.update((step, n, start))
             if out:
                 yield pd.DataFrame(

@@ -89,9 +89,22 @@ def test_sessionize_gap_boundary(spark):
     )
     out = sessionize.session_summary(df, gap_minutes=30)
     got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
-    # events at :00 and :29 share a session (gap 29m ≤ 30m); :59:01 is
+    # events at :00 and :29 share a session (gap 29m < 30m); :59:01 is
     # 30m01s after :29 → new session; user 2 independent
     assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sessionize_exact_gap_splits_like_streaming(spark):
+    """Events EXACTLY gap apart split (ADVICE round 1): streaming
+    ``session_window`` closes at last_ts+gap exclusive, so the batch twin
+    must split at >= gap, not > gap."""
+    df = spark.createDataFrame(
+        [(1, ts(0), 1), (1, ts(30), 2)],  # exactly 30 min apart
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    out = sessionize.session_summary(df, gap_minutes=30)
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
+    assert got == {(1, 1): 1, (1, 2): 1}
 
 
 def test_brute_force_topk_excludes_self_and_ranks(spark):

@@ -52,14 +52,33 @@ def test_archive_foreach_batch_writes_partitioned(spark):
     import shutil
 
     out = os.path.join(SCRATCH, "sink_archive")
-    shutil.rmtree(out, ignore_errors=True)  # sink appends (at-least-once)
+    shutil.rmtree(out, ignore_errors=True)
     df = spark.createDataFrame(
         [("jo", 1), ("al", 2), ("jo", 3)], "client_key string, v int"
     )
-    sinks.archive_batch(df, out)
+    sinks.archive_batch(df, out, batch_id=0)
     back = spark.read.parquet(os.path.join(out, "archive"))
     assert back.count() == 3
     assert back.filter(F.col("client_key") == "jo").count() == 2
+
+
+def test_archive_batch_replay_is_idempotent(spark):
+    """A failed-and-retried micro-batch re-runs foreachBatch with the SAME
+    batch_id; the sink must overwrite, not duplicate (ADVICE round 1)."""
+    import shutil
+
+    out = os.path.join(SCRATCH, "sink_archive_replay")
+    shutil.rmtree(out, ignore_errors=True)
+    df = spark.createDataFrame(
+        [("jo", 1), ("al", 2), ("jo", 3)], "client_key string, v int"
+    )
+    sinks.archive_batch(df, out, batch_id=7)
+    sinks.archive_batch(df, out, batch_id=7)  # replay of the same batch
+    back = spark.read.parquet(os.path.join(out, "archive"))
+    assert back.count() == 3  # overwrite, not append
+    # a different batch id lands beside it
+    sinks.archive_batch(df.limit(1), out, batch_id=8)
+    assert spark.read.parquet(os.path.join(out, "archive")).count() == 4
 
 
 def test_salted_join_matches_plain_join(spark):

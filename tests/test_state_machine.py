@@ -56,6 +56,104 @@ def test_batch_replay_semantics(spark, crafted):
     assert got[(3, "in_progress")] == (1, 1)  # 5th view starts a fresh run
 
 
+def test_retreat_clamps_at_one(spark):
+    """App.js:720 ``Math.max(s-1,1)``: retreat never goes below 1, and the
+    advance clamp at 4 still completes after bouncing off the floor."""
+    rows = [
+        (1, ts(0), 1, "view", 0.0, "{}"),    # step 1
+        (2, ts(1), 1, "view", 0.0, "{}"),    # step 2
+        (3, ts(2), 1, "back", 0.0, "{}"),    # step 1
+        (4, ts(3), 1, "back", 0.0, "{}"),    # clamped: stays 1
+        (5, ts(4), 1, "view", 0.0, "{}"),    # step 2
+        (6, ts(5), 1, "view", 0.0, "{}"),    # step 3
+        (7, ts(6), 1, "view", 0.0, "{}"),    # step 4 → completed
+    ]
+    out = sm.wizard_outcomes_batch(spark.createDataFrame(rows, EVENTS_SCHEMA)).collect()
+    got = {(r["user_id"], r["outcome"]): (r["final_step"], r["n_events"]) for r in out}
+    assert got[(1, "completed")] == (4, 7)
+
+
+def test_retreat_with_no_open_run_opens_at_one(spark):
+    rows = [(1, ts(0), 1, "back", 0.0, "{}")]
+    out = sm.wizard_outcomes_batch(spark.createDataFrame(rows, EVENTS_SCHEMA)).collect()
+    assert [(r["outcome"], r["final_step"]) for r in out] == [("in_progress", 1)]
+
+
+def test_session_restore_jumps_to_saved_step(spark):
+    """sessionStorage thg_session_v1 restore (App.js:286-310): jump to
+    props.step clamped to [1,4]; restore itself never completes a run."""
+    rows = [
+        # user 1: restore to step 3, one advance completes
+        (1, ts(0), 1, "restore", 0.0, '{"step": 3}'),
+        (2, ts(1), 1, "view", 0.0, "{}"),
+        # user 2: restore clamps 9 → 4 (still not completed), advance completes
+        (3, ts(0), 2, "restore", 0.0, '{"step": 9}'),
+        (4, ts(1), 2, "view", 0.0, "{}"),
+        # user 3: malformed restore payload → step 1
+        (5, ts(0), 3, "restore", 0.0, "not json"),
+    ]
+    out = sm.wizard_outcomes_batch(spark.createDataFrame(rows, EVENTS_SCHEMA)).collect()
+    got = {(r["user_id"], r["outcome"]): (r["final_step"], r["n_events"]) for r in out}
+    assert got[(1, "completed")] == (4, 2)
+    assert got[(2, "completed")] == (4, 2)
+    assert got[(3, "in_progress")] == (1, 1)
+
+
+def test_stream_event_time_timeout_expires_stale_runs(spark, tmp_path):
+    """EventTimeTimeout stale-abort (ADVICE round 1): an idle in-flight
+    run is flushed as in_progress once the watermark passes
+    last_event + stale_timeout, and its state is freed."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wizard_stale"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    # user 1 stalls at 10:01; later files advance the watermark past
+    # 10:01 + 30min, so the timer must fire and flush the run.
+    write("01.parquet", [(1, ts(0), 1, "view"), (2, ts(1), 1, "view")], 1_700_000_000)
+    write("02.parquet", [(3, dt.datetime(2024, 1, 1, 12, 0), 2, "view")], 1_700_000_010)
+    write("03.parquet", [(4, dt.datetime(2024, 1, 1, 13, 0), 3, "view")], 1_700_000_020)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = sm.wizard_outcomes_stream(stream, watermark="0 seconds", stale_timeout_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_wizard_stale")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["outcome"]): (r["final_step"], r["n_events"])
+        for r in spark.table("t_wizard_stale").collect()
+    }
+    assert got[(1, "in_progress")] == (2, 2)
+
+
 def test_tws_runtime_detection():
     # container has no protobuf → the portable applyInPandasWithState
     # path must be the active default
@@ -88,3 +186,14 @@ def test_stream_matches_batch_on_corpus(spark, sf_dir):
 
     assert key(got) == key(batch)
     assert got.count() > 0
+    # timeout-flushed in_progress rows (if the final watermark batch fired
+    # any timers) must be a subset of the batch replay's trailing runs
+    streamed_ip = {
+        (r["user_id"], r["final_step"], r["n_events"])
+        for r in got.filter(F.col("outcome") == "in_progress").collect()
+    }
+    batch_ip = {
+        (r["user_id"], r["final_step"], r["n_events"])
+        for r in batch.filter(F.col("outcome") == "in_progress").collect()
+    }
+    assert streamed_ip <= batch_ip

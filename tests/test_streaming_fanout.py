@@ -27,10 +27,15 @@ def test_foreach_batch_fanout(spark, sf_dir):
     )
 
     def fanout(batch_df, batch_id):
-        sinks.archive_batch(batch_df, out)          # sink 1: partitioned archive
+        sinks.archive_batch(batch_df, out, batch_id)   # sink 1: partitioned archive
         sinks.email_foreach_batch(batch_df, batch_id)  # sink 2: email (skips, no config)
 
-    q = letters.writeStream.foreachBatch(fanout).trigger(availableNow=True).start()
+    q = (
+        letters.writeStream.foreachBatch(fanout)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()
 
     back = spark.read.parquet(os.path.join(out, "archive"))
