@@ -73,14 +73,15 @@ def sample_frames(
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames, metas = [], [], [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[content_col])
+            # zip over columns, not iterrows (~5× per-row Series cost)
+            for rid, payload in zip(pdf[id_col].to_numpy(), pdf[content_col].to_numpy()):
+                payload = bytes(payload)
                 if not fake:
                     raise DecodeUnavailable("ffmpeg frame extraction not in container")
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     chunk = payload[i * step : (i + 1) * step] or b"\x00"
-                    ids.append(row[id_col])
+                    ids.append(rid)
                     idxs.append(i)
                     frames.append(chunk)
                     metas.append(hashlib.sha256(chunk).hexdigest()[:16])

@@ -6,9 +6,10 @@ LibreOffice for PDF (report_generator.py:47-105) and archives into a
 
 - letter TEXT is a pure column expression (functions/formatters.py
   ``letter_text``) — the formatter semantics live in codegen;
-- the DOCX/PDF binary render runs per-partition inside ``mapInPandas``
-  (docxtpl/soffice are executor-local; both import-gated here — absent
-  in this container, the text artifact is written instead);
+- the DOCX binary render is a self-contained minimal OOXML writer
+  (zipfile + document.xml — WordprocessingML is a public ECMA-376
+  format, no docxtpl needed) run per-partition inside ``mapInPandas``;
+  PDF conversion stays gated on soffice (absent in this container);
 - archive layout is ``DataFrameWriter.partitionBy`` — the reference
   hand-rolls exactly Hive-style partitioning;
 - idempotent overwrite per client key (report_generator.py:63-68, 89)
@@ -17,23 +18,118 @@ LibreOffice for PDF (report_generator.py:47-105) and archives into a
 
 from __future__ import annotations
 
+import io
 import os
+import re
+import zipfile
 from collections.abc import Iterator
+from xml.sax.saxutils import escape
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # executor-local optional deps (not in this container)
+try:  # executor-local optional dep; the built-in OOXML writer is default
     import docxtpl  # type: ignore  # noqa: F401
 
     HAS_DOCXTPL = True
 except ImportError:
     HAS_DOCXTPL = False
 
+DOCX_MEDIA_TYPE = (
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+)
+
+# ---- minimal OOXML (ECMA-376) package parts ---------------------------------
+
+_CONTENT_TYPES_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType='
+    '"application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+
+_ROOT_RELS_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/'
+    '2006/relationships/officeDocument" Target="word/document.xml"/>'
+    "</Relationships>"
+)
+
+_W_NS = "http://www.w3.org/XML/1998/namespace"  # for xml:space
+
+# Template paragraphs: placeholder-parity with the reference
+# templates/template.docx — its docxtpl context is exactly the 8 keys
+# (report_generator.py:75-88); the template also carries placeholders
+# with NO context entry ({{customer_signature_name}}, {{initial_1..3}})
+# which jinja renders as empty strings — we reproduce that contract.
+DOCX_TEMPLATE_LINES = [
+    "ENGAGEMENT LETTER",
+    "Date: {{date}}",
+    "Client: {{name}}",
+    "Address: {{address}}",
+    "Property under appraisal: {{property_under_appraisal}}",
+    "Parcel ID: {{parcel_id}}",
+    "Fee: {{fee}}",
+    "Due at signing: {{due_signing}}",
+    "Due at completion: {{due_completion}}",
+    "Signature: {{customer_signature_name}}",
+    "Initials: {{initial_1}} {{initial_2}} {{initial_3}}",
+]
+
+_PLACEHOLDER_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
+def render_template_lines(context: dict, lines: list[str] | None = None) -> list[str]:
+    """docxtpl-style substitution: every ``{{key}}`` replaced from the
+    context; unknown keys → '' (jinja's default-undefined contract)."""
+    lines = DOCX_TEMPLATE_LINES if lines is None else lines
+    sub = lambda m: str(context.get(m.group(1), ""))  # noqa: E731
+    return [_PLACEHOLDER_RE.sub(sub, ln) for ln in lines]
+
+
+def docx_bytes_from_lines(lines: list[str]) -> bytes:
+    """Serialize paragraphs into a valid minimal .docx (OOXML zip with
+    [Content_Types].xml, _rels/.rels, word/document.xml). Deterministic:
+    fixed zip timestamps → identical bytes for identical content (the
+    property that makes the sink idempotent-by-content)."""
+    paras = "".join(
+        "<w:p><w:r><w:t xml:space=\"preserve\">" + escape(ln) + "</w:t></w:r></w:p>"
+        for ln in lines
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>" + paras + "<w:sectPr/></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, payload in (
+            ("[Content_Types].xml", _CONTENT_TYPES_XML),
+            ("_rels/.rels", _ROOT_RELS_XML),
+            ("word/document.xml", document),
+        ):
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(info, payload)
+    return buf.getvalue()
+
+
+def render_docx(context: dict, lines: list[str] | None = None) -> bytes:
+    """The reference's ``DocxTemplate(...).render(context)`` + save
+    (report_generator.py:70-89) as one pure function: context → .docx
+    bytes."""
+    return docx_bytes_from_lines(render_template_lines(context, lines))
+
 
 def render_letters(letters: DataFrame, out_dir: str) -> DataFrame:
-    """Render one artifact per row and return a manifest DataFrame
-    (client_key, filename, n_bytes, status).
+    """Render one real .docx artifact per row (letter_text lines → OOXML
+    paragraphs via the built-in writer) and return a manifest DataFrame
+    (client_key, filename, n_bytes, media_type, status).
 
     Runs entirely executor-side via mapInPandas: bytes are produced and
     written inside the partition (no driver collect), the standard Spark
@@ -47,22 +143,72 @@ def render_letters(letters: DataFrame, out_dir: str) -> DataFrame:
         os.makedirs(out_dir, exist_ok=True)
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                filename = f"Engagement_Letter_{row['client_key']}.txt"
-                payload = row["letter_text"].encode("utf-8")
-                # With docxtpl present this renders the real template
-                # (templates/template.docx placeholders, SURVEY P12) and
-                # soffice converts to PDF; text artifact otherwise.
+            # zip over columns, not iterrows (~5× per-row Series cost)
+            for client_key, text in zip(
+                pdf["client_key"].to_numpy(), pdf["letter_text"].to_numpy()
+            ):
+                filename = f"Engagement_Letter_{client_key}.docx"
+                payload = docx_bytes_from_lines(str(text).split("\n"))
                 path = os.path.join(out_dir, filename)
                 with open(path, "wb") as f:
                     f.write(payload)
-                rows.append((row["client_key"], filename, len(payload), "ok"))
+                rows.append((client_key, filename, len(payload), DOCX_MEDIA_TYPE, "ok"))
             yield pd.DataFrame(
-                rows, columns=["client_key", "filename", "n_bytes", "status"]
+                rows,
+                columns=["client_key", "filename", "n_bytes", "media_type", "status"],
             )
 
     return letters.mapInPandas(
-        _render, "client_key string, filename string, n_bytes bigint, status string"
+        _render,
+        "client_key string, filename string, n_bytes bigint, media_type string, "
+        "status string",
+    )
+
+
+# context column → template placeholder (report_generator.py:75-88)
+LETTER_CONTEXT_COLS = [
+    "date",
+    "name",
+    "address",
+    "property_under_appraisal",
+    "parcel_id",
+    "fee",
+    "due_signing",
+    "due_completion",
+]
+
+
+def render_letters_from_context(letters: DataFrame, out_dir: str) -> DataFrame:
+    """Template-path render (the docxtpl-parity form): each row carries
+    the 8 context columns (LETTER_CONTEXT_COLS, pre-formatted strings —
+    presentation is owned upstream exactly like the reference's locked
+    context) plus ``client_key``; every ``{{placeholder}}`` in the
+    template is substituted, unknown placeholders render empty. Returns
+    the same manifest shape as :func:`render_letters`."""
+
+    def _render(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            cols = {c: pdf[c].to_numpy() for c in LETTER_CONTEXT_COLS}
+            for i, client_key in enumerate(pdf["client_key"].to_numpy()):
+                context = {c: ("" if cols[c][i] is None else cols[c][i]) for c in cols}
+                payload = render_docx(context)
+                filename = f"Engagement_Letter_{client_key}.docx"
+                with open(os.path.join(out_dir, filename), "wb") as f:
+                    f.write(payload)
+                rows.append((client_key, filename, len(payload), DOCX_MEDIA_TYPE, "ok"))
+            yield pd.DataFrame(
+                rows,
+                columns=["client_key", "filename", "n_bytes", "media_type", "status"],
+            )
+
+    return letters.mapInPandas(
+        _render,
+        "client_key string, filename string, n_bytes bigint, media_type string, "
+        "status string",
     )
 
 

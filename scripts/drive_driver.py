@@ -29,8 +29,12 @@ def canon(v):
     return str(v)
 
 qs, os_ = m.queries(), m.oracle_sql()
+# optional: argv[1:] = substrings; only keys containing one are checked
+keys = sorted(qs)
+if len(sys.argv) > 1:
+    keys = [k for k in keys if any(pat in k for pat in sys.argv[1:])]
 fails = []
-for key in sorted(qs):
+for key in keys:
     t0 = time.time()
     try:
         sdf = qs[key](spark, SF).toPandas()

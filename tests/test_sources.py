@@ -95,18 +95,73 @@ def test_sample_frames_and_resize(spark):
     assert len(bytes(resized["content"])) == 8
 
 
-def test_render_letters_writes_artifacts(spark):
+def test_render_letters_writes_real_docx(spark):
+    import zipfile
+
     out_dir = os.path.join(SCRATCH, "letters_unit")
     letters = spark.createDataFrame(
-        [("Jo_Smith_1", "Dear Jo"), ("Al_Jones_2", "Dear Al")],
+        [("Jo_Smith_1", "Dear Jo\nLine two"), ("Al_Jones_2", "Dear Al")],
         "client_key string, letter_text string",
     )
     manifest = {r["client_key"]: r for r in doc_sink.render_letters(letters, out_dir).collect()}
-    assert manifest["Jo_Smith_1"]["filename"] == "Engagement_Letter_Jo_Smith_1.txt"
-    path = os.path.join(out_dir, "Engagement_Letter_Jo_Smith_1.txt")
-    assert os.path.exists(path)
-    assert open(path, "rb").read() == b"Dear Jo"
-    assert manifest["Al_Jones_2"]["n_bytes"] == len(b"Dear Al")
+    assert manifest["Jo_Smith_1"]["filename"] == "Engagement_Letter_Jo_Smith_1.docx"
+    assert manifest["Jo_Smith_1"]["media_type"] == doc_sink.DOCX_MEDIA_TYPE
+    path = os.path.join(out_dir, "Engagement_Letter_Jo_Smith_1.docx")
+    # valid OOXML zip with the mandatory parts, text in document.xml
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "_rels/.rels", "word/document.xml"} <= names
+        xml = z.read("word/document.xml").decode("utf-8")
+    assert "Dear Jo" in xml and "Line two" in xml
+    assert manifest["Al_Jones_2"]["n_bytes"] > 0
+
+
+def test_render_docx_substitutes_every_placeholder():
+    """docxtpl parity (report_generator.py:70-89): all 8 context keys
+    substituted; placeholders with no context entry render empty; XML
+    special chars escaped."""
+    import zipfile
+
+    context = {
+        "date": "August 13, 2026",
+        "name": "Jo & Co",          # & must be XML-escaped
+        "address": "1 Main <St>",   # <> must be XML-escaped
+        "property_under_appraisal": "Lot 7",
+        "parcel_id": "VA-123",
+        "fee": "$1,234.50",
+        "due_signing": "50%",
+        "due_completion": "50%",
+    }
+    payload = doc_sink.render_docx(context)
+    with zipfile.ZipFile(__import__("io").BytesIO(payload)) as z:
+        xml = z.read("word/document.xml").decode("utf-8")
+    assert "{{" not in xml  # every placeholder (incl. unknown ones) substituted
+    assert "Jo &amp; Co" in xml and "1 Main &lt;St&gt;" in xml
+    assert "$1,234.50" in xml and "VA-123" in xml and "50%" in xml
+    assert "Signature: " in xml  # unknown {{customer_signature_name}} → ''
+    # deterministic bytes: same context → identical artifact
+    assert doc_sink.render_docx(context) == payload
+
+
+def test_render_letters_from_context(spark):
+    out_dir = os.path.join(SCRATCH, "letters_ctx_unit")
+    row = (
+        "Jo_1", "August 13, 2026", "Jo", "1 Main St", "Lot 7", "VA-1",
+        "$100", "50%", "50%",
+    )
+    letters = spark.createDataFrame(
+        [row],
+        "client_key string, date string, name string, address string, "
+        "property_under_appraisal string, parcel_id string, fee string, "
+        "due_signing string, due_completion string",
+    )
+    out = doc_sink.render_letters_from_context(letters, out_dir).collect()
+    assert out[0]["media_type"] == doc_sink.DOCX_MEDIA_TYPE
+    import zipfile
+
+    with zipfile.ZipFile(os.path.join(out_dir, "Engagement_Letter_Jo_1.docx")) as z:
+        xml = z.read("word/document.xml").decode("utf-8")
+    assert "Parcel ID: VA-1" in xml and "{{" not in xml
 
 
 def test_archive_partitioned_roundtrip(spark):
