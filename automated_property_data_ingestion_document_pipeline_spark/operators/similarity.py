@@ -114,6 +114,128 @@ def lsh_topk(
     )
 
 
+def hyperplane_signatures(
+    vec: Column,
+    num_tables: int = 12,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> Column:
+    """Per-table random-hyperplane signatures as ``array<bigint>`` of
+    length ``num_tables`` (table t's signature = ``num_planes`` sign
+    bits of Gaussian projections).
+
+    One Arrow-batched numpy matmul per batch (V @ planes, the measured
+    6× winner over per-plane HOF folds, PERFORMANCE.md §4) — row-local,
+    map-only, no shuffle; the plane matrix is a deterministic
+    ``RandomState(seed)`` draw closed over by the UDF (broadcast with
+    the task, ~2 KB)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, num_tables * num_planes))
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (V @ planes) >= 0.0
+        bits = bits.reshape(len(V), num_tables, num_planes)
+        return pd.Series(list(bits @ weights))
+
+    return _sigs(vec)
+
+
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_tables: int = 12,
+    num_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate (query, neighbor) pairs from L independent signature
+    tables, exact-cosine-scored and deduped.
+
+    Plan: signatures are a map-only matmul on both sides; the corpus
+    explodes to (id, table, sig) and joins the BROADCAST exploded query
+    side on (table, sig) — bucket-equality only, never all-pairs. A
+    candidate seen in multiple tables is collapsed by a scalar-only
+    groupBy (cosine recomputed per duplicate in codegen rather than
+    shuffling vector payloads). Multi-table union is the standard fix
+    for the one-table recall cliff (round-1 verdict): recall =
+    1-(1-p^b)^L instead of p^b."""
+    sig = lambda df: df.withColumn(  # noqa: E731
+        "_sigs", hyperplane_signatures(F.col(vec_col), num_tables, num_planes, dim, seed)
+    )
+    q = sig(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.posexplode("_sigs").alias("_qt", "_qsig"),
+    )
+    c = sig(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.posexplode("_sigs").alias("_ct", "_csig"),
+    )
+    cand = c.join(
+        F.broadcast(q),
+        (F.col("_ct") == F.col("_qt"))
+        & (F.col("_csig") == F.col("_qsig"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
+    )
+    # dedup across tables: scalars only cross the shuffle
+    return cand.groupBy("query_id", "neighbor_id").agg(F.max("cos_sim").alias("cos_sim"))
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_tables: int = 12,
+    num_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k over the multi-table LSH candidates; same output
+    schema as brute_force_topk. Tuning: more tables → recall; more
+    planes → fewer probes per table. On clustered real-world embeddings
+    raise num_planes with corpus size (bucket occupancy ~ n/2^b); the
+    near-orthogonal test corpus needs few planes + many tables."""
+    cand = lsh_candidate_pairs(
+        corpus, queries, num_tables, num_planes, dim, vec_col, id_col, seed
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def _kmeans_codebook(X: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic driver-side Lloyd k-means over a bounded sample
+    (≤ 4096 × dim floats — microseconds of numpy): seeded choice init,
+    fixed iteration count, empty cells keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,21 +247,26 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize to ``num_cells`` centroid cells,
     search only the query's cell.
 
-    Centroids are the first ``num_cells`` corpus vectors (deterministic
-    codebook stand-in — swap in k-means centroids without changing the
-    plan). Assignment is a row-local argmax of cosine against the
-    broadcast codebook; the search join shuffles on cell id, so probe
-    cost is |cell|, not |corpus| — the standard IVF trade (Johnson et
-    al., billion-scale similarity search)."""
+    Codebook: k-means (seeded init + fixed Lloyd iterations, fully
+    deterministic) over a BOUNDED deterministic sample of the corpus —
+    ``TakeOrderedAndProject`` on a hash of the id collects ≤ 4096 rows
+    regardless of corpus size (no shuffle exchange, no unbounded driver
+    collect; real IVF systems train the codebook offline exactly like
+    this, cf. Johnson et al., billion-scale similarity search).
+    Assignment is a row-local Arrow-batched matmul against the codebook
+    closed over by the UDF; the search join probes |cell|, not
+    |corpus|."""
     from pyspark.sql.functions import pandas_udf
 
-    cents = np.array(
-        [
-            [float(x) for x in r[vec_col]]
-            for r in corpus.orderBy(id_col).limit(num_cells).collect()
-        ]
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)).asc(), F.col(id_col).asc())
+        .limit(4096)
+        .collect()
     )
-    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    X = np.array([[float(x) for x in r[vec_col]] for r in sample_rows])
+    cents = _kmeans_codebook(X, num_cells)
+    cents_n = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     # Cell assignment is a dense matrix multiply — exactly the case where
     # a vectorized (Arrow-batched) pandas UDF beats built-in HOF
