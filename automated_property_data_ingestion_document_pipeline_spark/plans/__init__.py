@@ -25,6 +25,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_scale,
     queries_sql,
     queries_misc,
+    queries_reference,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -164,6 +164,21 @@ def test_render_letters_from_context(spark):
     assert "Parcel ID: VA-1" in xml and "{{" not in xml
 
 
+def test_reference_dims_parity(spark):
+    """Real reference dims (App.js:10-130, crs_bot.pyc): 107 counties
+    (95/6/6), the Bristill typo row preserved verbatim, 7 CRS codes."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import reference_dims as rd
+
+    assert len(rd.UI_COUNTIES) == 107
+    assert ("Bristill City, VA", "VA") in rd.UI_COUNTIES  # App.js:123 typo, kept as data
+    assert dict(rd.CRS_CODES)["Knox County, TN"] == "TN093"
+    c = rd.counties_df(spark)
+    assert c.count() == 107
+    diff = c.join(rd.crs_codes_df(spark), "county_name", "left_anti")
+    assert diff.count() == 100  # UI offers 107, backend enriches 7
+    assert diff.filter(F.col("county_name") == "Bristill City, VA").count() == 1
+
+
 def test_archive_partitioned_roundtrip(spark):
     out_dir = os.path.join(SCRATCH, "archive_unit")
     df = spark.createDataFrame(
