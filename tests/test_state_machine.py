@@ -160,6 +160,43 @@ def test_tws_runtime_detection():
     assert sm.has_transform_with_state_runtime() in (True, False)
 
 
+def test_tws_form_matches_batch_or_skips_with_gate_reason(spark, sf_dir):
+    """transformWithStateInPandas gate (COVERAGE.md): the Spark-4
+    arbitrary-state API needs protobuf (its Python worker protocol) +
+    the RocksDB state store. Where the runtime has them, the TWS twin
+    must agree with the batch replay on closed runs; here it skips with
+    the documented reason."""
+    if not sm.has_transform_with_state_runtime():
+        pytest.skip(
+            "transformWithStateInPandas gate: google.protobuf absent in this "
+            "container (required by the TWS Python worker protocol); "
+            "applyInPandasWithState is the portable default — see COVERAGE.md"
+        )
+    from automated_property_data_ingestion_document_pipeline_spark.streaming import sessions as ss
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+
+    stream = ss.read_events_stream(spark, sf_dir)
+    result = sm.wizard_outcomes_stream_tws(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("t_wizard_tws")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_wizard_tws")
+    batch = sm.wizard_outcomes_batch(catalog.load(spark, sf_dir, "events"))
+
+    def key(df):
+        return sorted(
+            (r["user_id"], r["outcome"], r["final_step"], r["n_events"])
+            for r in df.filter(F.col("outcome") != "in_progress").collect()
+        )
+
+    assert key(got) == key(batch)
+
+
 def test_stream_matches_batch_on_corpus(spark, sf_dir):
     stream = ss.read_events_stream(spark, sf_dir)
     result = sm.wizard_outcomes_stream(stream)
