@@ -162,6 +162,61 @@ def simhash64_df(
     return counts.select(F.col(id_col), fp.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Dedup CLUSTERS from near-dup pairs: connected components by
+    min-label propagation, returning ``(id, cluster_id)`` where
+    cluster_id is the smallest doc id in the component (the canonical
+    representative — the member a keep-one-per-cluster policy keeps).
+
+    Iteration i joins edges to current labels and takes the per-node min
+    (hash-partitioned on node id, one shuffle per round);
+    ``localCheckpoint`` cuts the lineage so plans stay flat. The
+    convergence probe is a scalar ``count()`` action (no data reaches
+    the driver). Rounds needed = component diameter — near-dup clusters
+    are dense (near-cliques), so 2-3 rounds in practice; pathological
+    chains are capped by ``max_iters``. This is the standard
+    hash-min CC (cf. Kiveris et al., "Connected Components in
+    MapReduce"), the piece that turns pair-wise near-dup detection into
+    actionable dedup groups at corpus scale."""
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=False)  # materialized by round 0, reused after
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn("cc", F.col("id"))
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges["s"] == labels["id"]).select(
+            F.col("d").alias("id"), F.col("cc"), F.lit(None).cast("long").alias("_old")
+        )
+        # each node's previous label rides along as _old (exactly one
+        # non-null per id), so convergence needs no extra join
+        # lazy checkpoint: the convergence count below is the ONE job
+        # per round — it materializes the checkpoint as a side effect,
+        # and later rounds read the materialized partitions.
+        new_labels = (
+            labels.select("id", "cc", F.col("cc").alias("_old"))
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("cc").alias("cc"), F.max("_old").alias("_old"))
+            .localCheckpoint(eager=False)
+        )
+        # full aggregate (not limit(1)) so every partition of the lazy
+        # checkpoint materializes in this one job
+        changed = new_labels.agg(
+            F.sum((F.col("cc") != F.col("_old")).cast("int"))
+        ).first()[0]
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("cc").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -232,6 +232,59 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("jaccard") >= 0.5)
 
 
+# -- dedup clusters: connected components over near-dup pairs ------------------
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+      FROM documents WHERE doc_id < 60),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS: connected components (hash-min
+    label propagation, operators/dedup.py) over the exact-Jaccard pair
+    set, labeling every doc with its component's min doc id. The oracle
+    computes the same closure with a DuckDB recursive CTE — iterative
+    Spark operator, declaratively verified. Pair universe bounded
+    (doc_id < 60) like q_jaccard_pairs; the scale path feeds MinHash
+    candidates in instead."""
+    d = catalog.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sets_df = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tset"))
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("tset").alias("_ta"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("tset").alias("_tb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_ta", "_tb")).cast("double")
+                / F.size(F.array_distinct(F.concat("_ta", "_tb")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # -- MinHash LSH near-dup (rows-only) -----------------------------------------
 
 

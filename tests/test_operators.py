@@ -107,6 +107,25 @@ def test_sessionize_exact_gap_splits_like_streaming(spark):
     assert got == {(1, 1): 1, (1, 2): 1}
 
 
+def test_connected_components_clusters(spark):
+    """Hash-min CC: chain {1-2, 2-3}, pair {7-9}, chain {4-5-6} via
+    transitive edges — every member labeled with its component min."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 5), (5, 6), (4, 6)], "id_a bigint, id_b bigint"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 5: 4, 6: 4}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-...-8: worst case for min propagation (diameter 8)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert out == {i: 0 for i in range(9)}
+
+
 def test_multi_table_lsh_recall_gate(spark, sf_dir):
     """Round-1 verdict item 4: multi-table LSH must reach overall
     recall@5 ≥ 0.6 on the (near-orthogonal, hardest-case) corpus, and
