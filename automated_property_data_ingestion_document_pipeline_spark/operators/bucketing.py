@@ -1,0 +1,57 @@
+"""Bucketed tables: pre-shuffled storage for co-located joins
+(SURVEY §2.4 scale posture).
+
+At 100 TB the dominant join cost is shuffling the fact side. Bucketing
+pays that shuffle ONCE at write time: ``bucketBy(n, key)`` persists each
+table hash-partitioned (and ``sortBy`` pre-sorted) on the join key, so a
+join of two tables bucketed the same way compiles to a SortMergeJoin
+with NO Exchange on either side — every executor merges its own bucket
+pair. This is the storage-level analog of what `repartition` does per
+query, amortized across every downstream join/aggregation on that key.
+
+Works on Spark's built-in catalog (no Hive metastore needed); the
+warehouse location is set at session build (session.py). Bucket count
+rules of thumb: target bucket files of 100-500 MB at full scale, and
+keep producer/consumer bucket counts equal (or integer multiples, which
+AQE can exploit) so co-location holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally bucket-sorted)
+    managed table on ``key``."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. The ``MERGE``
+    hint pins SortMergeJoin (a broadcast would hide the co-location
+    being demonstrated); with matching bucket specs the physical plan
+    carries no Exchange."""
+    lt = spark.table(left_table).hint("merge")
+    rt = spark.table(right_table)
+    return lt.join(rt, key)
+
+
+def shuffle_exchanges_in_plan(df: DataFrame) -> int:
+    """Count shuffle Exchange operators in the executed plan (broadcast
+    exchanges excluded) — the assertion surface for co-location tests."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )

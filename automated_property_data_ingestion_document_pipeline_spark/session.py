@@ -74,6 +74,11 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # static conf (must be set at build time): bucketed saveAsTable
+    # warehouse lives in gitignored scratch, not the repo root
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "warehouse"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -81,6 +86,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        .config("spark.sql.warehouse.dir", warehouse)
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
