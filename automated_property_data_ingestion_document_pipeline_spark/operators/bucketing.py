@@ -18,6 +18,9 @@ AQE can exploit) so co-location holds.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -29,7 +32,16 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally bucket-sorted)
-    managed table on ``key``."""
+    managed table on ``key``. Idempotent across sessions: the in-memory
+    catalog forgets managed tables when a session ends but their
+    warehouse directories persist, so any orphaned location is cleared
+    before the write (LOCATION_ALREADY_EXISTS otherwise)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, key)
     if sort:
         w = w.sortBy(key)
