@@ -396,6 +396,39 @@ def q_letter_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_sink.render_letters(letters, out)
 
 
+# -- S7: docxtpl-parity template render (rows-only) ---------------------------
+
+
+@query("q_letter_sink_docx")  # rows-only: writes executor-side OOXML artifacts
+def q_letter_sink_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docxtpl-parity render path (report_generator.py:70-89): each
+    row carries the reference's LOCKED 8-key context as pre-formatted
+    string columns (presentation composed in codegen by the P1-P3
+    formatters), and the sink substitutes them into the OOXML template
+    exactly like DocxTemplate.render — unknown placeholders (signature,
+    initials) render empty. Manifest returned; artifacts are real .docx
+    zips."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_SCRATCH, f"letters_docx_{sf_tag}")
+    o = catalog.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    c = catalog.load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    letters = joined.select(
+        F.concat(
+            fmt.safe_name(F.col("c_name")), F.lit("_"), F.col("o_orderkey").cast("string")
+        ).alias("client_key"),
+        F.date_format("o_orderdate", "MMMM dd, yyyy").alias("date"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("address"),
+        F.col("o_orderpriority").alias("property_under_appraisal"),
+        F.col("o_orderkey").cast("string").alias("parcel_id"),
+        fmt.format_currency(F.col("o_totalprice")).alias("fee"),
+        fmt.format_percent(F.lit("50")).alias("due_signing"),
+        fmt.format_percent(F.lit("50")).alias("due_completion"),
+    )
+    return doc_sink.render_letters_from_context(letters, out)
+
+
 # -- S3: HTTP enrichment connector (rows-only) --------------------------------
 
 
