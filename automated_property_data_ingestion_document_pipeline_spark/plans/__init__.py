@@ -26,6 +26,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_sql,
     queries_misc,
     queries_reference,
+    queries_training,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,186 @@
+"""Training-data pipeline registrations (SURVEY §1.1 #4 extension):
+int8 embedding quantization, sequence packing, PII scrubbing, benchmark
+decontamination, stratified sampling — each with a DuckDB oracle so the
+driver checks values, not shapes.
+
+Tokenization parity: both engines tokenize as
+``filter(split(text, '\\s+'), t -> t <> '')``; shingles are the same
+windows ``shingles_of`` builds (full-text single shingle when n < k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators import training
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+_TOKS = r"list_filter(regexp_split_to_array({col}, '\s+'), t -> t <> '')"
+
+
+# -- int8 embedding quantization ----------------------------------------------
+
+
+@query(
+    "q_quantize_embeddings",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS scale
+          FROM v),
+    q AS (SELECT vec_id, scale,
+                 list_transform(e, x -> CAST(round(x * scale) AS INTEGER)) AS qvec
+          FROM s)
+    SELECT vec_id, scale,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           CAST(list_min(qvec) AS INTEGER) AS q_min,
+           CAST(list_max(qvec) AS INTEGER) AS q_max,
+           qvec[1] AS q_first
+    FROM q
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (operators/training.py): Arrow-batched
+    numpy kernel with explicit round-half-away (numpy's native round is
+    banker's; Spark/DuckDB round away from zero — the formula aligns all
+    three). Output digested to scalars (sum/min/max/first) because the
+    driver's canonical form compares scalar cells, not nested arrays."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = training.quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, v: a + v).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.element_at("qvec", 1).alias("q_first"),
+    )
+
+
+# -- sequence packing ----------------------------------------------------------
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS n_tokens,
+             doc_id % 8 AS shard
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(shard * 1000000 + floor(
+             (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / 2048) AS BIGINT) AS pack_id
+    FROM d
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into ~2048-token shard-local bins
+    (operators/training.py): per-shard running sum, docs assigned by
+    start offset so bins overflow rather than split documents; shards
+    give the parallelism a single global pack order would forfeit."""
+    d = catalog.load(spark, sf_dir, "documents")
+    return training.pack_sequences(d, bin_tokens=2048, num_shards=8)
+
+
+# -- PII scrubbing -------------------------------------------------------------
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-867-5309.'
+                  ELSE text END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{training.EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{training.PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{training.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{training.PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (operators/training.py): emails/phones → placeholder
+    tokens with per-category counts. PII is injected deterministically
+    into every 5th document on BOTH engines so the masking is actually
+    exercised (the synthetic corpus carries none). RE2-compatible
+    patterns; row-local codegen."""
+    d = catalog.load(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309."),
+        ),
+    ).otherwise(F.col("text"))
+    aug = d.select("doc_id", injected.alias("t"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(training.EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(training.PHONE_RE)).cast("bigint").alias("n_phones"),
+        training.scrub_pii(F.col("t")).alias("clean_text"),
+    )
+
+
+# -- benchmark decontamination -------------------------------------------------
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(col='text')} AS l FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(CASE WHEN len(l) >= 5
+               THEN list_distinct(list_transform(range(1, len(l) - 5 + 2),
+                      i -> array_to_string(list_slice(l, i, i + 4), ' ')))
+               ELSE [array_to_string(l, ' ')] END) AS s
+      FROM toks),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+    corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
+    SELECT corp.doc_id, CAST(COUNT(DISTINCT corp.s) AS BIGINT) AS n_shared_shingles
+    FROM corp JOIN bench ON corp.s = bench.s
+    GROUP BY corp.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/training.py): corpus docs
+    sharing any 5-token shingle with the benchmark set (docs 0-9 stand
+    in for an eval set), with shared-shingle counts. Benchmark shingles
+    broadcast; corpus side is one explode + map-side join — linear in
+    corpus tokens."""
+    d = catalog.load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    corpus = d.filter(F.col("doc_id") >= 10)
+    return training.contamination_flags(corpus, bench, shingle_k=5)
+
+
+# -- stratified sampling -------------------------------------------------------
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample (operators/training.py): md5-of-id
+    pseudo-random order inside each stratum, 20 docs kept per language —
+    deterministic, engine-portable corpus mixture control."""
+    d = catalog.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return training.stratified_sample(d, strata_col="lang", id_col="doc_id", quota=20)
