@@ -101,6 +101,45 @@ def tumbling_counts(stream: DataFrame, width: str = "1 hour", watermark: str = "
     )
 
 
+def purchase_view_join(
+    stream: DataFrame, watermark: str = "2 hours", within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's views in the preceding ``within`` window — the attribution
+    join every event pipeline runs.
+
+    Both inputs are branches of one source stream; watermarks on BOTH
+    sides + the time-bound join predicate let Spark evict join state
+    (state per side ≈ watermark + interval of events, not the full
+    history) — unbounded stream-stream joins are refused by design."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"""user_id = v_user_id
+            AND view_ts <= purchase_ts
+            AND view_ts >= purchase_ts - INTERVAL {within}"""
+        ),
+    ).select("user_id", "purchase_event_id", "purchase_ts", "view_event_id", "view_ts")
+
+
 def run_available_now(result: DataFrame, query_name: str) -> DataFrame:
     """Execute a streaming DF to completion with the availableNow trigger
     into a memory sink; returns the materialized table. Used for

@@ -54,6 +54,47 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert n == expected
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream purchase←view attribution join agrees with the
+    batch formulation of the same interval predicate."""
+    stream = ss.read_events_stream(spark, sf_dir)
+    joined = ss.purchase_view_join(stream, within="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_event_id"], r["view_event_id"])
+        for r in spark.table("t_ssjoin").collect()
+    }
+
+    ev = catalog.load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_event_id")
+    )
+    batch = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user_id AND view_ts <= purchase_ts "
+            "AND view_ts >= purchase_ts - INTERVAL 1 hour"
+        ),
+    )
+    want = {
+        (r["purchase_event_id"], r["view_event_id"]) for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_tumbling_counts_match_batch(spark, sf_dir):
     stream = ss.read_events_stream(spark, sf_dir)
     got = ss.run_available_now(ss.tumbling_counts(stream, width="1 hour"), "t_tumble")
