@@ -18,7 +18,10 @@ def format_currency(col: Column) -> Column:
     ``$N,NNN.NN``, or ``$N,NNN`` when the value is integral; any parse
     failure → empty string (null-on-failure contract, SURVEY §1.2).
     """
-    v = col.try_cast("double")
+    # + 0.0 normalizes IEEE negative zero: Python's int(-0.0) prints
+    # "$0" but format_number(-0.0, 0) would print "$-0" (caught by
+    # tests/test_differential.py). No other value changes.
+    v = col.try_cast("double") + F.lit(0.0)
     whole = v == F.floor(v)
     formatted = F.when(whole, F.concat(F.lit("$"), F.format_number(v, 0))).otherwise(
         F.concat(F.lit("$"), F.format_number(v, 2))
