@@ -241,6 +241,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     num_cells: int = 8,
+    nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -255,7 +256,10 @@ def ivf_topk(
     this, cf. Johnson et al., billion-scale similarity search).
     Assignment is a row-local Arrow-batched matmul against the codebook
     closed over by the UDF; the search join probes |cell|, not
-    |corpus|."""
+    |corpus|. ``nprobe`` > 1 is the standard recall knob: the QUERY side
+    probes its top-``nprobe`` cells (query fan-out only — the corpus
+    stays single-cell), recall rises ~linearly with probed mass at
+    ``nprobe/num_cells`` of the search cost."""
     from pyspark.sql.functions import pandas_udf
 
     sample_rows = (
@@ -272,15 +276,23 @@ def ivf_topk(
     # a vectorized (Arrow-batched) pandas UDF beats built-in HOF
     # expressions: the codebook is closed over (broadcast with the task),
     # each batch is one V @ C.T.
-    @pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
+    n_probe = min(nprobe, len(cents_n))
+
+    @pandas_udf("array<int>")
+    def cells_of(vecs: pd.Series) -> pd.Series:
         V = np.vstack(vecs.to_numpy())
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(Vn @ cents_n.T, axis=1).astype("int32"))
+        sims = Vn @ cents_n.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(top))
 
-    c_cells = corpus.withColumn("_cell", cell_of(F.col(vec_col)))
-    q = queries.withColumn("_cell", cell_of(F.col(vec_col))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "_cell"
+    c_cells = corpus.withColumn(
+        "_cell", F.element_at(cells_of(F.col(vec_col)), 1)  # corpus: nearest cell only
+    )
+    q = queries.withColumn("_cells", cells_of(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode("_cells").alias("_cell"),  # query fan-out: nprobe rows
     )
     scored = c_cells.alias("c").join(
         F.broadcast(q),

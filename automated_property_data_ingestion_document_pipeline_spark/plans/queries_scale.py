@@ -82,6 +82,44 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- approximation quality: LSH recall vs exact -------------------------------
 
 
+@query("q_ivf_recall")  # rows-only: measures our own approximation
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF ANN (k-means codebook, nprobe=3 of 8 cells)
+    against the exact brute-force top-5 over 50 queries — one row per
+    query plus an OVERALL row (query_id = -1). The nprobe knob trades
+    probed mass (~nprobe/num_cells of the corpus) for recall; measured
+    here so the trade is a number, not a guess."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import similarity
+
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    approx = similarity.ivf_topk(e, q, k=5, nprobe=3).select(
+        "query_id", F.col("neighbor_id").alias("n_approx")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (F.col("n_exact") == F.col("n_approx")),
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_true")).alias("recall_at_5"),
+        )
+    )
+    overall = per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.avg("recall_at_5").alias("recall_at_5"),
+    )
+    return per_q.unionByName(overall)
+
+
 @query("q_lsh_recall")  # rows-only: measures our own approximation
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the multi-table hyperplane-LSH ANN against the exact
