@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.functions import text as T
 from automated_property_data_ingestion_document_pipeline_spark.operators import training
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 
@@ -164,6 +165,90 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") < 10)
     corpus = d.filter(F.col("doc_id") >= 10)
     return training.contamination_flags(corpus, bench, shingle_k=5)
+
+
+# -- §1.1 composite: the full corpus-curation dataflow -------------------------
+
+
+def _corpus_pipeline_oracle() -> str:
+    toks_lower = _TOKS.format(col="lower(text)")
+    lang_scores = {
+        lg: (
+            f"CAST(len(list_filter({toks_lower}, x -> list_contains({T.STOPWORDS[lg]!r}, x))) AS DOUBLE)"
+            f" / greatest(len({toks_lower}), 1)"
+        )
+        for lg in sorted(T.STOPWORDS)
+    }
+    score_defs = ", ".join(f"{expr} AS s_{lg}" for lg, expr in lang_scores.items())
+    return f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             length(text) AS nc,
+             greatest(len({_TOKS.format(col='text')}), 1) AS nt,
+             CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+             {score_defs}
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+             (CASE WHEN nc >= 64 AND nc <= 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN CAST(nc AS DOUBLE)/nt >= 2.0 AND CAST(nc AS DOUBLE)/nt <= 12.0
+                     THEN 0.3 ELSE 0.0 END)
+             + alpha_ratio * 0.3 AS quality,
+             CASE WHEN greatest(s_de, s_en, s_es) <= 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+                  WHEN s_en >= s_es THEN 'en'
+                  ELSE 'es' END AS lang_pred
+      FROM m),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM kept
+      QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1)
+    SELECT doc_id, lang_pred, quality, n_tokens,
+           CAST((doc_id % 8) * 1000000 + floor(
+             (SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / 2048) AS BIGINT) AS pack_id
+    FROM deduped
+    """
+
+
+@query("q_corpus_pipeline", oracle=_corpus_pipeline_oracle())
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM corpus-curation dataflow as ONE pipeline (the training
+    analog of q_engagement_pipeline): score quality → language-ID →
+    quality gate → exact dedup (canonical min-id per content hash) →
+    pack survivors into shard-local token bins.
+
+    Plan shape: scoring/gating is a codegen'd scan+project (no
+    shuffle); dedup is one shuffle on the 256-bit content hash; packing
+    is one shuffle on the 8-way shard — three exchange stages total for
+    the whole dataflow, each on a key that stays uniform at 100 TB."""
+    from pyspark.sql import Window
+
+    d = catalog.load(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id",
+        "text",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id_from_tokens(T.tokens(F.lower(F.col("text")))).alias("lang_pred"),
+        T.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    kept = toked.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy(F.col("doc_id").asc())
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    shard = F.col("doc_id") % 8
+    pw = (
+        Window.partitionBy(shard)
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(pw) - F.col("n_tokens")
+    pack = (shard * 1_000_000 + F.floor(start / 2048)).cast("bigint")
+    return deduped.select("doc_id", "lang_pred", "quality", "n_tokens", pack.alias("pack_id"))
 
 
 # -- stratified sampling -------------------------------------------------------
