@@ -64,8 +64,12 @@ def clean_scraped_text(col: Column) -> Column:
 
 def letter_filename(name_col: Column, ext: str = "pdf") -> Column:
     """Deterministic artifact name (report_generator.py:64-65):
-    ``Engagement_Letter_{safe_name}.{ext}``."""
-    return F.format_string(f"Engagement_Letter_%s.{ext}", safe_name(name_col))
+    ``Engagement_Letter_{safe_name}.{ext}``. NULL name → NULL filename
+    (concat propagates; format_string would print the string 'null' —
+    edge-corpus audit, round 2)."""
+    return F.concat(
+        F.lit("Engagement_Letter_"), safe_name(name_col), F.lit(f".{ext}")
+    )
 
 
 def digits_only(col: Column) -> Column:

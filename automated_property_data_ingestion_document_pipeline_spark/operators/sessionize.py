@@ -33,11 +33,13 @@ def sessionize(
     order = [F.col(ts).asc(), F.col(id_col).asc()]
     w = Window.partitionBy(key).orderBy(*order)
     gap_sec = gap_minutes * 60
+    # .cast("timestamp") first: TIMESTAMP_NTZ columns (plain micros
+    # parquet) can't cast straight to double; LTZ→LTZ is a no-op
+    sec = F.col(ts).cast("timestamp").cast("double")
+    prev_sec = F.lag(ts).over(w).cast("timestamp").cast("double")
     is_new = (
         F.when(F.lag(ts).over(w).isNull(), 1)
-        .when(
-            F.col(ts).cast("double") - F.lag(ts).over(w).cast("double") >= gap_sec, 1
-        )
+        .when(sec - prev_sec >= gap_sec, 1)
         .otherwise(0)
     )
     cum = Window.partitionBy(key).orderBy(*order).rowsBetween(

@@ -138,7 +138,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n,
-             arg_max(CAST(round(value * 100, 0) AS BIGINT), event_id) AS last_cents
+             arg_max(TRY_CAST(round(value * 100, 0) AS BIGINT), event_id) AS last_cents
       FROM events GROUP BY 1, 2)
     SELECT g.user_id, g.bucket,
            CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
@@ -158,7 +158,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same partitioning — grid generation never materializes
     driver-side."""
     ev = catalog.load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cents = F.round(F.col("value") * 100, 0).try_cast("bigint")  # non-finite -> NULL, both engines
     bounds = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
         F.date_trunc("hour", F.max("ts")).alias("t1"),
@@ -167,11 +167,17 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
     )
-    hourly = ev.groupBy(
+    # FILTER pins both engines to 'last VALID observation': DuckDB's
+    # arg_max skips NULL values while Spark's max_by returns them, so an
+    # unfiltered max_by diverges when the newest row has a NULL measure
+    # (edge-corpus audit, round 2).
+    hourly = ev.withColumn("_cents", cents).groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
         F.count("*").alias("n"),
-        F.max_by(cents, F.col("event_id")).alias("last_cents"),
+        F.expr("max_by(_cents, event_id) FILTER (WHERE _cents IS NOT NULL)").alias(
+            "last_cents"
+        ),
     )
     joined = grid.join(hourly, ["user_id", "bucket"], "left")
     w = (

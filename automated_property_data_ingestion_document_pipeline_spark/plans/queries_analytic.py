@@ -106,12 +106,15 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
            dense_rank() OVER w AS drank,
            cume_dist() OVER w AS cdist
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / dense_rank / cume_dist over a totally-ordered window
-    (tiebreak on key → no peer groups → deterministic everywhere)."""
+    (tiebreak on key → no peer groups → deterministic everywhere).
+    Oracle pins NULLS FIRST: Spark ASC defaults nulls-first, DuckDB
+    defaults NULLS LAST — a NULL measure would silently reorder."""
     o = catalog.load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
@@ -137,15 +140,20 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
            lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
            concat_ws('-', c_mktsegment, c_name) AS joined,
            reverse(c_name) AS rev,
-           levenshtein(c_name, reverse(c_name)) AS lev,
+           levenshtein(regexp_replace(c_name, '[^\\x00-\\x7F]', '?', 'g'),
+                       reverse(regexp_replace(c_name, '[^\\x00-\\x7F]', '?', 'g'))) AS lev,
            length(c_name) AS name_len
     FROM customer
     """,
 )
 def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function battery: case mapping, substring, padding,
-    concat_ws, reverse, Levenshtein distance."""
+    concat_ws, reverse, Levenshtein distance. Levenshtein is computed on
+    an ASCII projection ('?' for non-ASCII) because DuckDB's
+    levenshtein counts BYTES while Spark counts codepoints — multibyte
+    chars would diverge by their encoded length."""
     c = catalog.load(spark, sf_dir, "customer")
+    ascii_name = F.regexp_replace("c_name", r"[^\x00-\x7F]", "?")
     return c.select(
         "c_custkey",
         F.upper("c_name").alias("up"),
@@ -154,7 +162,7 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
         F.concat_ws("-", "c_mktsegment", "c_name").alias("joined"),
         F.reverse("c_name").alias("rev"),
-        F.levenshtein("c_name", F.reverse("c_name")).alias("lev"),
+        F.levenshtein(ascii_name, F.reverse(ascii_name)).alias("lev"),
         F.length("c_name").cast("bigint").alias("name_len"),
     )
 
@@ -205,7 +213,7 @@ def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count_if(value > 100) AS BIGINT) AS n_big,
            COUNT(*) AS n_all,
-           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(round(value * 100, 0) AS BIGINT)
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN TRY_CAST(round(value * 100, 0) AS BIGINT)
                          ELSE 0 END) AS DOUBLE) / 100 AS even_user_value
     FROM events GROUP BY event_type
     """,
@@ -214,7 +222,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregation (count_if + CASE-gated sums in
     exact cents)."""
     ev = catalog.load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cents = F.round(F.col("value") * 100, 0).try_cast("bigint")  # non-finite -> NULL, both engines
     return ev.groupBy("event_type").agg(
         F.count_if(F.col("value") > 100).alias("n_big"),
         F.count("*").alias("n_all"),
@@ -330,17 +338,22 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_histogram",
     oracle="""
-    SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
-           COUNT(*) AS n,
-           round(CAST(floor(value / 25) AS BIGINT) * 25.0, 1) AS bucket_lo
-    FROM events GROUP BY floor(value / 25)
+    WITH b AS (
+      SELECT CASE WHEN isfinite(value)
+                  THEN TRY_CAST(floor(value / 25) AS BIGINT) END AS bucket
+      FROM events)
+    SELECT bucket, COUNT(*) AS n, round(bucket * 25.0, 1) AS bucket_lo
+    FROM b GROUP BY bucket
     """,
 )
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via floor binning (portable width_bucket:
-    DuckDB 1.0 lacks the builtin)."""
+    DuckDB 1.0 lacks the builtin). Non-finite values bin to the NULL
+    bucket on both engines (Spark's floor saturates ±inf to Long
+    min/max; the guard makes the contract explicit instead)."""
     ev = catalog.load(spark, sf_dir, "events")
-    bucket = F.floor(F.col("value") / 25).cast("bigint")
+    finite = F.col("value").isNotNull() & ~F.isnan("value") & (F.abs("value") < float("1e300"))
+    bucket = F.when(finite, F.floor(F.col("value") / 25)).cast("bigint")
     return ev.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
         F.round(bucket * 25.0, 1).alias("bucket_lo"),

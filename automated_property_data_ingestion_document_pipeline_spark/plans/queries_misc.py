@@ -90,9 +90,9 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bitwise_agg",
     oracle="""
     SELECT user_id,
-           CAST(bit_and(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_and,
-           CAST(bit_or(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_or,
-           CAST(bit_xor(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_xor
+           CAST(bit_and(TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_and,
+           CAST(bit_or(TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_or,
+           CAST(bit_xor(TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_xor
     FROM events GROUP BY user_id
     """,
 )

@@ -62,9 +62,9 @@ def q_required_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT event_id, value AS fee,
-             CAST(props->>'k' AS INTEGER) AS s,
-             CASE WHEN event_id % 3 = 0 THEN 100 - CAST(props->>'k' AS INTEGER)
-                  ELSE CAST(props->>'k' AS INTEGER) END AS c
+             TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER) AS s,
+             CASE WHEN event_id % 3 = 0 THEN 100 - TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER)
+                  ELSE TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER) END AS c
       FROM events)
     SELECT event_id, fee, s AS due_signing, c AS due_completion,
            (fee IS NOT NULL AND fee > 0
@@ -96,11 +96,14 @@ def q_validate_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- P12: letter text rendering ------------------------------------------------
 
-_CURRENCY_SQL = """CASE
+# COALESCE mirrors format_currency's null-on-failure contract ('' for
+# NULL fee) — without it a NULL fee would NULL the whole letter string
+# while the Spark side renders 'Fee: ' (edge-corpus audit, round 2).
+_CURRENCY_SQL = """COALESCE(CASE
   WHEN {v} = floor({v}) THEN '$' || printf('%,d', CAST({v} AS BIGINT))
   ELSE '$' || printf('%,d', CAST(trunc(round({v}, 2)) AS BIGINT))
        || '.' || lpad(CAST(CAST(round({v}, 2) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
-END"""
+END, '')"""
 
 
 @query(
@@ -262,9 +265,9 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH req AS (
       SELECT e.event_id, e.ts, e.value AS fee,
-             CAST(e.props->>'k' AS INTEGER) AS s,
-             CASE WHEN e.event_id % 3 = 0 THEN 100 - CAST(e.props->>'k' AS INTEGER)
-                  ELSE CAST(e.props->>'k' AS INTEGER) END AS c,
+             TRY_CAST(CASE WHEN json_valid(e.props) AND regexp_full_match(COALESCE(e.props->>'k', ''), '-?[0-9]+') THEN e.props->>'k' END AS INTEGER) AS s,
+             CASE WHEN e.event_id % 3 = 0 THEN 100 - TRY_CAST(CASE WHEN json_valid(e.props) AND regexp_full_match(COALESCE(e.props->>'k', ''), '-?[0-9]+') THEN e.props->>'k' END AS INTEGER)
+                  ELSE TRY_CAST(CASE WHEN json_valid(e.props) AND regexp_full_match(COALESCE(e.props->>'k', ''), '-?[0-9]+') THEN e.props->>'k' END AS INTEGER) END AS c,
              c.c_name AS client_name, c.c_mktsegment AS address, n.n_name AS county
       FROM events e
         JOIN customer c ON e.user_id = c.c_custkey

@@ -31,7 +31,7 @@ def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_ingest",
     oracle="""
-    SELECT event_id, event_type, CAST(props->>'k' AS INTEGER) AS k
+    SELECT event_id, event_type, TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER) AS k
     FROM events
     """,
 )

@@ -183,7 +183,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct({_TOKS_SQL.format(col='text')})), ' ')) AS fp
+           md5(COALESCE(array_to_string(list_sort(list_distinct({_TOKS_SQL.format(col='text')})), ' '), '')) AS fp
     FROM documents
     """,
 )

@@ -63,7 +63,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -72,7 +72,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling buckets (timestamp-clustered artifacts, reports/
     dir): date_trunc groupBy; value summed in exact integer cents."""
     ev = catalog.load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cents = F.round(F.col("value") * 100, 0).try_cast("bigint")  # non-finite -> NULL, both engines
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
     ).agg(
@@ -153,7 +153,7 @@ def q_wizard_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = catalog.load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")  # malformed/float k -> NULL
     remapped = F.when(
         (F.col("event_type") == "click") & (k % 11 == 3), F.lit("back")
     ).when(

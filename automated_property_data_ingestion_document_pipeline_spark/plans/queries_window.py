@@ -83,10 +83,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
-           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_value
     FROM events
@@ -97,7 +97,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated in integer cents so the result is exact (window-sum
     evaluation order differs between engines on doubles)."""
     ev = catalog.load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cents = F.round(F.col("value") * 100, 0).try_cast("bigint")  # non-finite -> NULL, both engines
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -119,7 +119,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sliding_window",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents,
            CAST(COUNT(*) OVER (
@@ -135,8 +135,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-ts rows share a frame on both engines (no tiebreak wanted
     here)."""
     ev = catalog.load(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    us = F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100, 0).try_cast("bigint")  # non-finite -> NULL, both engines
+    # .cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ inputs
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(us)

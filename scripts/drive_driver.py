@@ -25,6 +25,7 @@ for t in "region nation customer supplier part orders lineitem events documents 
 def canon(v):
     if v is None or (isinstance(v, float) and math.isnan(v)): return "∅"
     if isinstance(v, float):
+        if math.isinf(v): return repr(v)
         return f"{v:.1f}" if v == int(v) and abs(v) < 1e15 else repr(v)
     return str(v)
 
