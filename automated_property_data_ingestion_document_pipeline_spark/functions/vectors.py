@@ -21,4 +21,8 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (ANSI
+    division-by-zero would error — DuckDB yields NULL on x/0, so
+    ``try_divide`` is the parity-preserving form; zero vectors then
+    sort last under DESC ranking on both engines)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -29,7 +29,12 @@ def sessionize(
     Spark's streaming ``session_window`` closes a session at
     ``last_ts + gap`` *exclusive*, so an event exactly ``gap`` after the
     previous one starts a new session. The batch twin must agree on that
-    boundary or the two forms diverge on exact-gap pairs."""
+    boundary or the two forms diverge on exact-gap pairs.
+
+    NULL-``ts`` rows are quarantined (dropped): they have no timeline
+    position — matching the streaming twin, where an event without an
+    event-time never enters a session window."""
+    df = df.filter(F.col(ts).isNotNull())
     order = [F.col(ts).asc(), F.col(id_col).asc()]
     w = Window.partitionBy(key).orderBy(*order)
     gap_sec = gap_minutes * 60

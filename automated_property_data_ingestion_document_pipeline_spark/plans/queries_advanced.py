@@ -52,17 +52,18 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey,
            first_value(o_orderkey) OVER w AS first_order,
-           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
-           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth_value over the per-customer order history (full
-    frame for last/nth so every row sees the true extremes)."""
+    frame for last/nth so every row sees the true extremes). Oracle pins
+    NULLS FIRST to Spark's ASC default (DuckDB defaults NULLS LAST)."""
     o = catalog.load(spark, sf_dir, "orders")
     order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
     w_run = Window.partitionBy("o_custkey").orderBy(*order_cols)
@@ -92,11 +93,19 @@ def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax aggregation (max_by/arg_max): the order id carrying each
     group's extreme price. Prices are continuous doubles → extremes are
-    unique in this corpus, so the pick is deterministic."""
+    unique in this corpus, so the pick is deterministic (argmax over a
+    TIED measure is nondeterministic in standard SQL — not a contract).
+    NULL prices are FILTERed on the Spark side: DuckDB's arg_max skips
+    NULL measures while Spark's max_by can return them (edge-corpus
+    audit, round 2)."""
     o = catalog.load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.expr(
+            "max_by(o_orderkey, o_totalprice) FILTER (WHERE o_totalprice IS NOT NULL)"
+        ).alias("biggest_order"),
+        F.expr(
+            "min_by(o_orderkey, o_totalprice) FILTER (WHERE o_totalprice IS NOT NULL)"
+        ).alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )

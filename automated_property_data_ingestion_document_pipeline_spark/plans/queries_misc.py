@@ -28,13 +28,17 @@ from automated_property_data_ingestion_document_pipeline_spark.plans.registry im
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape (unpivot/melt): part measures into (field, val)
-    rows — a Generate, no shuffle, row count × number of measures."""
+    rows — a Generate, no shuffle, row count × number of measures.
+    NULL measures are dropped (standard melt semantics and DuckDB
+    UNPIVOT's default; Spark's unpivot keeps them, so filter)."""
     p = catalog.load(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_size").cast("double").alias("size_d"),
         "p_retailprice",
     )
-    return p.unpivot(["p_partkey"], ["size_d", "p_retailprice"], "field", "val")
+    return p.unpivot(["p_partkey"], ["size_d", "p_retailprice"], "field", "val").filter(
+        F.col("val").isNotNull()
+    )
 
 
 # -- collected-set aggregation -------------------------------------------------
@@ -90,9 +94,9 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bitwise_agg",
     oracle="""
     SELECT user_id,
-           CAST(bit_and(TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_and,
-           CAST(bit_or(TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_or,
-           CAST(bit_xor(TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_xor
+           CAST(bit_and(TRY_CAST(CASE WHEN json_valid(props) AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_and,
+           CAST(bit_or(TRY_CAST(CASE WHEN json_valid(props) AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_or,
+           CAST(bit_xor(TRY_CAST(CASE WHEN json_valid(props) AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT') THEN props->>'k' END AS INTEGER)) AS BIGINT) AS k_xor
     FROM events GROUP BY user_id
     """,
 )

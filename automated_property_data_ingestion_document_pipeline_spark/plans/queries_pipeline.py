@@ -34,7 +34,7 @@ _SCRATCH = os.path.join(_REPO_ROOT, ".scratch")
     SELECT doc_id,
            CASE WHEN NOT (text IS NOT NULL AND trim(text) <> '') THEN 'missing_text'
                 WHEN NOT (lang IS NOT NULL AND trim(lang) <> '') THEN 'missing_lang'
-                WHEN NOT (n_chars > 0) THEN 'bad_n_chars'
+                WHEN n_chars IS NULL OR n_chars <= 0 THEN 'bad_n_chars'
                 ELSE NULL END AS _reject_reason
     FROM documents
     """,
@@ -62,9 +62,9 @@ def q_required_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT event_id, value AS fee,
-             TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER) AS s,
-             CASE WHEN event_id % 3 = 0 THEN 100 - TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER)
-                  ELSE TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER) END AS c
+             TRY_CAST(CASE WHEN json_valid(props) AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT') THEN props->>'k' END AS INTEGER) AS s,
+             CASE WHEN event_id % 3 = 0 THEN 100 - TRY_CAST(CASE WHEN json_valid(props) AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT') THEN props->>'k' END AS INTEGER)
+                  ELSE TRY_CAST(CASE WHEN json_valid(props) AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT') THEN props->>'k' END AS INTEGER) END AS c
       FROM events)
     SELECT event_id, fee, s AS due_signing, c AS due_completion,
            (fee IS NOT NULL AND fee > 0
@@ -101,8 +101,9 @@ def q_validate_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # while the Spark side renders 'Fee: ' (edge-corpus audit, round 2).
 _CURRENCY_SQL = """COALESCE(CASE
   WHEN {v} = floor({v}) THEN '$' || printf('%,d', CAST({v} AS BIGINT))
-  ELSE '$' || printf('%,d', CAST(trunc(round({v}, 2)) AS BIGINT))
-       || '.' || lpad(CAST(CAST(round({v}, 2) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+  ELSE '$' || CASE WHEN {v} < 0 THEN '-' ELSE '' END
+       || printf('%,d', CAST(trunc(abs(round({v}, 2))) AS BIGINT))
+       || '.' || lpad(CAST(CAST(round(abs({v}), 2) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
 END, '')"""
 
 
@@ -240,15 +241,19 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_partitioned_write",
     oracle="""
-    SELECT lang, source, COUNT(*) AS n_docs
-    FROM documents GROUP BY lang, source
+    SELECT NULLIF(lang, '') AS lang, NULLIF(source, '') AS source,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
     """,
 )
 def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive sink (app.py:107-119): the hand-rolled {client}/{address}/
     tree as ``partitionBy`` parquet. Writes, reads BACK, and returns
     per-partition counts — so the oracle verifies the write/read
-    roundtrip preserved every row in the right partition."""
+    roundtrip preserved every row in the right partition. Hive-style
+    partition paths cannot represent an empty-string key (it folds into
+    __HIVE_DEFAULT_PARTITION__ = NULL on readback), so the oracle maps
+    '' → NULL the same way."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(_SCRATCH, f"partitioned_docs_{sf_tag}")
     d = catalog.load(spark, sf_dir, "documents")
@@ -265,9 +270,9 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH req AS (
       SELECT e.event_id, e.ts, e.value AS fee,
-             TRY_CAST(CASE WHEN json_valid(e.props) AND regexp_full_match(COALESCE(e.props->>'k', ''), '-?[0-9]+') THEN e.props->>'k' END AS INTEGER) AS s,
-             CASE WHEN e.event_id % 3 = 0 THEN 100 - TRY_CAST(CASE WHEN json_valid(e.props) AND regexp_full_match(COALESCE(e.props->>'k', ''), '-?[0-9]+') THEN e.props->>'k' END AS INTEGER)
-                  ELSE TRY_CAST(CASE WHEN json_valid(e.props) AND regexp_full_match(COALESCE(e.props->>'k', ''), '-?[0-9]+') THEN e.props->>'k' END AS INTEGER) END AS c,
+             TRY_CAST(CASE WHEN json_valid(e.props) AND json_type(json(e.props), '$.k') IN ('BIGINT', 'UBIGINT') THEN e.props->>'k' END AS INTEGER) AS s,
+             CASE WHEN e.event_id % 3 = 0 THEN 100 - TRY_CAST(CASE WHEN json_valid(e.props) AND json_type(json(e.props), '$.k') IN ('BIGINT', 'UBIGINT') THEN e.props->>'k' END AS INTEGER)
+                  ELSE TRY_CAST(CASE WHEN json_valid(e.props) AND json_type(json(e.props), '$.k') IN ('BIGINT', 'UBIGINT') THEN e.props->>'k' END AS INTEGER) END AS c,
              c.c_name AS client_name, c.c_mktsegment AS address, n.n_name AS county
       FROM events e
         JOIN customer c ON e.user_id = c.c_custkey

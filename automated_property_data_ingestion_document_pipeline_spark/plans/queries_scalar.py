@@ -31,7 +31,7 @@ def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_ingest",
     oracle="""
-    SELECT event_id, event_type, TRY_CAST(CASE WHEN json_valid(props) AND regexp_full_match(COALESCE(props->>'k', ''), '-?[0-9]+') THEN props->>'k' END AS INTEGER) AS k
+    SELECT event_id, event_type, TRY_CAST(CASE WHEN json_valid(props) AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT') THEN props->>'k' END AS INTEGER) AS k
     FROM events
     """,
 )
@@ -57,8 +57,9 @@ _CURRENCY_FEE = "CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice, 0) ELSE 
            CASE
              WHEN fee IS NULL THEN ''
              WHEN fee = floor(fee) THEN '$' || printf('%,d', CAST(fee AS BIGINT))
-             ELSE '$' || printf('%,d', CAST(trunc(round(fee, 2)) AS BIGINT))
-                  || '.' || lpad(CAST(CAST(round(fee, 2) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+             ELSE '$' || CASE WHEN fee < 0 THEN '-' ELSE '' END
+                  || printf('%,d', CAST(trunc(abs(round(fee, 2))) AS BIGINT))
+                  || '.' || lpad(CAST(CAST(round(abs(fee), 2) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
            END AS fee_fmt
     FROM src
     """,
@@ -66,7 +67,8 @@ _CURRENCY_FEE = "CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice, 0) ELSE 
 def q_currency_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``_format_currency`` (report_generator.py:23-31) over order totals;
     every 10th order rounded to a whole amount to exercise the integral
-    ``$N,NNN`` branch. Domain: non-negative money (reference fees)."""
+    ``$N,NNN`` branch. Negative fees format sign-then-abs on both engines
+    (DuckDB's %-modulo and trunc lose the sign for -1 < fee < 0)."""
     o = catalog.load(spark, sf_dir, "orders")
     fee = F.when(F.col("o_orderkey") % 10 == 0, F.round("o_totalprice", 0)).otherwise(
         F.col("o_totalprice")

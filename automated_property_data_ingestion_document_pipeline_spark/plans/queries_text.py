@@ -105,7 +105,7 @@ def _langid_oracle() -> str:
     return f"""
     WITH scored AS (SELECT doc_id, {defs} FROM documents)
     SELECT doc_id,
-           CASE WHEN greatest(s_de, s_en, s_es) <= 0 THEN 'und'
+           CASE WHEN COALESCE(greatest(s_de, s_en, s_es), 0) <= 0 THEN 'und'
                 WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
                 WHEN s_en >= s_es THEN 'en'
                 ELSE 'es' END AS lang_pred
@@ -183,13 +183,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           md5(COALESCE(array_to_string(list_sort(list_distinct({_TOKS_SQL.format(col='text')})), ' '), '')) AS fp
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(COALESCE(array_to_string(
+                       list_sort(list_distinct({_TOKS_SQL.format(col='text')})), ' '), '')) END AS fp
     FROM documents
     """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
-    token set (bag-of-words canary for near-dup detection)."""
+    token set (bag-of-words canary for near-dup detection). NULL text →
+    NULL fp on both engines; empty/whitespace text fingerprints md5('')
+    (DuckDB's array_to_string([]) is NULL, hence the guarded COALESCE —
+    it must NOT paper over the NULL-text case)."""
     d = catalog.load(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 

@@ -31,7 +31,7 @@ from automated_property_data_ingestion_document_pipeline_spark.streaming import 
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
                   WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1
                   ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,

@@ -146,7 +146,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(CASE WHEN len(l) >= 5
                THEN list_distinct(list_transform(range(1, len(l) - 5 + 2),
                       i -> array_to_string(list_slice(l, i, i + 4), ' ')))
-               ELSE [COALESCE(array_to_string(l, ' '), '')] END) AS s
+               ELSE [CASE WHEN l IS NULL THEN NULL
+                          ELSE COALESCE(array_to_string(l, ' '), '') END] END) AS s
       FROM toks),
     bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
     corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)

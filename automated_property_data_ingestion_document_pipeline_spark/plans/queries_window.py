@@ -89,14 +89,16 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progress metric (App.js:521) as a running per-user sum —
     accumulated in integer cents so the result is exact (window-sum
-    evaluation order differs between engines on doubles)."""
-    ev = catalog.load(spark, sf_dir, "events")
+    evaluation order differs between engines on doubles). NULL-ts rows
+    are quarantined: they cannot take a place on a timeline (and the
+    engines default their sort position differently)."""
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     cents = F.round(F.col("value") * 100, 0).try_cast("bigint")  # non-finite -> NULL, both engines
     w = (
         Window.partitionBy("user_id")
@@ -189,13 +191,14 @@ def q_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, value,
            lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
            value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Abort-then-retry comparison (App.js:354-357): lag over the per-user
-    timeline; row-local copy + IEEE subtraction, bit-exact."""
-    ev = catalog.load(spark, sf_dir, "events")
+    timeline; row-local copy + IEEE subtraction, bit-exact. NULL-ts rows
+    quarantined (no timeline position)."""
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("value").over(w)
     return ev.select(

@@ -75,6 +75,8 @@ def sample_frames(
             ids, idxs, frames, metas = [], [], [], []
             # zip over columns, not iterrows (~5× per-row Series cost)
             for rid, payload in zip(pdf[id_col].to_numpy(), pdf[content_col].to_numpy()):
+                if payload is None:
+                    continue  # NULL payload → no frames (nothing to decode)
                 payload = bytes(payload)
                 if not fake:
                     raise DecodeUnavailable("ffmpeg frame extraction not in container")
