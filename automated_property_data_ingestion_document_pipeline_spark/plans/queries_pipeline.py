@@ -437,6 +437,42 @@ def q_letter_sink_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_sink.render_letters_from_context(letters, out)
 
 
+# -- S8: PDF render sink (rows-only) ------------------------------------------
+
+
+@query("q_letter_sink_pdf")  # rows-only: writes executor-side PDF artifacts
+def q_letter_sink_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-convert sink (report_generator.py:92-103): the reference
+    shells out to LibreOffice per record; here the same letter lines
+    render directly to PDF 1.4 bytes executor-side via the built-in
+    writer (sources/pdf_sink.py) — no subprocess, no external binary, so
+    S8 executes in any container. Manifest returned; artifacts are real
+    parseable .pdf files."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_sink
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_SCRATCH, f"letters_pdf_{sf_tag}")
+    o = catalog.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    c = catalog.load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    letters = joined.select(
+        F.concat(
+            fmt.safe_name(F.col("c_name")), F.lit("_"), F.col("o_orderkey").cast("string")
+        ).alias("client_key"),
+        fmt.letter_text(
+            run_date=F.col("o_orderdate"),
+            name=F.col("c_name"),
+            address=F.col("c_mktsegment"),
+            fee=F.col("o_totalprice"),
+            due_signing=F.lit("50"),
+            due_completion=F.lit("50"),
+            property_desc=F.col("o_orderpriority"),
+            parcel_id=F.col("o_orderkey").cast("string"),
+        ).alias("letter_text"),
+    )
+    return pdf_sink.render_letters_pdf(letters, out)
+
+
 # -- S3: HTTP enrichment connector (rows-only) --------------------------------
 
 

@@ -103,3 +103,49 @@ _sql_query(
     "customer scan, date filters into orders/lineitem scans, exact "
     "decimal revenue, deterministic top-10.",
 )
+
+_sql_query(
+    "q_sql_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape (pricing summary): map-side partial aggregation over "
+    "the fact scan, shipdate filter pushed down, exact-decimal money sums "
+    "(the double-sum parity rule, plans/_sql.py), averages derived as "
+    "decimal-sum / count so both engines divide identical operands.",
+)
+
+_sql_query(
+    "q_sql_tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount, 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+    "TPC-H Q6 shape (forecasting revenue change): pure scan-filter-agg, "
+    "every predicate pushed to the parquet reader, no shuffle beyond the "
+    "single-row final combine.",
+)

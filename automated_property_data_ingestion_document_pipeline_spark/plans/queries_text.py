@@ -237,6 +237,57 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("jaccard") >= 0.5)
 
 
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 3),
+                                          i -> substr(text, i, 5))) AS gset
+      FROM documents WHERE doc_id < 60 AND length(text) >= 5)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.gset, b.gset))) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.3
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup (the shingle granularity the
+    brief lists beside token-set): robust to tokenization differences —
+    catches near-dups that word-split Jaccard misses (punctuation,
+    hyphenation). Bounded subset keeps the exact quadratic verify
+    oracle-checkable; at scale the same gram sets feed MinHash banding
+    (operators/dedup.py) so candidates stay sub-quadratic. Both engines
+    use character (not byte) indexing, so multibyte text agrees."""
+    n = 5
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & (F.length("text") >= n))
+    )
+    sets_df = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - n + 1),
+                lambda i: F.col("text").substr(i, F.lit(n)),
+            )
+        ).alias("gset"),
+    )
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("gset").alias("_ga"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("gset").alias("_gb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("_ga", "_gb")).cast("double")
+            / F.size(F.array_distinct(F.concat("_ga", "_gb")))
+        ).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= 0.3)
+
+
 # -- dedup clusters: connected components over near-dup pairs ------------------
 
 

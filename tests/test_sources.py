@@ -190,3 +190,46 @@ def test_archive_partitioned_roundtrip(spark):
     # partition pruning applies: reading client=a sees only 2 rows
     assert back.filter(F.col("client") == "a").count() == 2
     assert os.path.isdir(os.path.join(out_dir, "client=a", "addr=x"))
+
+
+def test_pdf_bytes_roundtrip_and_structure():
+    """S8 PDF writer: valid header/xref/trailer, deterministic bytes,
+    text round-trips through the test-side extractor, escapes survive,
+    pagination kicks in past LINES_PER_PAGE."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_sink
+
+    lines = ["Dear Jo (and Al)", "Fee: $1,234.50 \\ 50%", "Parcel: VA-123"]
+    payload = pdf_sink.pdf_bytes_from_lines(lines)
+    assert payload.startswith(b"%PDF-1.4")
+    assert payload.rstrip().endswith(b"%%EOF")
+    assert b"xref" in payload and b"/Root 1 0 R" in payload
+    # xref offset in the trailer points at the xref keyword
+    startxref = int(payload.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    assert payload[startxref : startxref + 4] == b"xref"
+    assert pdf_sink.extract_pdf_text(payload) == lines
+    assert pdf_sink.pdf_bytes_from_lines(lines) == payload  # deterministic
+    # multi-page: 100 lines > LINES_PER_PAGE (46) -> 3 pages
+    many = [f"line {i}" for i in range(100)]
+    multi = pdf_sink.pdf_bytes_from_lines(many)
+    assert multi.count(b"/Type /Page ") == 3
+    assert pdf_sink.extract_pdf_text(multi) == many
+
+
+def test_render_letters_pdf_writes_real_pdf(spark):
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_sink
+
+    out_dir = os.path.join(SCRATCH, "letters_pdf_unit")
+    letters = spark.createDataFrame(
+        [("Jo_Smith_1", "Dear Jo\nLine two"), ("Al_Jones_2", "Dear Al")],
+        "client_key string, letter_text string",
+    )
+    manifest = {
+        r["client_key"]: r for r in pdf_sink.render_letters_pdf(letters, out_dir).collect()
+    }
+    assert manifest["Jo_Smith_1"]["filename"] == "Engagement_Letter_Jo_Smith_1.pdf"
+    assert manifest["Jo_Smith_1"]["media_type"] == "application/pdf"
+    with open(os.path.join(out_dir, "Engagement_Letter_Jo_Smith_1.pdf"), "rb") as f:
+        payload = f.read()
+    assert payload.startswith(b"%PDF-1.4")
+    assert pdf_sink.extract_pdf_text(payload) == ["Dear Jo", "Line two"]
+    assert manifest["Al_Jones_2"]["n_bytes"] > 0
