@@ -58,3 +58,32 @@ def test_exact_dedup_single_exchange(spark, sf_dir):
 def test_scalar_queries_are_map_only(spark, sf_dir, key):
     plan = plan_of(spark, sf_dir, key)
     assert "Exchange" not in plan  # pure scan + project
+
+
+def test_tpch_q1_partial_agg_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_sql_tpch_q1")
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # two-phase aggregation: map-side partial before the single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    # column pruning: only the 7 needed lineitem columns scanned
+    assert "l_orderkey" not in plan.split("ReadSchema")[1]
+
+
+def test_tpch_q6_scan_filter_agg_no_hash_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_sql_tpch_q6")
+    # every predicate pushed: shipdate range, discount bounds, quantity
+    pushed = plan.split("PushedFilters: ")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    # global agg: partial -> single-partition final, no hash exchange
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ngram_jaccard_bounded_side_broadcasts(spark, sf_dir):
+    # the bounded (doc_id < 60) oracle variant must broadcast one side,
+    # never shuffle-join the corpus against itself
+    plan = plan_of(spark, sf_dir, "q_ngram_jaccard")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
