@@ -35,34 +35,50 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` within the same key (backward direction).
+    ``right.ts <= left.ts`` within the same key (``backward``), or the
+    earliest right row with ``right.ts >= left.ts`` (``forward``).
 
     Implemented as union-merge: tag both sides, union, sort within key by
     (ts, side), carry the last non-null right payload forward with
     ``last(..., ignorenulls)`` over an unbounded-preceding window, then
     keep left rows. Exactly ONE shuffle on ``key`` and no range
     self-join blowup — this is the plan that survives 100 TB, unlike the
-    inequality-join + row_number formulation (quadratic per key).
+    inequality-join + row_number formulation (quadratic per key). The
+    forward direction is the same merge with the time axis reversed
+    (ts DESC): "last right seen so far" then means "nearest right at or
+    after the left row".
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip ordering/sign at the call site")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tagged = left.withColumn("_side", F.lit(1))
-    r_tagged = right.select(
-        key, ts, *[F.col(c).alias(f"_r_{c}") for c in payload_cols]
-    ).withColumn("_side", F.lit(0))
+    # NULL-ts right rows can match nothing (ts <= / >= NULL is never
+    # true); dropping them also keeps them out of the merge order, where
+    # Spark's nulls-first/last placement would otherwise leak their
+    # payload into real rows.
+    r_tagged = (
+        right.filter(F.col(ts).isNotNull())
+        .select(key, ts, *[F.col(c).alias(f"_r_{c}") for c in payload_cols])
+        .withColumn("_side", F.lit(0))
+    )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # side=0 (right) sorts before side=1 (left) at equal ts → ties are
-    # inclusive (right row at exactly left.ts is visible to it).
+    # inclusive (right row at exactly left.ts is visible to it) in BOTH
+    # directions.
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in payload_cols:
         merged = merged.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
     out = merged.filter(F.col("_side") == 1).drop("_side")
     for c in payload_cols:
-        out = out.withColumnRenamed(f"_r_{c}", f"asof_{c}")
+        # a NULL-ts left row likewise matches nothing
+        out = out.withColumn(
+            f"asof_{c}",
+            F.when(F.col(ts).isNotNull(), F.col(f"_r_{c}")),
+        ).drop(f"_r_{c}")
     return out
 
 

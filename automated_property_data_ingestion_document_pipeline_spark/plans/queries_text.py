@@ -199,6 +199,86 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+# -- repetition filter (Gopher-style) -----------------------------------------
+
+
+@query(
+    "q_repetition_filter",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    stats AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS dup_token_frac
+      FROM base),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM base),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+      FROM cnt GROUP BY 1)
+    SELECT s.doc_id, s.n_toks, s.dup_token_frac,
+           COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (s.dup_token_frac <= 0.55
+            AND COALESCE(t.top_bigram_frac, 0.0) <= 0.10) AS keep
+    FROM stats s LEFT JOIN top t USING (doc_id)
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter in the Gopher/MassiveText style
+    (Rae et al. 2021 §A1.1: drop docs dominated by duplicate lines or a
+    single repeated n-gram), at token granularity for this single-line
+    corpus: duplicate-token fraction (row-local, codegen) and the most
+    frequent word-bigram's occupancy (explode → count → per-doc max —
+    the scalable formulation: shuffle volume = bigram count with
+    map-side combine, never a per-doc quadratic HOF). NULL text yields
+    NULL metrics and NULL keep on both engines (three-valued AND)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        ).alias("dup_token_frac"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") > 1,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i - 1], ' ', toks[i]))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            (F.max("count").cast("double") / F.sum("count")).alias("top_bigram_frac")
+        )
+    )
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        "dup_token_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        (
+            (F.col("dup_token_frac") <= 0.55)
+            & (F.coalesce("top_bigram_frac", F.lit(0.0)) <= 0.10)
+        ).alias("keep"),
+    )
+
+
 # -- n-gram/token-set Jaccard near-dup ----------------------------------------
 
 

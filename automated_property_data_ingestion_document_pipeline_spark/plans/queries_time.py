@@ -134,6 +134,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "asof_event_id")
 
 
+@query(
+    "q_asof_join_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+      (SELECT v.event_id FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts >= p.ts
+        ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS asof_event_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the EARLIEST
+    subsequent 'view' of the same user (the look-ahead direction —
+    next-touch attribution). Same union-merge plan as q_asof_join with
+    the time axis reversed: still ONE shuffle on user_id."""
+    ev = catalog.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    # Collapse equal-(user, ts) views to MIN event_id, matching the
+    # oracle's (ts ASC, event_id ASC) tiebreak.
+    views = views.groupBy("user_id", "ts").agg(F.min("event_id").alias("event_id"))
+    out = asof_join(
+        purchases, views, key="user_id", ts="ts", payload_cols=["event_id"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "asof_event_id")
+
+
 # -- T1: wizard step state machine (rows-only) ---------------------------------
 
 

@@ -36,6 +36,48 @@ def test_asof_join_matches_naive(spark):
     assert got == {"p1": 101, "p2": 102, "p3": None, "p4": None}
 
 
+def test_asof_join_forward_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(30), "p2"), (2, ts(5), "p3"), (3, ts(1), "p4")],
+        "user_id bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 100), (1, ts(10), 101), (1, ts(29, 59), 102), (2, ts(6), 103)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    out = joins.asof_join(
+        left, right, key="user_id", ts="ts", payload_cols=["event_id"],
+        direction="forward",
+    )
+    got = {r["tag"]: r["asof_event_id"] for r in out.collect()}
+    # p1@12:10 → event at exactly 12:10 (inclusive tie); p2@12:30 has no
+    # later right → null; p3@12:05 → 12:06; p4 user 3 → null
+    assert got == {"p1": 101, "p2": None, "p3": 103, "p4": None}
+
+
+def test_asof_join_null_ts_matches_nothing_and_pollutes_nothing(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, None, "pnull")],
+        "user_id bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999), (1, ts(9), 100)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    for direction, expect in (
+        ("backward", {"p1": 100, "pnull": None}),
+        ("forward", {"p1": None, "pnull": None}),
+    ):
+        out = joins.asof_join(
+            left, right, key="user_id", ts="ts", payload_cols=["event_id"],
+            direction=direction,
+        )
+        got = {r["tag"]: r["asof_event_id"] for r in out.collect()}
+        # the NULL-ts right row (999) must never surface; NULL-ts left
+        # rows match nothing
+        assert got == expect, direction
+
+
 def test_last_write_wins_deterministic_tiebreak(spark):
     df = spark.createDataFrame(
         [("k", ts(1), 1), ("k", ts(2), 2), ("k", ts(2), 3)],
