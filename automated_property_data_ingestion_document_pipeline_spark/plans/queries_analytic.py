@@ -358,3 +358,74 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(bucket * 25.0, 1).alias("bucket_lo"),
     )
+
+
+# -- funnel analysis -----------------------------------------------------------
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS v_ts
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.s_ts GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.v_ts GROUP BY 1)
+    SELECT s.user_id,
+           CAST(1 + CAST(v.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage,
+           s.s_ts, v.v_ts, p.p_ts
+    FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase): each stage's timestamp
+    is the first qualifying event STRICTLY AFTER the previous stage (a
+    view before signup does not count — the ordering that naive
+    min-per-type funnels get wrong). Every shuffle in the plan is keyed
+    on user_id: at local SF, AQE broadcasts the aggregated stage sides;
+    at fact scale those joins become sort-merge over the SAME
+    partitioning, so Catalyst's exchange reuse keeps it to one
+    partitioning of each filtered event subset — never an unkeyed or
+    cross join."""
+    ev = catalog.load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("v_ts").isNotNull().cast("int")
+                + F.col("p_ts").isNotNull().cast("int")
+            ).alias("stage"),
+            "s_ts",
+            "v_ts",
+            "p_ts",
+        )
+    )

@@ -48,7 +48,10 @@ for key in keys:
                 cols = sorted(sdf.columns)
                 a = sdf[cols].map(canon).sort_values(by=cols, kind="mergesort").reset_index(drop=True)
                 b = odf[cols].map(canon).sort_values(by=cols, kind="mergesort").reset_index(drop=True)
-                ok_vals = a.equals(b)
+                # value compare, dtype-insensitive: empty frames from
+                # toPandas vs fetchdf carry different dtypes but equal
+                # (zero) canonical values — a value-hash treats them equal
+                ok_vals = a.values.tolist() == b.values.tolist()
             status = "MATCH" if (ok_cols and ok_rows and ok_vals) else f"MISMATCH cols={ok_cols} rows={ok_rows} vals={ok_vals}"
         else:
             status = f"rows-only n={len(sdf)}"

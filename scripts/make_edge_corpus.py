@@ -101,7 +101,7 @@ write(
             "ts": pa.array(ts, pa.timestamp("ns")),
             "user_id": pa.array([i % 7 for i in range(N)], pa.int64()),
             "event_type": pa.array(
-                [["click", "view", "purchase", "submit", ""][i % 5] for i in range(N)]
+                [["click", "view", "purchase", "submit", "", "signup"][i % 6] for i in range(N)]
             ),
             "value": pa.array(doubles(N), pa.float64()),
             "props": pa.array([EDGE_JSON[i % len(EDGE_JSON)] for i in range(N)]),
