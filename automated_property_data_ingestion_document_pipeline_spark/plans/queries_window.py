@@ -208,3 +208,55 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_value"),
         (F.col("value") - prev).alias("delta"),
     )
+
+
+# -- SCD2 interval build -------------------------------------------------------
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE ts IS NOT NULL),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+    SELECT user_id, event_type, ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from an event
+    log: consecutive duplicate states collapse (a no-op change opens no
+    new version), each surviving change opens an interval closed by the
+    next change's timestamp (half-open [from, to)), open intervals
+    flagged current. Gaps-and-islands via lag/lead over ONE partitioning
+    (user_id) — both windows and the change filter share the same
+    shuffle; NULL-ts rows excluded on both engines (their placement in
+    window order is engine-specific)."""
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col("event_type")))
+        .drop("_prev", "_rn")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w2).alias("effective_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
