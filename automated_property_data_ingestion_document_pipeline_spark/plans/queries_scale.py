@@ -79,6 +79,35 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "parcel_id")
 
 
+@query("q_html_fields_udtf")  # rows-only: Python UDTF, engine-specific
+def q_html_fields_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same scrape through a REAL Python UDTF + LATERAL join (SURVEY
+    §2.8 UDTF surface): each page row fans out to one row per extracted
+    (field, value) pair — the table-function shape for multi-field
+    extraction, vs extract_field's one-scalar mapInPandas. Bounded to
+    200 pages: the point is the operator form, not volume."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.html_source import (
+        make_extract_fields_udtf,
+    )
+
+    c = catalog.load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    page = F.format_string(
+        "<html><table><tr><th>Owner</th><td>%s</td></tr>"
+        "<tr><th>Parcel ID</th><td>  %s-%s  </td></tr></table></html>",
+        F.col("c_name"),
+        F.col("c_mktsegment"),
+        F.col("c_custkey").cast("string"),
+    )
+    c.select("c_custkey", page.alias("page_html")).createOrReplaceTempView(
+        "_udtf_pages"
+    )
+    spark.udtf.register("extract_fields", make_extract_fields_udtf())
+    return spark.sql(
+        "SELECT p.c_custkey, f.field, f.value "
+        "FROM _udtf_pages p, LATERAL extract_fields(p.page_html) f"
+    )
+
+
 # -- approximation quality: LSH recall vs exact -------------------------------
 
 

@@ -81,3 +81,64 @@ def extract_field(df: DataFrame, html_col: str, label: str, out_col: str) -> Dat
             yield out
 
     return df.mapInPandas(_parse, schema)
+
+
+class _AllPairs(HTMLParser):
+    """Collect every th→following-td pair in document order — the UDTF
+    generalization of :class:`_SiblingExtract` (one row out per field
+    instead of one scalar)."""
+
+    def __init__(self):
+        super().__init__()
+        self._in_th = False
+        self._pending_label: str | None = None
+        self._in_td = False
+        self.pairs: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "th":
+            self._in_th = True
+        elif tag == "td" and self._pending_label is not None:
+            self._in_td = True
+
+    def handle_endtag(self, tag):
+        if tag == "th":
+            self._in_th = False
+        elif tag == "td":
+            self._in_td = False
+
+    def handle_data(self, data):
+        if self._in_th and data.strip():
+            self._pending_label = data.strip()
+        elif self._in_td and self._pending_label is not None and data.strip():
+            self.pairs.append(
+                (self._pending_label, data.replace("\xa0", " ").strip())
+            )
+            self._pending_label = None
+
+    @classmethod
+    def extract(cls, html: str) -> list[tuple[str, str]]:
+        if not html:
+            return []
+        p = cls()
+        try:
+            p.feed(html)
+        except Exception:
+            return []  # null-on-failure contract (crs_ui_bot.py:226-228)
+        return p.pairs
+
+
+def make_extract_fields_udtf():
+    """A REAL Python UDTF (SURVEY §2.8's UDTF row): page → one row per
+    extracted (field, value) pair, used with LATERAL so each input row
+    fans out to a variable number of output rows. Built lazily so module
+    import never requires an active Spark runtime."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="field string, value string")
+    class ExtractFieldsUDTF:
+        def eval(self, html: str):
+            for field, value in _AllPairs.extract(html):
+                yield field, value
+
+    return ExtractFieldsUDTF

@@ -92,3 +92,32 @@ def test_salted_join_matches_plain_join(spark):
     s = {(r["payload"], r["label"]) for r in salted.collect()}
     p = {(r["payload"], r["label"]) for r in plain.collect()}
     assert s == p
+
+
+def test_udtf_extracts_all_pairs_with_lateral_fanout(spark):
+    from automated_property_data_ingestion_document_pipeline_spark.sources.html_source import (
+        _AllPairs,
+        make_extract_fields_udtf,
+    )
+
+    html = (
+        "<html><table><tr><th>Owner</th><td>Jo</td></tr>"
+        "<tr><th>Parcel ID</th><td> \xa0069-123 </td></tr></table></html>"
+    )
+    assert _AllPairs.extract(html) == [("Owner", "Jo"), ("Parcel ID", "069-123")]
+    assert _AllPairs.extract(None) == [] and _AllPairs.extract("<p>x</p>") == []
+
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>no table</p>"), (3, None)], "id bigint, page string"
+    )
+    df.createOrReplaceTempView("_udtf_test_pages")
+    spark.udtf.register("extract_fields_t", make_extract_fields_udtf())
+    rows = spark.sql(
+        "SELECT p.id, f.field, f.value "
+        "FROM _udtf_test_pages p, LATERAL extract_fields_t(p.page) f"
+    ).collect()
+    # inner lateral: rows 2 and 3 produce nothing; row 1 fans out to 2
+    assert {(r["id"], r["field"], r["value"]) for r in rows} == {
+        (1, "Owner", "Jo"),
+        (1, "Parcel ID", "069-123"),
+    }
