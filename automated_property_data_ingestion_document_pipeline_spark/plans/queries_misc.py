@@ -8,6 +8,7 @@ array/struct paths instead.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,3 +143,35 @@ def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
     )
+
+
+# -- custom UDAF (grouped-agg pandas_udf) --------------------------------------
+
+
+@query(
+    "q_custom_udaf",
+    oracle="""
+    SELECT lang,
+           CAST((list(n_chars ORDER BY n_chars DESC)
+                 FILTER (n_chars IS NOT NULL))[2] AS BIGINT) AS second_max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL user-defined aggregate (SURVEY §2.8 UDAF row): grouped-agg
+    ``pandas_udf`` computing each language's second-largest document
+    length. Arrow ships each group's column as one numpy-backed Series
+    — the right UDAF boundary (no per-row Python). Integer-exact
+    selection (no float arithmetic), so the oracle is engine-portable.
+    At scale: grouped-agg UDAFs shuffle full groups to their aggregator
+    (no partial aggregation) — reserve the form for aggregates Spark
+    can't express; second-max is deliberately simple here to pin the
+    API surface, and the built-in alternative (two-pass max or a ranked
+    window) is the production path documented in PERFORMANCE.md."""
+    @F.pandas_udf("bigint")
+    def second_max(v: pd.Series) -> int:  # None return = NULL
+        v = v.dropna().sort_values(ascending=False)
+        return int(v.iloc[1]) if len(v) >= 2 else None
+
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(second_max("n_chars").alias("second_max_chars"))
