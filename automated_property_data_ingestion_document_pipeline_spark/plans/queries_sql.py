@@ -169,3 +169,38 @@ _sql_query(
     "week offsets — both engines truncate to Monday 00:00, where the "
     "datediff('week') functions differ in name and argument order.",
 )
+
+_sql_query(
+    "q_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)),
+    win AS (
+      SELECT event_type, hour, c,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(c) OVER w AS BIGINT) AS s,
+             CAST(SUM(c * c) OVER w AS BIGINT) AS ss
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour, c,
+           CASE WHEN n >= 2
+                 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) > 0
+                THEN (c - CAST(s AS DOUBLE) / n)
+                     / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                            / (n - 1))
+           END AS z
+    FROM win
+    """,
+    "Trailing-24h event-rate anomaly score: hourly counts per type, "
+    "z-score against the preceding day's window. Every aggregate is an "
+    "exact BIGINT sum; mean/variance are DERIVED from those integer sums "
+    "in identical double arithmetic, so the score is engine-portable — "
+    "stddev_samp() directly would not be (Welford vs naive summation "
+    "order differs between engines). Same shuffle key (event_type) for "
+    "the groupBy and the window; the frame excludes the current row so "
+    "an anomaly never masks itself.",
+)
