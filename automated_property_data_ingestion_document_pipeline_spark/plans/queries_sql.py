@@ -204,3 +204,69 @@ _sql_query(
     "the groupBy and the window; the frame excludes the current row so "
     "an anomaly never masks itself.",
 )
+
+_sql_query(
+    "q_sql_tpch_q5",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    "TPC-H Q5 shape (local-supplier volume): six-table join with the "
+    "customer-nation = supplier-nation co-location predicate; dims "
+    "broadcast, facts shuffle on their join keys, exact-decimal revenue.",
+)
+
+_sql_query(
+    "q_sql_tpch_q10",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape (returned-item reporting): quarter window + "
+    "returnflag filter pushed to the scans, top-20 lossy customers with "
+    "a deterministic (revenue, custkey) tiebreak so LIMIT picks the same "
+    "rows on both engines.",
+)
+
+_sql_query(
+    "q_sql_tpch_q14",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                              AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100
+           / CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    "TPC-H Q14 shape (promotion effect): conditional decimal aggregate "
+    "over a month of lineitem joined to part; the percentage divides two "
+    "exact-decimal sums cast to double in the same order on both engines.",
+)
