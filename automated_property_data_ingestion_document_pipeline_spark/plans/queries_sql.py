@@ -270,3 +270,24 @@ _sql_query(
     "over a month of lineitem joined to part; the percentage divides two "
     "exact-decimal sums cast to double in the same order on both engines.",
 )
+
+_sql_query(
+    "q_sql_tpch_q18",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    "TPC-H Q18 shape (large-volume customers): aggregate IN-subquery "
+    "(planned as a semi-join against the grouped lineitem), exact-decimal "
+    "quantity threshold, deterministic (totalprice, orderkey) top-20.",
+)
