@@ -429,3 +429,33 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_ts",
         )
     )
+
+
+# -- approximation quality: approx_percentile error vs exact -------------------
+
+
+@query("q_quantile_error")  # rows-only: measures our own approximation
+def q_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measurement for the documented sketch-based scale path
+    (percentile_approx / KLL-style): relative error of
+    approx_percentile(accuracy=100) against the exact interpolated
+    percentile, per priority group — the same instrumentation pattern as
+    q_lsh_recall/q_ivf_recall (never ship an approximation without its
+    measured error). At 100 TB the exact percentile's full sort-per-group
+    is the cost the sketch removes; accuracy trades memory for error
+    bound (~1/accuracy)."""
+    o = catalog.load(spark, sf_dir, "orders")
+    both = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(100)).alias("approx_p50"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("exact_p99"),
+        F.percentile_approx("o_totalprice", F.lit(0.99), F.lit(100)).alias("approx_p99"),
+    )
+    rel = lambda a, e: F.round(F.abs(F.col(a) - F.col(e)) / F.abs(F.col(e)), 6)  # noqa: E731
+    return both.select(
+        "o_orderpriority",
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("approx_p50", 2).alias("approx_p50"),
+        rel("approx_p50", "exact_p50").alias("rel_err_p50"),
+        rel("approx_p99", "exact_p99").alias("rel_err_p99"),
+    )
