@@ -250,3 +250,67 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = catalog.load(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, num_cells=8)
+
+
+@query(
+    "q_resample_bfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             arg_min(TRY_CAST(round(value * 100, 0) AS BIGINT), event_id) AS first_cents
+      FROM events GROUP BY 1, 2)
+    SELECT g.user_id, g.bucket,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           CAST(first_value(h.first_cents IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) / 100
+             AS bfill_value
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+)
+def q_resample_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill twin of q_resample_ffill: gaps take the EARLIEST
+    observation at-or-after the bucket (the fill direction used when a
+    reading is valid until superseded-from-the-future, e.g. scheduled
+    price lists). Same grid + join + one window pass, frame reversed
+    (current row → unbounded following); min_by FILTER mirrors DuckDB's
+    NULL-skipping arg_min exactly as the ffill twin does for arg_max."""
+    ev = catalog.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).try_cast("bigint")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    hourly = ev.withColumn("_cents", cents).groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr("min_by(_cents, event_id) FILTER (WHERE _cents IS NOT NULL)").alias(
+            "first_cents"
+        ),
+    )
+    joined = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        (F.first("first_cents", ignorenulls=True).over(w).cast("double") / 100).alias(
+            "bfill_value"
+        ),
+    )
