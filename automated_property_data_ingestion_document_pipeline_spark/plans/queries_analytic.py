@@ -348,12 +348,22 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via floor binning (portable width_bucket:
-    DuckDB 1.0 lacks the builtin). Non-finite values bin to the NULL
-    bucket on both engines (Spark's floor saturates ±inf to Long
-    min/max; the guard makes the contract explicit instead)."""
+    DuckDB 1.0 lacks the builtin). Non-finite and bigint-overflowing
+    values bin to the NULL bucket on both engines: Spark's
+    floor(double→long) SATURATES to Long.MaxValue for value/25 ≥ 2^63
+    where DuckDB's TRY_CAST yields NULL, so the guard cuts off exactly
+    where the QUOTIENT leaves long range (guarding the quotient, not
+    |value| < 25·2^63, sidesteps the division's last-ulp rounding at
+    the boundary), not at an arbitrary 1e300 (r02 advice)."""
     ev = catalog.load(spark, sf_dir, "events")
-    finite = F.col("value").isNotNull() & ~F.isnan("value") & (F.abs("value") < float("1e300"))
-    bucket = F.when(finite, F.floor(F.col("value") / 25)).cast("bigint")
+    q = F.col("value") / 25
+    finite = (
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (q >= -float(2**63))
+        & (q < float(2**63))
+    )
+    bucket = F.when(finite, F.floor(q)).cast("bigint")
     return ev.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
         F.round(bucket * 25.0, 1).alias("bucket_lo"),

@@ -99,11 +99,16 @@ def q_validate_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # COALESCE mirrors format_currency's null-on-failure contract ('' for
 # NULL fee) — without it a NULL fee would NULL the whole letter string
 # while the Spark side renders 'Fee: ' (edge-corpus audit, round 2).
+# The isfinite gate + TRY_CAST mirror the formatter's non-finite → ''
+# contract: NaN/inf passes a `fee > 0` gate on both engines (NaN sorts
+# greater), and a hard CAST(inf AS BIGINT) would ERROR the oracle where
+# Spark degrades to '' (r02 advice, medium).
 _CURRENCY_SQL = """COALESCE(CASE
-  WHEN {v} = floor({v}) THEN '$' || printf('%,d', CAST({v} AS BIGINT))
+  WHEN NOT isfinite({v}) OR abs({v}) >= 9223372036854775808.0 THEN NULL
+  WHEN {v} = floor({v}) THEN '$' || printf('%,d', TRY_CAST({v} AS BIGINT))
   ELSE '$' || CASE WHEN {v} < 0 THEN '-' ELSE '' END
-       || printf('%,d', CAST(trunc(abs(round({v}, 2))) AS BIGINT))
-       || '.' || lpad(CAST(CAST(round(abs({v}), 2) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+       || printf('%,d', TRY_CAST(trunc(abs(round({v}, 2))) AS BIGINT))
+       || '.' || lpad(CAST(TRY_CAST(round(abs({v}), 2) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
 END, '')"""
 
 

@@ -56,6 +56,7 @@ _CURRENCY_FEE = "CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice, 0) ELSE 
     SELECT o_orderkey,
            CASE
              WHEN fee IS NULL THEN ''
+             WHEN NOT isfinite(fee) OR abs(fee) >= 9223372036854775808.0 THEN ''
              WHEN fee = floor(fee) THEN '$' || printf('%,d', CAST(fee AS BIGINT))
              ELSE '$' || CASE WHEN fee < 0 THEN '-' ELSE '' END
                   || printf('%,d', CAST(trunc(abs(round(fee, 2))) AS BIGINT))

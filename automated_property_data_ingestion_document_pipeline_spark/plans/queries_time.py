@@ -127,10 +127,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
-    # Collapse equal-(user, ts) views to max event_id so the pick matches
-    # the oracle's (ts DESC, event_id DESC) tiebreak deterministically.
-    views = views.groupBy("user_id", "ts").agg(F.max("event_id").alias("event_id"))
-    out = asof_join(purchases, views, key="user_id", ts="ts", payload_cols=["event_id"])
+    # Equal-(user, ts) views resolve to max event_id via the merge-order
+    # tiebreak — no pre-collapsing groupBy, keeping exactly ONE exchange.
+    out = asof_join(
+        purchases, views, key="user_id", ts="ts", payload_cols=["event_id"],
+        tiebreak="event_id",
+    )
     return out.select("event_id", "user_id", "ts", "asof_event_id")
 
 
@@ -152,12 +154,11 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
-    # Collapse equal-(user, ts) views to MIN event_id, matching the
-    # oracle's (ts ASC, event_id ASC) tiebreak.
-    views = views.groupBy("user_id", "ts").agg(F.min("event_id").alias("event_id"))
+    # Equal-(user, ts) views resolve to MIN event_id via the merge-order
+    # tiebreak (reversed axis) — no pre-collapsing groupBy, ONE exchange.
     out = asof_join(
         purchases, views, key="user_id", ts="ts", payload_cols=["event_id"],
-        direction="forward",
+        direction="forward", tiebreak="event_id",
     )
     return out.select("event_id", "user_id", "ts", "asof_event_id")
 

@@ -147,6 +147,13 @@ def render_letters(letters: DataFrame, out_dir: str) -> DataFrame:
             for client_key, text in zip(
                 pdf["client_key"].to_numpy(), pdf["letter_text"].to_numpy()
             ):
+                # NULL key/text must not render a literal 'None' artifact
+                # ('Engagement_Letter_None.docx') — honor the formatter
+                # layer's NULL-propagation contract (r02 advice): no file,
+                # manifest row records the skip.
+                if pd.isna(client_key) or pd.isna(text):
+                    rows.append((client_key, None, 0, DOCX_MEDIA_TYPE, "skipped_null"))
+                    continue
                 filename = f"Engagement_Letter_{client_key}.docx"
                 payload = docx_bytes_from_lines(str(text).split("\n"))
                 path = os.path.join(out_dir, filename)
@@ -194,6 +201,11 @@ def render_letters_from_context(letters: DataFrame, out_dir: str) -> DataFrame:
             rows = []
             cols = {c: pdf[c].to_numpy() for c in LETTER_CONTEXT_COLS}
             for i, client_key in enumerate(pdf["client_key"].to_numpy()):
+                # NULL-key rows skip rendering (no 'None'-named artifact,
+                # r02 advice); NULL context fields still render as ''.
+                if pd.isna(client_key):
+                    rows.append((client_key, None, 0, DOCX_MEDIA_TYPE, "skipped_null"))
+                    continue
                 context = {c: ("" if cols[c][i] is None else cols[c][i]) for c in cols}
                 payload = render_docx(context)
                 filename = f"Engagement_Letter_{client_key}.docx"

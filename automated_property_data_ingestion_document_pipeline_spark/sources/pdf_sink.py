@@ -116,11 +116,13 @@ def extract_pdf_text(payload: bytes) -> list[str]:
 
     lines: list[str] = []
     for stream in re.findall(rb"stream\n(.*?)\nendstream", payload, re.S):
-        for m in re.findall(rb"\((.*?)\) Tj", stream, re.S):
-            unescaped = (
-                m.replace(b"\\(", b"(").replace(b"\\)", b")").replace(b"\\\\", b"\\")
-            )
-            lines.append(unescaped.decode("latin-1"))
+        # Escape-aware: consume escaped pairs (\\ \( \)) atomically so a
+        # line ending in ')' — written as '\) Tj' — isn't cut at the
+        # first literal ') Tj' with a stray trailing backslash (r02
+        # advice). Single-pass unescape for the same reason: sequential
+        # replace() would re-interpret the backslash of '\\('.
+        for m in re.findall(rb"\(((?:[^\\)]|\\.)*)\) Tj", stream, re.S):
+            lines.append(re.sub(rb"\\(.)", rb"\1", m).decode("latin-1"))
     return lines
 
 
@@ -142,6 +144,11 @@ def render_letters_pdf(letters: DataFrame, out_dir: str) -> DataFrame:
                 pdf_batch["client_key"].to_numpy(),
                 pdf_batch["letter_text"].to_numpy(),
             ):
+                # NULL key/text → manifest-only skip, never a 'None'
+                # artifact (r02 advice; mirrors doc_sink.render_letters)
+                if pd.isna(client_key) or pd.isna(text):
+                    rows.append((client_key, None, 0, PDF_MEDIA_TYPE, "skipped_null"))
+                    continue
                 filename = f"Engagement_Letter_{client_key}.pdf"
                 payload = pdf_bytes_from_lines(str(text).split("\n"))
                 with open(os.path.join(out_dir, filename), "wb") as f:

@@ -93,6 +93,19 @@ ts = [
     None if i % 53 == 0 else ts_base + np.timedelta64(int(i * 7.3e11), "ns")
     for i in range(N)
 ]
+ev_values = doubles(N)
+ev_props = [EDGE_JSON[i % len(EDGE_JSON)] for i in range(N)]
+# Pin the non-finite/overflow fee × VALID wizard steps interaction
+# (r02 advice): without these rows every inf/NaN value lands on an
+# invalid props.k and the currency formatter's isfinite/2^63 gate in
+# q_engagement_pipeline is never exercised through the step gates.
+# event_id 233: 233 % 3 != 0 → c = k = 50, s + c = 100 → valid steps;
+# NaN fee must still reject ONLY via the fee gate's NaN ordering and
+# format to '' if it ever reaches rendering. 234/235 likewise (234 % 3
+# == 0 → c = 100 - 50 = 50, still valid).
+for eid, bad in ((233, float("nan")), (234, float("inf")), (235, 1e308)):
+    ev_values[eid] = bad
+    ev_props[eid] = '{"k": 50}'
 write(
     "events",
     pa.table(
@@ -103,8 +116,8 @@ write(
             "event_type": pa.array(
                 [["click", "view", "purchase", "submit", "", "signup"][i % 6] for i in range(N)]
             ),
-            "value": pa.array(doubles(N), pa.float64()),
-            "props": pa.array([EDGE_JSON[i % len(EDGE_JSON)] for i in range(N)]),
+            "value": pa.array(ev_values, pa.float64()),
+            "props": pa.array(ev_props),
         }
     ),
 )

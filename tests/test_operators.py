@@ -211,3 +211,14 @@ def test_brute_force_topk_excludes_self_and_ranks(spark):
     rows = sorted(out.collect(), key=lambda r: -r["cos_sim"])
     assert [r["neighbor_id"] for r in rows] == [1, 3]
     assert all(r["query_id"] == 0 for r in rows)
+
+
+def test_connected_components_empty_edges_returns_fast(spark):
+    """r02 advice: SUM over zero rows is NULL — an empty pair set must
+    converge in one round, not run all max_iters join/checkpoint jobs."""
+    import time
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    t0 = time.monotonic()
+    assert dedup.connected_components(pairs, max_iters=20).collect() == []
+    assert time.monotonic() - t0 < 30  # 20 empty rounds would blow this

@@ -87,3 +87,13 @@ def test_ngram_jaccard_bounded_side_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_ngram_jaccard")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("key", ["q_asof_join", "q_asof_join_forward"])
+def test_asof_join_exactly_one_exchange(spark, sf_dir, key):
+    # operators/joins.py asof_join contract: union-merge = exactly ONE
+    # shuffle on the key; the r02 verdict flagged a pre-aggregation
+    # groupBy that added a second exchange — pin the fix.
+    plan = plan_of(spark, sf_dir, key)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan

@@ -233,3 +233,49 @@ def test_render_letters_pdf_writes_real_pdf(spark):
     assert payload.startswith(b"%PDF-1.4")
     assert pdf_sink.extract_pdf_text(payload) == ["Dear Jo", "Line two"]
     assert manifest["Al_Jones_2"]["n_bytes"] > 0
+
+
+def test_pdf_extract_handles_paren_terminated_lines():
+    """r02 advice: a line ENDING in ')' is written as '\\) Tj' — the
+    extractor must consume the escape pair, not cut at the first
+    literal ') Tj' leaving a stray backslash."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_sink
+
+    lines = ["Totals (net)", "(all)", ")", "\\", "a\\)b", "()"]
+    payload = pdf_sink.pdf_bytes_from_lines(lines)
+    assert pdf_sink.extract_pdf_text(payload) == lines
+
+
+def test_render_letters_null_rows_skip_not_none_artifact(spark):
+    """r02 advice: NULL client_key/letter_text must not produce a real
+    'Engagement_Letter_None.*' artifact — manifest-only skip on every
+    sink (docx lines, docx context, pdf)."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_sink
+
+    out_docx = os.path.join(SCRATCH, "letters_null_docx")
+    out_pdf = os.path.join(SCRATCH, "letters_null_pdf")
+    letters = spark.createDataFrame(
+        [("Jo_1", "Dear Jo"), (None, "Dear Ghost"), ("No_Text_3", None)],
+        "client_key string, letter_text string",
+    )
+    for fn, out_dir in ((doc_sink.render_letters, out_docx),
+                        (pdf_sink.render_letters_pdf, out_pdf)):
+        rows = fn(letters, out_dir).collect()
+        by_status = {r["status"] for r in rows}
+        assert by_status == {"ok", "skipped_null"}
+        skipped = [r for r in rows if r["status"] == "skipped_null"]
+        assert len(skipped) == 2
+        assert all(r["filename"] is None and r["n_bytes"] == 0 for r in skipped)
+        assert not [f for f in os.listdir(out_dir) if "None" in f]
+
+    # context path: NULL client_key skips; NULL context fields render ''
+    out_ctx = os.path.join(SCRATCH, "letters_null_ctx")
+    ctx_cols = ", ".join(f"{c} string" for c in doc_sink.LETTER_CONTEXT_COLS)
+    ctx_row = tuple("x" for _ in doc_sink.LETTER_CONTEXT_COLS)
+    df = spark.createDataFrame(
+        [("Jo_1",) + ctx_row, (None,) + ctx_row],
+        f"client_key string, {ctx_cols}",
+    )
+    rows = doc_sink.render_letters_from_context(df, out_ctx).collect()
+    assert {r["status"] for r in rows} == {"ok", "skipped_null"}
+    assert not [f for f in os.listdir(out_ctx) if "None" in f]
