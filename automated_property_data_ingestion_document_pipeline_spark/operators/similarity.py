@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from automated_property_data_ingestion_document_pipeline_spark.functions.vectors import cosine, dot
@@ -90,7 +90,14 @@ def lsh_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: compare only within matching hyperplane bucket.
-    Same output schema as brute_force_topk; recall < 1 by design."""
+    Same output schema as brute_force_topk; recall < 1 by design.
+
+    .. deprecated:: round 3
+        Single-table bucketing has a recall cliff (one 8-bit table ≈ 0.2
+        recall@5 on the near-orthogonal corpus — PERFORMANCE.md §7);
+        prefer :func:`lsh_topk_multi` (multi-table OR-amplification,
+        recall@5 0.83 at probe 0.54). Kept for the bucketing-baseline
+        comparison in ``q_lsh_recall``."""
     sig = lambda df: df.withColumn("_sig", hyperplane_signature(F.col(vec_col), num_planes, dim))
     q = sig(queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "_sig"
@@ -321,7 +328,7 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold (id_a < id_b).
     ``max_id`` bounds the quadratic blowup for the oracle-checked small
-    variant; the scale path is lsh_topk / bucketed join."""
+    variant; the scale path is lsh_topk_multi / bucketed join."""
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
     a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

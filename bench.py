@@ -54,6 +54,19 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def exchange_count(df) -> int:
+    """Number of Exchange (shuffle/broadcast-exchange excluded) nodes in
+    the physical plan. The r02 q_asof_join regression was an extra
+    shuffle invisible in wall-time jitter — counting exchanges makes a
+    plan-shape regression show up in the bench line itself. Counts the
+    initial physical plan (pre-AQE), which is deterministic across runs;
+    AQE can only coalesce/convert these at runtime, not add more."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
 def load_round_baseline() -> tuple[str, dict] | None:
     """Latest BENCH_r{N}.json beside this file → (name, per-query secs).
     Used to report per-query deltas so a regression is visible in the
@@ -86,13 +99,15 @@ def main() -> None:
     # not first-touch class loading.
     materialize(QUERIES["q_scan_count"](spark, SF_DIR))
 
-    timings: dict[str, float] = {}
+    timings: dict[str, dict] = {}
     total = 0.0
     for key in HEADLINE:
+        df = QUERIES[key](spark, SF_DIR)
+        nx = exchange_count(df)
         t0 = time.perf_counter()
-        materialize(QUERIES[key](spark, SF_DIR))
+        materialize(df)
         dt = round(time.perf_counter() - t0, 3)
-        timings[key] = dt
+        timings[key] = {"sec": dt, "exchanges": nx}
         total += dt
     line = {
         "metric": "headline_queries_total",
@@ -103,14 +118,27 @@ def main() -> None:
     }
     baseline = load_round_baseline()
     if baseline:
+        # pre-r03 rounds recorded bare seconds; r03+ records
+        # {sec, exchanges} — normalize for the delta computation.
         name, base_q = baseline
-        line["baseline"] = name
-        line["baseline_total"] = round(sum(base_q.values()), 3)
-        line["delta_x"] = {
-            k: round(timings[k] / base_q[k], 2)
-            for k in timings
-            if base_q.get(k)
+        base_sec = {
+            k: (v["sec"] if isinstance(v, dict) else v) for k, v in base_q.items()
         }
+        line["baseline"] = name
+        line["baseline_total"] = round(sum(base_sec.values()), 3)
+        line["delta_x"] = {
+            k: round(timings[k]["sec"] / base_sec[k], 2)
+            for k in timings
+            if base_sec.get(k)
+        }
+        exchange_regressions = {
+            k: {"was": base_q[k]["exchanges"], "now": timings[k]["exchanges"]}
+            for k in timings
+            if isinstance(base_q.get(k), dict)
+            and timings[k]["exchanges"] > base_q[k]["exchanges"]
+        }
+        if exchange_regressions:
+            line["exchange_regressions"] = exchange_regressions
     print(json.dumps(line))
     spark.stop()
 
