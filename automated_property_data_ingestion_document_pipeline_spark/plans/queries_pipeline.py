@@ -442,6 +442,40 @@ def q_letter_sink_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_sink.render_letters_from_context(letters, out)
 
 
+# -- S4+S7: render against the reference's OWN template bytes (rows-only) -----
+
+
+@query("q_letter_sink_ref_template")  # rows-only: writes executor-side artifacts
+def q_letter_sink_ref_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-bytes render (report_generator.py:57-58, 70): the 8-key
+    context substituted into a REAL .docx template's document.xml —
+    split-run placeholders collapsed like docxtpl's run merge. Uses the
+    reference's own templates/template.docx when that checkout exists
+    (driver machine); otherwise a self-built template with an
+    artificially split-run {{parcel_id}} so the hard case always
+    executes."""
+    template = doc_sink.load_reference_template_bytes()
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_SCRATCH, f"letters_ref_tpl_{sf_tag}")
+    o = catalog.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    c = catalog.load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    letters = joined.select(
+        F.concat(
+            fmt.safe_name(F.col("c_name")), F.lit("_"), F.col("o_orderkey").cast("string")
+        ).alias("client_key"),
+        F.date_format("o_orderdate", "MMMM dd, yyyy").alias("date"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("address"),
+        F.col("o_orderpriority").alias("property_under_appraisal"),
+        F.col("o_orderkey").cast("string").alias("parcel_id"),
+        fmt.format_currency(F.col("o_totalprice")).alias("fee"),
+        fmt.format_percent(F.lit("50")).alias("due_signing"),
+        fmt.format_percent(F.lit("50")).alias("due_completion"),
+    )
+    return doc_sink.render_letters_from_template(letters, out, template)
+
+
 # -- S8: PDF render sink (rows-only) ------------------------------------------
 
 

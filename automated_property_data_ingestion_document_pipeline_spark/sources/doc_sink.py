@@ -224,6 +224,134 @@ def render_letters_from_context(letters: DataFrame, out_dir: str) -> DataFrame:
     )
 
 
+# Split-run-aware placeholder span: Word routinely fragments '{{key}}'
+# across <w:r> runs (spell-check / revision-id boundaries), so the key
+# text may be interleaved with run-closing/opening tags — e.g. the
+# reference template's '{{p</w:t></w:r><w:r ...><w:t>arcel</w:t>…_id}}'
+# (templates/template.docx, SURVEY §5.1). The span starts and ends
+# inside a <w:t>, so replacing the WHOLE span (tags included) with the
+# escaped value collapses the fragments into the first run — exactly
+# docxtpl's run-merge preprocessing, without the dependency.
+_SPLIT_RUN_PLACEHOLDER_RE = re.compile(rb"\{\{((?:[^<>{}]|<[^>]*>)*?)\}\}", re.S)
+_XML_TAG_RE = re.compile(rb"<[^>]*>")
+
+
+def substitute_placeholders_xml(xml: bytes, context: dict) -> bytes:
+    """docxtpl-parity substitution over raw WordprocessingML bytes:
+    '{{key}}' (possibly split across runs) → escaped context value;
+    unknown keys → '' (jinja default-undefined contract)."""
+
+    def _sub(m: re.Match) -> bytes:
+        key = _XML_TAG_RE.sub(b"", m.group(1)).strip().decode("utf-8")
+        return escape(str(context.get(key, ""))).encode("utf-8")
+
+    return _SPLIT_RUN_PLACEHOLDER_RE.sub(_sub, xml)
+
+
+def render_docx_from_template(template_bytes: bytes, context: dict) -> bytes:
+    """Render an arbitrary .docx TEMPLATE's bytes (e.g. the reference's
+    own templates/template.docx, report_generator.py:57-58, 70) against a
+    context: placeholders substituted in the document body plus
+    headers/footers, every other zip part (styles, media, numbering)
+    byte-preserved. Deterministic timestamps → content-addressable
+    output, like :func:`docx_bytes_from_lines`."""
+    out = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(template_bytes)) as zin, zipfile.ZipFile(
+        out, "w", zipfile.ZIP_DEFLATED
+    ) as zout:
+        for item in zin.infolist():
+            payload = zin.read(item.filename)
+            if re.fullmatch(r"word/(document|header\d*|footer\d*)\.xml", item.filename):
+                payload = substitute_placeholders_xml(payload, context)
+            info = zipfile.ZipInfo(item.filename, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zout.writestr(info, payload)
+    return out.getvalue()
+
+
+def render_letters_from_template(
+    letters: DataFrame, out_dir: str, template_bytes: bytes
+) -> DataFrame:
+    """:func:`render_letters_from_context` against a real .docx template's
+    bytes instead of the built-in line template. ``template_bytes`` is
+    closed over by the UDF — shipped once per task like the S4 template
+    scan (the reference re-reads template.docx per record,
+    report_generator.py:57-70; here it rides the task broadcast)."""
+
+    def _render(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            cols = {c: pdf[c].to_numpy() for c in LETTER_CONTEXT_COLS}
+            for i, client_key in enumerate(pdf["client_key"].to_numpy()):
+                if pd.isna(client_key):
+                    rows.append((client_key, None, 0, DOCX_MEDIA_TYPE, "skipped_null"))
+                    continue
+                context = {c: ("" if cols[c][i] is None else cols[c][i]) for c in cols}
+                payload = render_docx_from_template(template_bytes, context)
+                filename = f"Engagement_Letter_{client_key}.docx"
+                with open(os.path.join(out_dir, filename), "wb") as f:
+                    f.write(payload)
+                rows.append((client_key, filename, len(payload), DOCX_MEDIA_TYPE, "ok"))
+            yield pd.DataFrame(
+                rows,
+                columns=["client_key", "filename", "n_bytes", "media_type", "status"],
+            )
+
+    return letters.mapInPandas(
+        _render,
+        "client_key string, filename string, n_bytes bigint, media_type string, "
+        "status string",
+    )
+
+
+REFERENCE_TEMPLATE_PATH = (
+    "/root/reference/real_estate_backend/templates/template.docx"
+)
+
+
+def load_reference_template_bytes() -> bytes:
+    """The reference's own template.docx bytes when its checkout is
+    present; otherwise a self-built equivalent whose ``{{parcel_id}}``
+    is artificially split across runs — so the split-run substitution
+    path executes in every environment, not only beside the reference."""
+    if os.path.exists(REFERENCE_TEMPLATE_PATH):
+        with open(REFERENCE_TEMPLATE_PATH, "rb") as f:
+            return f.read()
+    lines = [
+        ln.replace(
+            "{{parcel_id}}",
+            # run-fragmented exactly like Word does it (SURVEY §5.1)
+            '{{p</w:t></w:r><w:r><w:t xml:space="preserve">arcel_id}}',
+        )
+        for ln in DOCX_TEMPLATE_LINES
+    ]
+    # escape() must not run over the injected run-boundary tags — build
+    # the body by hand from pre-escaped text around the split point.
+    paras = "".join(
+        '<w:p><w:r><w:t xml:space="preserve">' + ln + "</w:t></w:r></w:p>"
+        for ln in lines
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>" + paras + "<w:sectPr/></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, payload in (
+            ("[Content_Types].xml", _CONTENT_TYPES_XML),
+            ("_rels/.rels", _ROOT_RELS_XML),
+            ("word/document.xml", document),
+        ):
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(info, payload)
+    return buf.getvalue()
+
+
 def archive_partitioned(df: DataFrame, out_dir: str, keys: list[str]) -> None:
     """Archive sink (app.py:107-119): the hand-rolled
     ``P:/.../{client}/{address}/`` layout as a partitioned parquet write

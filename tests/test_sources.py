@@ -279,3 +279,95 @@ def test_render_letters_null_rows_skip_not_none_artifact(spark):
     rows = doc_sink.render_letters_from_context(df, out_ctx).collect()
     assert {r["status"] for r in rows} == {"ok", "skipped_null"}
     assert not [f for f in os.listdir(out_ctx) if "None" in f]
+
+
+REFERENCE_TEMPLATE = (
+    "/root/reference/real_estate_backend/templates/template.docx"
+)
+
+
+def test_reference_template_bytes_render_split_run_placeholders(spark):
+    """r02 verdict #3: substitute the 8-key context into the REFERENCE's
+    own template.docx document.xml — including the '{{parcel_id}}'
+    placeholder Word split across runs (SURVEY §5.1), the one hard case
+    a naive string-replace misses — and assert every placeholder is
+    gone from the rendered artifact."""
+    import re
+    import zipfile
+
+    import pytest
+
+    if not os.path.exists(REFERENCE_TEMPLATE):
+        pytest.skip("reference checkout not present")
+    with open(REFERENCE_TEMPLATE, "rb") as f:
+        template = f.read()
+
+    # the raw template really does split {{parcel_id}} across runs —
+    # the naive-miss precondition this test exists to cover
+    with zipfile.ZipFile(REFERENCE_TEMPLATE) as z:
+        raw = z.read("word/document.xml")
+    assert b"{{parcel_id}}" not in raw and b"{{p</w:t>" in raw
+
+    context = {
+        "date": "January 5, 2026",
+        "name": "Jo Client",
+        "address": "1 Main St",
+        "property_under_appraisal": "2 Oak Ave",
+        "parcel_id": "PID-9<&>7",  # escaping must survive the zip round-trip
+        "fee": "$1,500",
+        "due_signing": "50%",
+        "due_completion": "50%",
+    }
+    payload = doc_sink.render_docx_from_template(template, context)
+
+    with zipfile.ZipFile(__import__("io").BytesIO(payload)) as z:
+        names = set(z.namelist())
+        doc = z.read("word/document.xml")
+        # all 8 context values substituted (XML-escaped where needed)
+        for key, val in context.items():
+            assert (
+                doc.count(doc_sink.escape(val).encode()) >= 1
+            ), f"{key} not substituted"
+        # no placeholder remains, split-run or intact, in any rendered part
+        for part in names:
+            if re.fullmatch(r"word/(document|header\d*|footer\d*)\.xml", part):
+                assert b"{{" not in z.read(part) and b"}}" not in z.read(part)
+        # unknown-context placeholders ({{initial_1}}, {{customer_signature_name}})
+        # rendered as '' — jinja default-undefined parity
+        assert b"initial_1" not in doc and b"customer_signature_name" not in doc
+        # non-template parts byte-preserved (styles, media, theme…)
+        with zipfile.ZipFile(REFERENCE_TEMPLATE) as zt:
+            assert z.read("word/styles.xml") == zt.read("word/styles.xml")
+            assert z.read("word/media/image1.jpeg") == zt.read("word/media/image1.jpeg")
+            assert names == set(zt.namelist())
+
+    # and through the Spark sink: one artifact per row from the real bytes
+    out_dir = os.path.join(SCRATCH, "letters_ref_template")
+    ctx_row = tuple(context[c] for c in doc_sink.LETTER_CONTEXT_COLS)
+    df = spark.createDataFrame(
+        [("Jo_Client_1",) + ctx_row],
+        "client_key string, " + ", ".join(f"{c} string" for c in doc_sink.LETTER_CONTEXT_COLS),
+    )
+    manifest = doc_sink.render_letters_from_template(df, out_dir, template).collect()
+    assert manifest[0]["status"] == "ok" and manifest[0]["n_bytes"] > 10_000
+    with zipfile.ZipFile(os.path.join(out_dir, manifest[0]["filename"])) as z:
+        assert b"PID-9&lt;&amp;&gt;7" in z.read("word/document.xml")
+
+
+def test_fallback_template_bytes_also_split_run(monkeypatch, spark):
+    """The no-reference fallback template must still exercise the
+    split-run path so q_letter_sink_ref_template is environment-proof."""
+    import io
+    import zipfile
+
+    monkeypatch.setattr(doc_sink, "REFERENCE_TEMPLATE_PATH", "/nonexistent/t.docx")
+    template = doc_sink.load_reference_template_bytes()
+    with zipfile.ZipFile(io.BytesIO(template)) as z:
+        raw = z.read("word/document.xml")
+    assert b"{{parcel_id}}" not in raw and b"{{p</w:t>" in raw
+    payload = doc_sink.render_docx_from_template(
+        template, {c: f"V_{c}" for c in doc_sink.LETTER_CONTEXT_COLS}
+    )
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        doc = z.read("word/document.xml")
+    assert b"V_parcel_id" in doc and b"{{" not in doc
