@@ -19,6 +19,10 @@ from automated_property_data_ingestion_document_pipeline_spark.functions.text im
     tokens,
 )
 
+# Rounds the most recent connected_components() call took to converge
+# (= observed component diameter + 1); surfaced in bench output.
+LAST_CC_ROUNDS = 0
+
 
 def last_write_wins(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
     """Keep the newest row per key (report_generator.py:63-68, 89 —
@@ -182,7 +186,13 @@ def connected_components(
     chains are capped by ``max_iters``. This is the standard
     hash-min CC (cf. Kiveris et al., "Connected Components in
     MapReduce"), the piece that turns pair-wise near-dup detection into
-    actionable dedup groups at corpus scale."""
+    actionable dedup groups at corpus scale.
+
+    Rounds actually run are recorded in module-level
+    ``LAST_CC_ROUNDS`` (bench.py reports it next to wall-time so a
+    diameter blow-up is visible as plan shape, not just latency)."""
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = 0
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -213,6 +223,7 @@ def connected_components(
         changed = new_labels.agg(
             F.coalesce(F.sum((F.col("cc") != F.col("_old")).cast("int")), F.lit(0))
         ).first()[0]
+        LAST_CC_ROUNDS += 1
         labels = new_labels.drop("_old")
         if changed == 0:
             break

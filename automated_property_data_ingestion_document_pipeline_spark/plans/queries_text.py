@@ -435,6 +435,32 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, candidates, shingle_k=3, threshold=0.5)
 
 
+# -- scale-path dedup clusters: MinHash → exact verify → CC (rows-only) -------
+
+
+@query("q_neardup_clusters")  # rows-only: MinHash banding uses engine xxhash64
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL scale-path dedup composition (r02 verdict #4): MinHash
+    band candidates → exact shingle-Jaccard verify (≥ 0.5) → connected
+    components, over the UNBOUNDED documents table. Same similarity
+    metric and banding as q_minhash_neardup (3-token shingles — measured
+    at sf0.001: 16 hashes / 8 bands recalls 28/28 exact J≥0.5 pairs
+    from candidates totaling 0.03 % of all-pairs; 1-token shingles were
+    rejected — common vocabulary collapses the LSH s-curve and r=1
+    banding goes near-quadratic). tests/test_operators.py pins the
+    composition against an exact all-pairs closure of the same metric on
+    a bounded subset, candidate recall being the only permissible
+    divergence. Sub-quadratic end-to-end: candidates are
+    band-bucket-local, verify touches candidates only, CC shuffles once
+    per round on node id (rounds = component diameter, reported in
+    bench output)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    candidates = dedup.minhash_candidate_pairs(d, num_hashes=16, bands=8, shingle_k=3)
+    verified = dedup.ngram_jaccard_pairs(d, candidates, shingle_k=3, threshold=0.5)
+    cc = dedup.connected_components(verified)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # -- SimHash (rows-only) -------------------------------------------------------
 
 

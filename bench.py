@@ -46,6 +46,7 @@ HEADLINE = [
     "q_knn",
     "q_simhash",
     "q_minhash_neardup",
+    "q_neardup_clusters",
     "q_resample_ffill",
 ]
 
@@ -99,16 +100,31 @@ def main() -> None:
     # not first-touch class loading.
     materialize(QUERIES["q_scan_count"](spark, SF_DIR))
 
+    from automated_property_data_ingestion_document_pipeline_spark.operators import dedup
+
     timings: dict[str, dict] = {}
     total = 0.0
     for key in HEADLINE:
+        t_build = time.perf_counter()
         df = QUERIES[key](spark, SF_DIR)
+        build_s = time.perf_counter() - t_build
         nx = exchange_count(df)
         t0 = time.perf_counter()
         materialize(df)
         dt = round(time.perf_counter() - t0, 3)
         timings[key] = {"sec": dt, "exchanges": nx}
-        total += dt
+        if key == "q_neardup_clusters":
+            # iterative CC runs its per-round jobs (and convergence
+            # probes) during CONSTRUCTION, so its real cost is build
+            # time; fold it in, and report rounds-to-convergence
+            # (= component diameter) — the plan-shape number for an
+            # iterative operator, one shuffle per round.
+            timings[key] = {
+                "sec": round(dt + build_s, 3),
+                "exchanges": nx,
+                "cc_rounds": dedup.LAST_CC_ROUNDS,
+            }
+        total += timings[key]["sec"]
     line = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
