@@ -180,6 +180,18 @@ def test_multi_table_lsh_recall_gate(spark, sf_dir):
     assert 0.0 < overall["probe_fraction"] < 1.0
 
 
+def test_ivf_recall_gate(spark, sf_dir):
+    """r02 verdict item 5: IVF ANN must reach overall recall@5 ≥ 0.8 at
+    a measured probe fraction ≤ 0.5 (config 32 cells / nprobe 14,
+    chosen by the r03 sweep — PERFORMANCE.md §13)."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_ivf_recall"](spark, sf_dir).collect()
+    overall = [r for r in rows if r["query_id"] == -1][0]
+    assert overall["recall_at_5"] >= 0.8
+    assert 0.0 < overall["probe_fraction"] <= 0.5
+
+
 def test_lsh_topk_multi_subset_of_exact_scores(spark):
     """Every LSH hit must carry the SAME cosine the exact path computes
     (verify step is exact), and hits are a subset of corpus ids."""
