@@ -39,6 +39,26 @@ def last_write_wins(df: DataFrame, key_cols: list[str], order_cols: list[Column]
     )
 
 
+def last_write_wins_agg(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Hot-key-robust last-write-wins (r02 verdict #6): the same
+    newest-row-per-key contract as :func:`last_write_wins`, reformulated
+    as ``max_by`` over a lexicographic order struct. Unlike the ranking
+    window — whose partition sort puts EVERY row of a hot key through
+    one task and cannot be salted — an aggregate gets map-side partial
+    combine: each map task reduces its slice of the hot key to a single
+    candidate row, so the shuffle carries #map-partitions rows per key,
+    never #rows. This is the form to reach for when the keep-newest
+    policy meets a skewed key at scale; results are bit-identical
+    (same unique-tiebreaker contract — pinned by tests/test_skew.py
+    and the shared `q_dedup_lastwin` oracle)."""
+    ord_struct = F.struct(*order_cols)
+    row_struct = F.struct(*[F.col(c) for c in df.columns])
+    picked = df.groupBy(*key_cols).agg(F.max_by(row_struct, ord_struct).alias("_row"))
+    return picked.select("_row.*")
+
+
 def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: sha2-256 the text, keep the lowest id
     per hash (deterministic canonical representative). One shuffle on the

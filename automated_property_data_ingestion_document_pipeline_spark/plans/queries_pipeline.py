@@ -17,6 +17,7 @@ from automated_property_data_ingestion_document_pipeline_spark.functions import 
 from automated_property_data_ingestion_document_pipeline_spark.operators import validate
 from automated_property_data_ingestion_document_pipeline_spark.operators.dedup import (
     last_write_wins,
+    last_write_wins_agg,
 )
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 from automated_property_data_ingestion_document_pipeline_spark.sources import doc_sink, http_source
@@ -173,6 +174,33 @@ def q_dedup_lastwin(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a unique tiebreaker."""
     ev = catalog.load(spark, sf_dir, "events")
     latest = last_write_wins(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "q_dedup_lastwin_agg",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_dedup_lastwin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-robust twin of `q_dedup_lastwin` (r02 verdict #6):
+    ``max_by`` aggregate instead of a ranking window. The aggregate
+    gets map-side partial combine, so a skewed key crosses the shuffle
+    as #map-partitions candidate rows, not #rows — the window form
+    cannot be salted. Shares the window form's oracle: same contract,
+    skew-immune plan (operators/dedup.py::last_write_wins_agg)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    latest = last_write_wins_agg(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
     return latest.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),

@@ -16,6 +16,7 @@ from automated_property_data_ingestion_document_pipeline_spark.operators.joins i
 )
 from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
     session_summary,
+    session_summary_two_phase,
 )
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 from automated_property_data_ingestion_document_pipeline_spark.streaming import sessions as streaming_sessions
@@ -53,6 +54,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window``'s exclusive close (see operators/sessionize.py)."""
     ev = catalog.load(spark, sf_dir, "events")
     return session_summary(ev, gap_minutes=30)
+
+
+@query(
+    "q_sessionize_twophase",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-robust segment-then-merge sessionization (r02 verdict
+    #6): phase 1 sessionizes within (user, 24 h time chunk) — a hot
+    user's timeline spreads over #chunks tasks instead of one — and
+    phase 2 re-applies the identical gap logic over local-session
+    summaries to merge boundary splits (operators/sessionize.py).
+    Deliberately shares `q_sessionize`'s single-pass oracle: the
+    DuckDB closure proves the two plans compute the same sessions."""
+    ev = catalog.load(spark, sf_dir, "events")
+    return session_summary_two_phase(ev, gap_minutes=30, chunk_hours=24)
 
 
 # -- T3: tumbling-window aggregate (batch twin) --------------------------------
