@@ -72,6 +72,69 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-wide span-level dedup (the Dolma/CCNet paragraph-removal
+    op): segment each document into fixed ``window_tokens``-token spans,
+    drop every span whose exact text appeared earlier in the corpus
+    (first occurrence wins, scanning docs by id and spans by position),
+    and reassemble the surviving spans in order. Documents whose every
+    span duplicates earlier content vanish from the output — the
+    boilerplate-only-doc case.
+
+    The driver corpus has no newline/sentence structure, so the span
+    unit is a fixed token window — the same algorithm as line-level
+    dedup with a different segmenter (swap the ``chunks`` projection to
+    ``split(text, '\\n')`` for newline corpora).
+
+    Scale shape — two shuffles, no window function, no join:
+
+    1. first-occurrence election is ``min(struct(id, pos))`` grouped by
+       span text: an *aggregate*, so map-side partial combine collapses
+       a boilerplate span repeated 10^9 times to one candidate per map
+       task crossing the shuffle (a ``row_number`` window here would
+       hot-key exactly like the skewed-window case in PERFORMANCE.md
+       §15).
+    2. the aggregate's output IS the kept-span set, so reassembly is a
+       direct ``collect_list`` + ``array_sort`` regroup on the winning
+       doc id — no join back against the exploded spans.
+
+    Per-doc state (span list) is bounded by document length, not corpus
+    size."""
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(window_tokens))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda g: F.array_join(F.slice(toks, g * window_tokens + 1, window_tokens), " "),
+    )
+    exploded = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    first = exploded.groupBy("span").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first")
+    )
+    return (
+        first.select(
+            F.col(f"_first.{id_col}").alias(id_col),
+            F.col("_first.pos").alias("pos"),
+            "span",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+
+
 def minhash_signature_df(
     df: DataFrame,
     text_col: str = "text",

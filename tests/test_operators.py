@@ -300,3 +300,24 @@ def test_scale_path_clusters_match_exact_on_bounded_subset(spark, sf_dir):
     unbounded = QUERIES["q_neardup_clusters"](spark, sf_dir)
     rows = unbounded.collect()
     assert all(r["cluster_id"] <= r["doc_id"] for r in rows)
+
+
+def test_paragraph_dedup_semantics(spark):
+    """First occurrence (by doc_id, then position) of each span
+    survives; later exact repeats are removed; a doc made entirely of
+    previously-seen spans disappears; surviving spans keep their
+    original order."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),       # spans (w=2): "a b", "c d"
+            (1, "c d x y a b"),   # "c d" dup, "x y" new, "a b" dup
+            (2, "a b c d"),       # all spans seen -> doc dropped
+            (3, "x y z"),         # "x y" dup, "z" new (short tail span)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_kept"])
+        for r in dedup.paragraph_dedup(docs, window_tokens=2).collect()
+    }
+    assert out == {0: ("a b c d", 2), 1: ("x y", 1), 3: ("z", 1)}
