@@ -25,18 +25,25 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# ts arrives as nano-epoch long (session.tune sets nanosAsLong for the
-# TIMESTAMP(NANOS) parquet) and is converted to micros after read.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# The physical type of ``ts`` depends on how the corpus was generated:
+# TIMESTAMP(NANOS) footers arrive as nano-epoch long under
+# session.tune's ``nanosAsLong`` and need truncation to micros;
+# TIMESTAMP(MICROS) footers read natively as timestamp. The stream
+# source requires an explicit schema, so it must be built per-file —
+# a wrong guess silently compresses the timeline 1000× (every gap
+# shrinks below the session threshold and sessionization collapses to
+# one window per user).
+def _events_schema(ts_is_long: bool) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def _stage_stream_dir(sf_dir: str) -> str:
@@ -61,13 +68,23 @@ def _stage_stream_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema required for
-    streaming reads)."""
+    streaming reads). Probes the batch reader for the physical ``ts``
+    type so nanos- and micros-generated corpora both stream correctly
+    (same dtype gate as catalog.load)."""
+    import os
+
+    ts_is_long = (
+        dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes).get("ts")
+        == "bigint"
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_is_long))
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def session_agg(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
