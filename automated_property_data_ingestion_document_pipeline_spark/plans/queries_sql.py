@@ -291,3 +291,169 @@ _sql_query(
     "(planned as a semi-join against the grouped lineitem), exact-decimal "
     "quantity threshold, deterministic (totalprice, orderkey) top-20.",
 )
+
+_sql_query(
+    "q_sql_tpch_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT)
+    """,
+    "TPC-H Q7 shape (volume shipping): nation self-join pair with a "
+    "symmetric OR predicate — Catalyst keeps both nation broadcasts and "
+    "pushes the pair filter above the join rather than exploding it; "
+    "yearly exact-decimal revenue between two trading nations.",
+)
+
+_sql_query(
+    "q_sql_tpch_q8",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                  AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS nation
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    "TPC-H Q8 shape (national market share): eight-table star with the "
+    "customer side restricted to one region and the supplier nation "
+    "carried through as the share dimension; the share divides two "
+    "exact-decimal sums cast to double in the same order on both "
+    "engines, so the ratio is bit-portable.",
+)
+
+_sql_query(
+    "q_sql_tpch_q13",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 shape (customer order-count distribution): left outer "
+    "join with the filter in the JOIN condition (not WHERE — zero-order "
+    "customers must survive), then a two-level aggregation whose second "
+    "groupBy key is the first's aggregate output.",
+)
+
+_sql_query(
+    "q_sql_tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "TPC-H Q15 shape (top supplier): CTE reused twice — once as the "
+    "join input, once under a scalar MAX subquery; the equality filter "
+    "on a double is safe ONLY because both engines derive it from the "
+    "same exact-decimal sum (the revenue view is deterministic, so "
+    "max == value is exact, not approximate).",
+)
+
+_sql_query(
+    "q_sql_tpch_q17",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 10
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "TPC-H Q17 shape (small-quantity-order revenue): correlated scalar "
+    "aggregate per part, decorrelated by Catalyst into an aggregate + "
+    "join on partkey (never re-executed per row); the per-part average "
+    "is derived from an exact decimal sum / count so the 0.2x threshold "
+    "compares identical doubles on both engines.",
+)
+
+_sql_query(
+    "q_sql_tpch_q19",
+    """
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape (discounted revenue, OR-of-ANDs): the disjunction "
+    "mixes columns from both join sides; Catalyst still extracts the "
+    "common per-side implications (brand IN (...), quantity <= 30) as "
+    "pushable conjuncts below the join while evaluating the full "
+    "disjunction above it.",
+)
+
+_sql_query(
+    "q_sql_tpch_q22",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+    "TPC-H Q22 shape (global sales opportunity, adapted: the trimmed "
+    "schema has no c_phone, so the country-code grouping becomes "
+    "mktsegment and 'never ordered' becomes 'no orders in the last "
+    "period'): uncorrelated scalar AVG subquery (computed once, "
+    "broadcast) + NOT EXISTS anti-join; the average is derived from an "
+    "exact decimal sum / count so the > filter is bit-portable.",
+)
