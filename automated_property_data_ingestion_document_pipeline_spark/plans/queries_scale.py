@@ -208,3 +208,60 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("probe_fraction").alias("probe_fraction"),
     )
     return per_q.unionByName(overall)
+
+
+@query("q_knn_pq")  # rows-only: approximate by design (compressed-domain ANN)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5: corpus compressed to 32 one-byte
+    codebook ids per vector (16× less scan volume than raw float64),
+    scored in the compressed domain via ADC, exact-rerank on the top
+    4k candidates only. The third point on the ANN cost/recall curve
+    beside LSH (q_knn_lsh) and IVF (q_knn_ivf)."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators.similarity import pq_topk
+
+    e = catalog.load(spark, sf_dir, "embeddings")
+    return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5, num_subspaces=32, ks=16, rerank=4)
+
+
+@query("q_pq_recall")  # rows-only: measures our own approximation
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ ANN (32 subspaces × 16 centroids, rerank 4k)
+    against exact brute force over 50 queries — one row per query plus
+    an OVERALL row (query_id = -1) carrying the rerank fraction (full
+    vectors fetched for exact rescoring / corpus — the PQ analog of
+    probe fraction; the compressed scan touches every row but only 32
+    code bytes of it). Measured at the defaults: recall@5 0.97 at
+    rerank fraction 0.04 on sf0.01 (PERFORMANCE.md §14); the ≥ 0.8
+    gate is enforced by tests/test_operators.py."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import similarity
+
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    approx = similarity.pq_topk(e, q, k=5, num_subspaces=32, ks=16, rerank=4).select(
+        "query_id", F.col("neighbor_id").alias("n_approx")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (F.col("n_exact") == F.col("n_approx")),
+        "left_semi",
+    )
+    n_corpus = e.count()
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_true")).alias("recall_at_5"),
+            F.lit(4 * 5 / max(n_corpus - 1, 1)).alias("rerank_fraction"),
+        )
+    )
+    overall = per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.avg("recall_at_5").alias("recall_at_5"),
+        F.avg("rerank_fraction").alias("rerank_fraction"),
+    )
+    return per_q.unionByName(overall)

@@ -192,6 +192,18 @@ def test_ivf_recall_gate(spark, sf_dir):
     assert 0.0 < overall["probe_fraction"] <= 0.5
 
 
+def test_pq_recall_gate(spark, sf_dir):
+    """PQ ANN (32 subspaces x 16 centroids, rerank 4k) must reach
+    overall recall@5 >= 0.8 while exact-rescoring <= 5% of the corpus
+    (measured 0.97 at 4% on sf0.01, PERFORMANCE.md §14)."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_pq_recall"](spark, sf_dir).collect()
+    overall = [r for r in rows if r["query_id"] == -1][0]
+    assert overall["recall_at_5"] >= 0.8
+    assert 0.0 < overall["rerank_fraction"] <= 0.05
+
+
 def test_lsh_topk_multi_subset_of_exact_scores(spark):
     """Every LSH hit must carry the SAME cosine the exact path computes
     (verify step is exact), and hits are a subset of corpus ids."""
