@@ -265,3 +265,55 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("rerank_fraction").alias("rerank_fraction"),
     )
     return per_q.unionByName(overall)
+
+
+# -- salted skew join ---------------------------------------------------------
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, MIN(ts) AS first_ts, COUNT(*) AS n
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           CAST(p.n AS BIGINT) AS user_events,
+           CAST(date_diff('microsecond', p.first_ts, e.ts) AS BIGINT)
+             AS us_since_first
+    FROM events e JOIN p USING (user_id)
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equijoin, the join-side sibling of q_salted_agg:
+    the fact side gets a per-row salt (hash of its unique id mod 8),
+    the profile side is replicated across all 8 salts (explode of a
+    literal range — 8× a SMALL side, never the fact side), and the join
+    key becomes (user_id, salt) so one hot user spreads over 8 reducers
+    instead of melting one. The oracle is the PLAIN join — salting is
+    result-invariant by construction (each fact row matches exactly its
+    original partner, at exactly one salt). At 100 TB this is the
+    fallback when AQE skew-split can't help (e.g. the skewed side feeds
+    a window next); timestamps diff in exact integer micros so the
+    output is bit-portable."""
+    ev = catalog.load(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("n")
+    )
+    n_salts = 8
+    fact = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int"))
+    prof_rep = prof.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return fact.join(prof_rep, ["user_id", "_salt"]).select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("bigint").alias("user_events"),
+        # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the session
+        # is pinned UTC (session.tune) so the cast is an identity relabel
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("first_ts").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("us_since_first"),
+    )

@@ -501,3 +501,51 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale): explode → codegen'd per-bit majority aggregates."""
     d = catalog.load(spark, sf_dir, "documents")
     return dedup.simhash64_df(d, shingle_k=2)
+
+
+# -- unigram log-frequency quality score --------------------------------------
+
+
+@query(
+    "q_unigram_logfreq",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest({_TOKS_SQL.format(col='text')}) AS tok
+      FROM documents),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(bin(c.cnt)) - 1) AS BIGINT) AS log2_sum,
+           CAST(SUM(length(bin(c.cnt)) - 1) AS DOUBLE) / COUNT(*)
+             AS logfreq_score
+    FROM t JOIN c USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality proxy (the CCNet-style frequency filter): the
+    corpus itself is the language model — each token scores
+    floor(log2(corpus_count)), a doc's score is the mean over its
+    tokens; low-scoring docs are rare-token-dominated (gibberish, OCR
+    noise), high-scoring are stopword soup. Two shuffles (vocab count,
+    per-doc mean) independent of corpus size, and the vocab aggregate
+    map-side-combines. Engine-portable by construction: the log bucket
+    is ``length(bin(count)) - 1`` — pure integer arithmetic, no libm —
+    and the mean divides an exact BIGINT sum by an exact count, so both
+    engines divide identical operands (the same trick as the z-score /
+    currency paths; floats never accumulate)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    t = d.select("doc_id", F.explode(toks).alias("tok"))
+    c = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    bucket = F.length(F.bin("cnt")) - F.lit(1)
+    return (
+        t.join(c, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(bucket).alias("log2_sum"),
+            (F.sum(bucket).cast("double") / F.count("*")).alias("logfreq_score"),
+        )
+    )

@@ -270,3 +270,92 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, engine-portable corpus mixture control."""
     d = catalog.load(spark, sf_dir, "documents").select("doc_id", "lang")
     return training.stratified_sample(d, strata_col="lang", id_col="doc_id", quota=20)
+
+
+# -- deterministic weighted domain mixing -------------------------------------
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, lang, n_chars,
+             CASE WHEN TRY_CAST(SUBSTRING(source, 4) AS INTEGER) % 2 = 0
+                  THEN 'c0000000' ELSE '40000000' END AS threshold
+      FROM documents)
+    SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM r
+    WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)
+          < threshold
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing via deterministic hash sampling — the
+    pretraining-mixture op (sample each source to its target weight:
+    even-numbered sources keep 75 %, odd keep 25 %). Selection is
+    ``md5(doc_id:source) < rate-threshold`` on the first 8 hex chars:
+    reproducible across engines, runs and partitionings (no RNG state),
+    embarrassingly parallel (map-only — the 100 TB mixture is a scan,
+    not a shuffle), and exactly-seeded per (doc, source) so re-running
+    the pipeline can never double- or under-sample a document. Both
+    engines produce bit-identical md5 hex, so the oracle checks the
+    exact sampled set, not just the rate."""
+    d = catalog.load(spark, sf_dir, "documents")
+    num = F.substring("source", 4, 10).cast("int")
+    threshold = F.when(num % 2 == 0, F.lit("c0000000")).otherwise(F.lit("40000000"))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    return (
+        d.withColumn("_th", threshold)
+        .filter(F.substring(key, 1, 8) < F.col("_th"))
+        .select("doc_id", "source", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+
+
+# -- sliding-window token chunking --------------------------------------------
+
+
+@query(
+    "q_chunk_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER)) AS k
+      FROM d),
+    x AS (
+      SELECT doc_id, toks, unnest(range(0, k + 1)) AS i FROM c)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           -- coalesce: DuckDB array_to_string is NULL for empty AND
+           -- NULL lists; Spark concat_ws is '' for both
+           COALESCE(array_to_string(toks[i*24+1 : i*24+32], ' '), '')
+             AS chunk_text,
+           CAST(len(toks[i*24+1 : i*24+32]) AS INTEGER) AS n_tokens
+    FROM x
+    """,
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window sequence chunking (context-window packing's
+    sibling): 32-token chunks at stride 24 (8-token overlap so no
+    span is ever split across a chunk boundary unseen). Chunk count
+    derives from token count row-locally (sequence + explode — never a
+    driver loop); the fan-out is ~n/24 rows per doc. Trailing chunks
+    shorter than the window are kept (slice clamps on both engines)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("_toks")).withColumn(
+        "_k",
+        F.greatest(
+            F.lit(0), F.ceil((F.size("_toks") - F.lit(32)) / F.lit(24.0)).cast("int")
+        ),
+    )
+    chunk = base.select(
+        "doc_id", "_toks", F.explode(F.sequence(F.lit(0), F.col("_k"))).alias("chunk_id")
+    )
+    sl = F.slice("_toks", F.col("chunk_id") * 24 + 1, 32)
+    return chunk.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", sl).alias("chunk_text"),
+        F.size(sl).alias("n_tokens"),
+    )
