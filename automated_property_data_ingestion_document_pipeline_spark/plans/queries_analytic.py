@@ -469,3 +469,63 @@ def q_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel("approx_p50", "exact_p50").alias("rel_err_p50"),
         rel("approx_p99", "exact_p99").alias("rel_err_p99"),
     )
+
+
+# -- pivot (long -> wide) ------------------------------------------------------
+
+
+@query(
+    "q_pivot_multi",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT))
+                FILTER (event_type = 'view') AS DOUBLE) / 100 AS view_value,
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT))
+                FILTER (event_type = 'click') AS DOUBLE) / 100 AS click_value,
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT))
+                FILTER (event_type = 'purchase') AS DOUBLE) / 100
+             AS purchase_value,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS purchase_n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (the inverse of q_unpivot): per-user columns for
+    each event type's exact-cents value sum and count, via the native
+    ``pivot`` with an EXPLICIT category list — never the
+    two-pass distinct-discovery variant, which at 100 TB adds a full
+    extra scan and makes the output schema data-dependent (a schema
+    that changes when a new event type appears is an operational
+    hazard, not a feature). Spark plans it as exact aggregation on
+    (key, category) then pivotfirst on key — two exchanges, both
+    map-side combined, so shuffle volume is |users x categories|
+    (pinned by tests/test_plan_properties.py). The oracle is FILTER-ed
+    conditional aggregation:
+    pivot is definitionally conditional aggregation, so the two forms
+    must agree bit-for-bit (cents trick keeps the sums exact)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).try_cast("bigint")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(
+            (F.sum(cents).cast("double") / 100).alias("value"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    # pivot names columns '<cat>_<agg-alias>'; count is 0 (not NULL) for
+    # absent (user, type) pairs in DuckDB's FILTER form — align with
+    # coalesce, since Spark's pivot leaves the whole cell NULL.
+    return wide.select(
+        "user_id",
+        F.col("view_value"),
+        F.col("click_value"),
+        F.col("purchase_value"),
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("view_n"),
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
+    )

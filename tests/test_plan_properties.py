@@ -97,3 +97,51 @@ def test_asof_join_exactly_one_exchange(spark, sf_dir, key):
     plan = plan_of(spark, sf_dir, key)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_tpch_q19_or_predicate_still_prunes_and_pushes(spark, sf_dir):
+    # the OR-of-ANDs mixes columns from both sides; Catalyst must still
+    # push the per-side implications (quantity bounds on lineitem,
+    # brand/size on part) below the join instead of filtering only above
+    plan = plan_of(spark, sf_dir, "q_sql_tpch_q19")
+    pushed = plan.split("PushedFilters: ")
+    assert len(pushed) >= 3  # both scans carry pushed filters
+    assert "l_quantity" in plan.split("PushedFilters: ")[1] or "l_quantity" in plan.split("PushedFilters: ")[2]
+    # part side is a broadcast, the fact side never sort-merges
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_key_includes_salt(spark, sf_dir):
+    # the join key must include the salt so that IF the planner shuffles
+    # (the 100 TB case — here AQE broadcasts the small profile side,
+    # which is also correct and not hard-coded away), one hot user
+    # spreads over 8 reducers, not 1
+    plan = plan_of(spark, sf_dir, "q_salted_join")
+    import re
+
+    join_line = next(l for l in plan.splitlines() if "HashJoin" in l)
+    assert re.search(r"user_id#\d+L, _salt#\d+", join_line), join_line
+
+
+def test_pivot_two_phase_agg_with_partial_combine(spark, sf_dir):
+    # Spark plans pivot(categories).agg(...) as exact aggregation on
+    # (key, category) followed by pivotfirst on key — two exchanges,
+    # each preceded by a map-side partial aggregate. Pin that shape
+    # (a distinct-discovery pivot would add a third job/scan).
+    plan = plan_of(spark, sf_dir, "q_pivot_multi")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") == 4  # partial+final, both phases
+    assert "pivotfirst" in plan
+
+
+def test_unigram_logfreq_two_shuffles_with_partial_aggs(spark, sf_dir):
+    # vocab count + per-doc mean (+ the join back) — the vocab aggregate
+    # must map-side combine so shuffle volume is |vocab|, not |tokens|
+    plan = plan_of(spark, sf_dir, "q_unigram_logfreq")
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_domain_mix_is_map_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_domain_mix")
+    assert "Exchange" not in plan  # pure scan + hash-filter
