@@ -48,6 +48,12 @@ HEADLINE = [
     "q_minhash_neardup",
     "q_neardup_clusters",
     "q_resample_ffill",
+    # round-3 additions: heaviest new shapes
+    "q_sql_tpch_q8",
+    "q_unigram_logfreq",
+    "q_chunk_overlap",
+    "q_knn_pq",
+    "q_salted_join",
 ]
 
 

@@ -109,3 +109,33 @@ def test_two_phase_merges_boundary_split_sessions(spark):
     for (user_id, _sid, _n, _s, _e) in one:
         n_sessions[user_id] += 1
     assert n_sessions == {1: 1, 2: 2}
+
+
+@pytest.mark.parametrize("which", ["uniform", "hot"])
+def test_salted_join_bit_identical_to_plain(spark, sf_dir, skew_dir, which):
+    """q_salted_join (fact salt + replicated profile side) must equal
+    the plain join row-for-row on the uniform AND the hot-key corpus —
+    each fact row matches its partner at exactly one salt."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans.registry import QUERIES
+
+    d = sf_dir if which == "uniform" else skew_dir
+    salted = {tuple(r) for r in QUERIES["q_salted_join"](spark, d).collect()}
+    ev = catalog.load(spark, d, "events")
+    prof = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("n")
+    )
+    plain = {
+        tuple(r)
+        for r in ev.join(prof, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n").cast("bigint"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("first_ts").cast("timestamp"))
+            ).cast("bigint"),
+        )
+        .collect()
+    }
+    assert salted == plain
