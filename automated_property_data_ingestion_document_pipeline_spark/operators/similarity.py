@@ -531,3 +531,136 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 32,
+    nprobe: int = 14,
+    num_subspaces: int = 32,
+    ks: int = 16,
+    rerank: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN composition (coarse
+    cells bound WHICH rows are scored, PQ codes bound HOW MUCH of each
+    row is read). Cost per query at 100 TB:
+    ``nprobe/num_cells`` of the corpus × ``num_subspaces`` code bytes
+    (vs the full float vector), plus ``rerank*k`` raw-vector reads —
+    multiplicative savings over either technique alone.
+
+    Spark shape: one mapInPandas over the corpus emits (cell, codes)
+    — a single pass shared by both quantizers; the query side (bounded,
+    broadcast) explodes to its top-``nprobe`` cells; the bucket join
+    pairs queries with co-celled codes only; ADC scoring is an
+    Arrow-batched LUT gather per pair batch; exact rerank fetches the
+    top ``rerank*k`` raw vectors per query. Codebooks train driver-side
+    on the bounded deterministic sample (offline-training pattern,
+    argued at :func:`ivf_candidate_pairs`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)).asc(), F.col(id_col).asc())
+        .limit(4096)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r[vec_col]] for r in sample_rows])
+    cents = _kmeans_codebook(X, num_cells)
+    cents_n = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    books = _pq_codebooks(X, num_subspaces, ks, seed)
+    dim = X.shape[1]
+    sub = dim // num_subspaces
+    n_probe = min(nprobe, len(cents_n))
+
+    q_rows = queries.select(id_col, vec_col).orderBy(F.col(id_col).asc()).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[vec_col]] for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    lut = np.einsum("qmd,mjd->qmj", Qn.reshape(len(Qn), num_subspaces, sub), books)
+    q_pos = {int(qid): i for i, qid in enumerate(q_ids)}
+
+    enc_schema = f"{id_col} bigint, _cell int, _codes array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cell = (Vn @ cents_n.T).argmax(axis=1).astype("int32")
+            Vs = Vn.reshape(len(Vn), num_subspaces, sub)
+            codes = np.stack(
+                [
+                    ((Vs[:, m, None, :] - books[m][None, :, :]) ** 2)
+                    .sum(axis=-1)
+                    .argmin(axis=1)
+                    .astype("int32")
+                    for m in range(num_subspaces)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "_cell": cell, "_codes": list(codes)}
+            )
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+
+    @pandas_udf("array<int>")
+    def query_cells(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy())
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(Vn @ cents_n.T), axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(top))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(query_cells(F.col(vec_col))).alias("_cell"),
+    )
+
+    @pandas_udf("double")
+    def adc(query_id: pd.Series, codes: pd.Series) -> pd.Series:
+        qi = np.array([q_pos[int(x)] for x in query_id.to_numpy()])
+        C = np.vstack(codes.to_numpy())  # (B, M)
+        s = np.zeros(len(qi))
+        for m in range(num_subspaces):
+            s += lut[qi, m, C[:, m]]
+        return pd.Series(s)
+
+    cand = encoded.join(
+        F.broadcast(q),
+        (encoded["_cell"] == q["_cell"]) & (F.col("query_id") != encoded[id_col]),
+    ).select(
+        "query_id",
+        encoded[id_col].alias("neighbor_id"),
+        adc(F.col("query_id"), F.col("_codes")).alias("approx_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    short = cand.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= rerank * k
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    rescored = (
+        short.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_nvec")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

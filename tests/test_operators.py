@@ -204,6 +204,16 @@ def test_pq_recall_gate(spark, sf_dir):
     assert 0.0 < overall["rerank_fraction"] <= 0.05
 
 
+def test_ivfpq_recall_gate(spark, sf_dir):
+    """The composed IVF-PQ path must stay within 0.1 of the coarse
+    stage's own recall ceiling (IVF gate is >= 0.8): gate >= 0.75."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_ivfpq_recall"](spark, sf_dir).collect()
+    overall = [r for r in rows if r["query_id"] == -1][0]
+    assert overall["recall_at_5"] >= 0.75
+
+
 def test_lsh_topk_multi_subset_of_exact_scores(spark):
     """Every LSH hit must carry the SAME cosine the exact path computes
     (verify step is exact), and hits are a subset of corpus ids."""
