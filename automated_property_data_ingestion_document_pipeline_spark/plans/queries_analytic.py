@@ -529,3 +529,47 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
         F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
     )
+
+
+# -- mergeable HLL sketches (shard -> global) ---------------------------------
+
+
+@query("q_hll_shard_merge")  # rows-only: sketch estimate is engine-specific
+def q_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch architecture (Datasketches HLL, Spark 4
+    hll_sketch_agg/hll_union_agg): per-shard sketches of the
+    distinct-user set — here sharded by event_type — union-merged into
+    the global estimate WITHOUT re-reading the data. This is the 100 TB
+    distinct-count pattern: each partition/day/source keeps an O(KB)
+    sketch, rollups at any grain are sketch unions (associative,
+    commutative, order-independent — HLL registers are max-merged), and
+    the raw data is touched once. Each row carries the estimate, the
+    exact count and the relative error (self-measured, the
+    q_quantile_error pattern); the OVERALL row ('*') is the union-merge.
+    Invariant |rel_err| < 0.05 enforced by tests/test_operators.py."""
+    ev = catalog.load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    shard = per.select(
+        "event_type",
+        F.hll_sketch_estimate("_sk").alias("est_distinct"),
+        "exact_distinct",
+        (
+            (F.hll_sketch_estimate("_sk") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    )
+    exact_all = ev.agg(F.count_distinct("user_id").alias("e")).select("e")
+    merged = (
+        per.agg(F.hll_union_agg("_sk").alias("_u"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("*").alias("event_type"),
+            F.hll_sketch_estimate("_u").alias("est_distinct"),
+            F.col("e").alias("exact_distinct"),
+            ((F.hll_sketch_estimate("_u") - F.col("e")) / F.col("e")).alias("rel_err"),
+        )
+    )
+    return shard.unionByName(merged)

@@ -343,3 +343,63 @@ def test_paragraph_dedup_semantics(spark):
         for r in dedup.paragraph_dedup(docs, window_tokens=2).collect()
     }
     assert out == {0: ("a b c d", 2), 1: ("x y", 1), 3: ("z", 1)}
+
+
+def test_hll_shard_merge_error_bound_and_merge_consistency(spark, sf_dir):
+    """Shard HLL estimates and the union-merged global estimate must all
+    land within 5% of exact (HLL at default lgConfigK=12 has ~1.6%
+    standard error), and the merged estimate must be >= any shard's
+    (distinct counts are monotone under union)."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_hll_shard_merge"](spark, sf_dir).collect()
+    overall = [r for r in rows if r["event_type"] == "*"][0]
+    shards = [r for r in rows if r["event_type"] != "*"]
+    assert shards
+    for r in rows:
+        assert abs(r["rel_err"]) < 0.05, r
+    assert overall["est_distinct"] >= max(s["est_distinct"] for s in shards)
+
+
+def test_count_min_sketch_point_query_guarantee(spark):
+    """CMS one-sided guarantee: estimate >= true count, and <= true +
+    eps*N with high probability. The sketch is an opaque mergeable
+    binary (the per-shard rollup state); point queries deserialize it
+    via the JVM sketch library."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).cast("long").alias("k")
+    )
+    blob = bytes(
+        df.agg(
+            F.count_min_sketch("k", F.lit(0.01), F.lit(0.99), F.lit(42)).alias("s")
+        ).collect()[0]["s"]
+    )
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(blob)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    true = 100  # each key appears exactly 100 times
+    for k in (0, 7, 99):
+        est = cms.estimateCount(jvm.java.lang.Long(k))
+        assert est >= true
+        assert est <= true + 0.01 * 10_000
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):
+    """df.stat.freqItems guarantee: the result contains every item with
+    frequency > support (may contain false positives, never false
+    negatives)."""
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+
+    ev = catalog.load(spark, sf_dir, "events")
+    n = ev.count()
+    support = 0.15
+    approx = set(ev.stat.freqItems(["event_type"], support).collect()[0][0])
+    exact = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().filter(F.col("count") > support * n).collect()
+    }
+    assert exact <= approx
