@@ -151,3 +151,73 @@ def enrich_with_parcels_mapinpandas(requests_df, num_partitions: int = 8):
     return requests_df.repartition(num_partitions, "county_code").mapInPandas(
         _enrich, schema + ", parcel_id string"
     )
+
+
+try:  # Spark 4 streaming Python DataSource API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    HAS_STREAM_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    SimpleDataSourceStreamReader = object
+    HAS_STREAM_DATASOURCE_API = False
+
+
+class ParcelPollStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the reference bot POLLS the
+    CRS queue in an endless loop (crs_ui_bot.py main loop; App.js:142's
+    pending-request retry) — in Spark that loop IS the microbatch
+    engine, and the source only tracks an offset.
+
+    Offsets are ``{"idx": N}`` (requests consumed so far): exactly-once
+    comes from deterministic replay — ``readBetweenOffsets`` regenerates
+    any offset range bit-identically after a restart, the Python analog
+    of a Kafka seek. ``maxRowsPerBatch`` is the backpressure knob (the
+    bot's fixed pacing, crs_ui_bot.py:103/205). The driver-side read()
+    only PLANS the range; transport work stays deterministic per
+    request index so recovery never double-enriches."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.batch_size = int(options.get("maxRowsPerBatch", "100"))
+        self.total = int(options.get("totalRequests", "1000"))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, lo: int, hi: int):
+        transport = FakeTransport()
+        for i in range(lo, hi):
+            county = f"{(i * 7) % 107:03d}"
+            address = f"{100 + i} MAIN ST UNIT {i % 50}"
+            token = transport.autocomplete(address, county)
+            parcel = (
+                transport.property_detail(token, county, address) if token else None
+            )
+            yield (i, county, address, parcel)
+
+    def read(self, start: dict):
+        lo = int(start["idx"])
+        hi = min(lo + self.batch_size, self.total)
+        # a list_iterator, not a generator: the engine caches the
+        # prefetched batch by pickling the iterator (generators can't
+        # pickle; bare lists aren't iterators — it calls next())
+        return iter(list(self._rows(lo, hi))), {"idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(int(start["idx"]), int(end["idx"]))))
+
+
+class ParcelPollStreamDataSource(DataSource):
+    """``spark.readStream.format("parcel_poll")`` — continuous parcel
+    enrichment as a first-class streaming source."""
+
+    @classmethod
+    def name(cls):
+        return "parcel_poll"
+
+    def schema(self):
+        return (
+            "request_id BIGINT, county_code STRING, address STRING, parcel_id STRING"
+        )
+
+    def simpleStreamReader(self, schema: StructType):
+        return ParcelPollStreamReader(schema, self.options)
