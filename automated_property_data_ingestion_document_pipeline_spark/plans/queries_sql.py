@@ -457,3 +457,39 @@ _sql_query(
     "broadcast) + NOT EXISTS anti-join; the average is derived from an "
     "exact decimal sum / count so the > filter is bit-portable.",
 )
+
+_sql_query(
+    "q_nullsafe_join",
+    """
+    WITH c AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id, date_trunc('day', ts)),
+    v AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS views
+      FROM events WHERE event_type = 'view' GROUP BY user_id, date_trunc('day', ts))
+    SELECT c.user_id, c.day, c.clicks, v.views
+    FROM c JOIN v ON c.user_id = v.user_id
+                 AND c.day IS NOT DISTINCT FROM v.day
+    """,
+    "NULL-safe equijoin (IS NOT DISTINCT FROM): per-(user, day) click × "
+    "view counts where the NULL-timestamp day-bucket must join with "
+    "itself — plain = would silently drop it (NULL = NULL is NULL). "
+    "Spark still plans this as a hash join (null-safe equality is an "
+    "equi-key), not a nested loop.",
+)
+
+_sql_query(
+    "q_except_all",
+    """
+    SELECT event_type, user_id FROM events WHERE value > 0
+    EXCEPT ALL
+    SELECT event_type, user_id FROM events WHERE event_type = 'click'
+    """,
+    "Bag-semantics difference (EXCEPT ALL): multiplicity-aware — each "
+    "click row cancels ONE positive-value row of the same (type, user), "
+    "surviving duplicates are kept with their counts (the DISTINCT "
+    "variant q_except collapses them). Planned as a count-annotated "
+    "aggregate join, one shuffle per side.",
+)

@@ -549,3 +549,47 @@ def q_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(bucket).cast("double") / F.count("*")).alias("logfreq_score"),
         )
     )
+
+
+# -- BPE-style pre-tokenization count -----------------------------------------
+
+# GPT-2-family pre-tokenizer, minus the lookahead clause ((?!\S) is
+# Java-regex-only; RE2 has no lookahead, and the clause only affects
+# runs of trailing spaces). Unicode classes \p{L}/\p{N} behave
+# identically in Java regex and RE2 for letter/number scripts.
+_BPE_RX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+@query(
+    "q_token_count_bpe",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_RX}') AS pieces
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           pieces[1] AS first_piece,
+           CAST(len(list_distinct(pieces)) AS BIGINT) AS n_unique_pieces
+    FROM p
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token accounting (the whitespace count's sibling,
+    q_token_count): a GPT-2-family pre-tokenizer regex splits text into
+    letter runs, digit runs and punctuation runs with their leading
+    space — the unit actual subword tokenizers merge from, so n_pieces
+    tracks real token cost far better than whitespace words (e.g.
+    'state-of-the-art' = 7 pieces, 1 word). Row-local regex in both
+    engines; the pattern avoids Java-only lookahead so Spark (Java
+    regex) and DuckDB (RE2) extract identical pieces, which the oracle
+    checks piece-for-piece via first/distinct digests."""
+    d = catalog.load(spark, sf_dir, "documents")
+    # Column-typed pattern: routing the regex through a SQL string
+    # literal would eat the backslashes
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_RX), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.get(pieces, 0).alias("first_piece"),
+        F.size(F.array_distinct(pieces)).cast("bigint").alias("n_unique_pieces"),
+    )

@@ -260,3 +260,34 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("effective_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_window_count_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id)
+                AS BIGINT) AS n_types
+    FROM events
+    """,
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a window — Spark rejects DISTINCT window
+    aggregates outright, so this is the standard reformulation:
+    dense_rank over (key ORDER BY value) peaks at the number of
+    distinct values, minus one if a NULL ranked first (DISTINCT ignores
+    NULLs, dense_rank does not). Both windows share the partition key →
+    ONE shuffle, two sorts. The oracle runs the literal DISTINCT window
+    (DuckDB supports it), pinning the reformulation's semantics."""
+    ev = catalog.load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy(
+        F.col("event_type").asc_nulls_first()
+    )
+    w_part = Window.partitionBy("user_id")
+    dr = F.dense_rank().over(w_order)
+    has_null = F.max(F.col("event_type").isNull().cast("int")).over(w_part)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.max(dr).over(w_part) - has_null).cast("bigint").alias("n_types"),
+    )
