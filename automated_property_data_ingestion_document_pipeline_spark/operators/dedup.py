@@ -347,3 +347,71 @@ def ngram_jaccard_pairs(
         )
     )
     return joined.filter(F.col("jaccard") >= threshold)
+
+
+def deletion_variants(col: Column) -> Column:
+    """FastSS 1-deletion neighborhood of a string, row-locally in pure
+    JVM HOF arithmetic (no Python): element 0 is the string itself,
+    element i (1-based) is the string with character i deleted."""
+    n = F.length(col)
+    return F.transform(
+        F.sequence(F.lit(0), n),
+        lambda i: F.when(i == F.lit(0), col).otherwise(
+            F.concat(col.substr(F.lit(1), i - 1), col.substr(i + 1, n))
+        ),
+    )
+
+
+def fuzzy_pairs_fastss(
+    df: DataFrame,
+    text_col: str = "c_name",
+    id_col: str = "c_custkey",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Typo-tolerant entity resolution (Bocek et al., FastSS): pairs of
+    rows whose ``text_col`` is within Levenshtein distance
+    ``max_dist`` (=1), WITHOUT the quadratic all-pairs scan.
+
+    The deletion-neighborhood theorem makes the bucketing EXACT, not
+    approximate: lev(a, b) ≤ 1 iff the 1-deletion neighborhoods of a
+    and b intersect (a substitution is a deletion on both sides, an
+    insert/delete is a deletion on one side). So: explode each string
+    to its n+1 variants (row-local, JVM-only), self-join on the variant
+    (shuffle keyed by variant — bucketed like the MinHash band join,
+    never all-pairs), dedup candidate pairs, verify with exact
+    ``levenshtein`` — the verify can only DISCARD false candidates, the
+    theorem guarantees zero false negatives. ~(n+1)× explode fan-out is
+    the classic FastSS space-for-subquadratic trade; at 100 TB the
+    variant join keys are hashable shuffle keys like any other.
+
+    Motivated by the reference's own data-quality bug: the
+    'Bristill City, VA' typo row (App.js:123) is exactly the class of
+    error this operator surfaces."""
+    if max_dist not in (1, 2):
+        raise ValueError("fastss supports max_dist 1 or 2")
+    variants = deletion_variants(F.col(text_col))
+    if max_dist == 2:
+        # D_2 = deletions of deletions, flattened (row-local; ~n^2/2
+        # variants per string — the space cost of exact dist-2 bucketing)
+        variants = F.array_distinct(
+            F.flatten(F.transform(variants, lambda s: deletion_variants(s)))
+        )
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_name"),
+        F.explode(variants).alias("_variant"),
+    ).distinct()  # a deletion can coincide for repeated chars ('ll' -> one variant)
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a._variant") == F.col("b._variant")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= max_dist)

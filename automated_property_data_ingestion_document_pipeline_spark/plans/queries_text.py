@@ -593,3 +593,33 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(pieces, 0).alias("first_piece"),
         F.size(F.array_distinct(pieces)).cast("bigint").alias("n_unique_pieces"),
     )
+
+
+# -- typo-tolerant fuzzy matching (FastSS) ------------------------------------
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity resolution over customer names via the
+    FastSS deletion-neighborhood join (operators/dedup.py
+    fuzzy_pairs_fastss — exact bucketing, zero false negatives by the
+    deletion theorem). The oracle is the bounded all-pairs Levenshtein
+    scan (c_custkey < 300); matching it proves the sub-quadratic path
+    finds EVERY pair, not most. The scale path is the same code
+    unbounded. Reference analog: the 'Bristill City, VA' typo row
+    (App.js:123) is the real-world input class."""
+    c = catalog.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return dedup.fuzzy_pairs_fastss(c, "c_name", "c_custkey", max_dist=1).select(
+        "id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist")
+    )

@@ -403,3 +403,29 @@ def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):
         for r in ev.groupBy("event_type").count().filter(F.col("count") > support * n).collect()
     }
     assert exact <= approx
+
+
+def test_fastss_resolves_the_reference_typo_row(spark):
+    """The reference's own data-quality bug (App.js:123: 'Bristill
+    City, VA' for Bristol City) is the motivating input: against a
+    canonical list containing the corrected name, the dist-2 FastSS
+    join surfaces exactly the typo pair -- and the dist-1 join
+    correctly does NOT (it is two edits away)."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import dedup as dd
+    from automated_property_data_ingestion_document_pipeline_spark.sources import reference_dims as rd
+
+    rows = [(i, name) for i, (name, _st) in enumerate(rd.UI_COUNTIES)]
+    rows.append((9999, "Bristol City, VA"))  # the canonical spelling
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    pairs2 = dd.fuzzy_pairs_fastss(df, "name", "id", max_dist=2).collect()
+    typo_pairs = [
+        r for r in pairs2 if "Bristill" in (r["name_a"] + r["name_b"])
+    ]
+    assert len(typo_pairs) == 1
+    assert {typo_pairs[0]["name_a"], typo_pairs[0]["name_b"]} == {
+        "Bristill City, VA",
+        "Bristol City, VA",
+    }
+    assert typo_pairs[0]["dist"] == 2
+    pairs1 = dd.fuzzy_pairs_fastss(df, "name", "id", max_dist=1).collect()
+    assert not [r for r in pairs1 if "Bristill" in (r["name_a"] + r["name_b"])]
