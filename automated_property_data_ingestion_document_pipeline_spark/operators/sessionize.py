@@ -159,3 +159,66 @@ def session_summary_two_phase(
             F.max("_end").alias("session_end"),
         )
     )
+
+
+def sessionize_capped(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    max_span_minutes: int = 120,
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a maximum session
+    span: a new session starts when the gap to the previous event
+    reaches ``gap_minutes`` OR when the event is ``max_span_minutes``
+    or more after the session's FIRST event (ad-attribution /
+    security-audit session rules).
+
+    This is the operator class that genuinely cannot be expressed with
+    window functions: the split depends on the running session ANCHOR,
+    which depends on every earlier split decision — a sequential
+    recurrence, not a frame aggregate (lag/cumsum handles the gap rule
+    alone, see :func:`sessionize`; the span cap makes it recursive).
+    The Spark-first escape hatch is ``applyInPandas`` per key: state
+    stays key-local (one shuffle on the key, the same partitioning the
+    window form uses), the per-group loop is a linear scan, and
+    executors never hold more than a group's events — exactly the
+    bounded-state argument of the streaming state machine. The DuckDB
+    oracle replays the identical recurrence as a recursive CTE, so the
+    driver checks the sequential semantics value-for-value.
+
+    Returns one row per event: (key, event_id, ts, session_n) with
+    sessions numbered 1..k per key in time order; NULL-ts rows are
+    quarantined as in :func:`sessionize`."""
+    import pandas as pd
+
+    # exact INTEGER micros, never float seconds: a boundary event exactly
+    # gap/span away must split identically here and in the oracle's
+    # date_diff('microsecond') arithmetic
+    gap_us = gap_minutes * 60 * 1_000_000
+    span_us = max_span_minutes * 60 * 1_000_000
+
+    out_schema = f"{key} bigint, {id_col} bigint, {ts} timestamp, session_n int"
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, id_col], kind="mergesort")
+        t = pdf[ts].astype("int64").to_numpy() // 1000  # ns -> exact epoch micros
+        n = len(t)
+        sess = [0] * n
+        cur, anchor, prev = 0, None, None
+        for i in range(n):
+            if anchor is None or t[i] - prev >= gap_us or t[i] - anchor >= span_us:
+                cur += 1
+                anchor = t[i]
+            prev = t[i]
+            sess[i] = cur
+        out = pdf[[key, id_col, ts]].copy()
+        out["session_n"] = sess
+        return out
+
+    return (
+        df.filter(F.col(ts).isNotNull())
+        .groupBy(key)
+        .applyInPandas(assign, out_schema)
+    )

@@ -237,3 +237,44 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_sessions.read_events_stream(spark, sf_dir)
     result = streaming_sessions.session_agg(stream, gap="30 minutes")
     return streaming_sessions.run_available_now(result, "stream_sessions")
+
+
+@query(
+    "q_sessionize_capped",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE ts IS NOT NULL),
+    r AS (
+      SELECT user_id, event_id, ts, rn,
+             1 AS session_n, ts AS anchor
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.ts, e.rn,
+             CASE WHEN date_diff('microsecond', r.ts, e.ts) >= 1800000000
+                    OR date_diff('microsecond', r.anchor, e.ts) >= 7200000000
+                  THEN r.session_n + 1 ELSE r.session_n END,
+             CASE WHEN date_diff('microsecond', r.ts, e.ts) >= 1800000000
+                    OR date_diff('microsecond', r.anchor, e.ts) >= 7200000000
+                  THEN e.ts ELSE r.anchor END
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+    SELECT user_id, event_id, ts, CAST(session_n AS INTEGER) AS session_n
+    FROM r
+    """,
+)
+def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap + max-span sessionization (operators/sessionize.py
+    sessionize_capped): the split depends on the running session anchor
+    — a sequential recurrence no window frame can express — so the
+    Spark path is applyInPandas per user (one shuffle, key-local state)
+    and the oracle replays the identical recurrence as a recursive CTE.
+    30-min gap, 2-h span cap, exact integer-micro comparisons on both
+    engines."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
+        sessionize_capped,
+    )
+
+    ev = catalog.load(spark, sf_dir, "events")
+    return sessionize_capped(ev, gap_minutes=30, max_span_minutes=120)

@@ -429,3 +429,38 @@ def test_fastss_resolves_the_reference_typo_row(spark):
     assert typo_pairs[0]["dist"] == 2
     pairs1 = dd.fuzzy_pairs_fastss(df, "name", "id", max_dist=1).collect()
     assert not [r for r in pairs1 if "Bristill" in (r["name_a"] + r["name_b"])]
+
+
+def test_sessionize_capped_degenerates_to_gap_only_and_respects_cap(spark, sf_dir):
+    """With an unreachable span cap the recurrence must equal the pure
+    gap-based window form event-for-event; with a real cap every
+    session's span stays under it."""
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+    from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
+        sessionize,
+        sessionize_capped,
+    )
+
+    ev = catalog.load(spark, sf_dir, "events")
+    gap_only = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    huge_cap = {
+        (r["user_id"], r["event_id"]): r["session_n"]
+        for r in sessionize_capped(ev, gap_minutes=30, max_span_minutes=10**7).collect()
+    }
+    assert huge_cap == gap_only
+
+    capped = sessionize_capped(ev, gap_minutes=30, max_span_minutes=120)
+    spans = (
+        capped.groupBy("user_id", "session_n")
+        .agg(
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("span_us")
+        )
+        .collect()
+    )
+    assert spans and all(r["span_us"] < 120 * 60 * 1_000_000 for r in spans)
