@@ -96,7 +96,7 @@ _PRIORITY = [
     "q_quantize_embeddings", "q_pack_sequences", "q_pii_scrub",
     "q_decontaminate", "q_stratified_sample", "q_corpus_pipeline",
     # r03 semantic-coverage batch
-    "q_sessionize_capped", "q_fuzzy_match", "q_nullsafe_join",
+    "q_variant_json", "q_sessionize_capped", "q_fuzzy_match", "q_nullsafe_join",
     "q_except_all", "q_window_count_distinct", "q_token_count_bpe",
     # composite / analytic keys with real dataflow behind them
     "q_sessionize_twophase", "q_dedup_lastwin_agg", "q_paragraph_dedup",

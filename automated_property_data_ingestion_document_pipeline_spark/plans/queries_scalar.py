@@ -246,3 +246,58 @@ def q_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw (bit-identical across engines, no rounding needed)."""
     ev = catalog.load(spark, sf_dir, "events")
     return ev.select("event_id", (F.col("value") / 4 * 100).alias("progress"))
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           COALESCE(json_valid(props), FALSE) AS is_json,
+           CASE WHEN json_valid(props) THEN
+             CASE json_type(json(props))
+               WHEN 'VARCHAR' THEN 'STRING'
+               WHEN 'DOUBLE' THEN 'DOUBLE'
+               WHEN 'UBIGINT' THEN 'BIGINT'
+               ELSE json_type(json(props)) END
+           END AS top_type,
+           CASE WHEN json_valid(props)
+                 AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
+    FROM events
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type
+    (try_parse_json → variant_get): the open-schema lane beside the
+    pinned-schema from_json path (q_json_ingest). VARIANT keeps the
+    parsed tree in a binary form queryable without re-parsing —
+    at 100 TB that is the difference between parsing once at ingest
+    and parsing per expression. Type lanes are mapped to the oracle's
+    json_type vocabulary (STRING↔VARCHAR, DECIMAL→DOUBLE: Spark parses
+    JSON decimals as exact DECIMAL, DuckDB types them DOUBLE), and the
+    integer extraction is gated on the variant's ACTUAL type so a
+    payload of 1.5 or \"12\" stays NULL on both engines instead of
+    engine-specific coercion."""
+    ev = catalog.load(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    sch = F.schema_of_variant(v)
+    top = (
+        F.when(F.startswith(sch, F.lit("OBJECT")), F.lit("OBJECT"))
+        .when(F.startswith(sch, F.lit("ARRAY")), F.lit("ARRAY"))
+        .when(F.startswith(sch, F.lit("DECIMAL")), F.lit("DOUBLE"))
+        .when(sch == "STRING", F.lit("STRING"))
+        # JSON null: DuckDB json_type returns SQL NULL, not 'NULL'
+        .when(sch == "VOID", F.lit(None).cast("string"))
+        .otherwise(sch)
+    )
+    k_var = F.try_variant_get(v, "$.k", "variant")
+    k = F.when(
+        F.schema_of_variant(k_var) == "BIGINT",
+        F.try_variant_get(v, "$.k", "bigint"),
+    )
+    return ev.select(
+        "event_id",
+        v.isNotNull().alias("is_json"),
+        F.when(v.isNotNull(), top).alias("top_type"),
+        k.alias("k"),
+    )
