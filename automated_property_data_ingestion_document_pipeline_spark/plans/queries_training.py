@@ -359,3 +359,102 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", sl).alias("chunk_text"),
         F.size(sl).alias("n_tokens"),
     )
+
+
+# -- curation pipeline v2: mix -> LM-quality gate -> chunk --------------------
+
+
+@query(
+    "q_curation_pipeline2",
+    oracle=f"""
+    WITH mix AS (
+      SELECT doc_id, source, text
+      FROM documents
+      WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)
+            < CASE WHEN TRY_CAST(SUBSTRING(source, 4) AS INTEGER) % 2 = 0
+                   THEN 'c0000000' ELSE '40000000' END),
+    t AS (
+      SELECT doc_id, unnest({_TOKS.format(col='text')}) AS tok FROM mix),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+    s AS (
+      SELECT t.doc_id,
+             CAST(SUM(length(bin(c.cnt)) - 1) AS BIGINT) AS log2_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM t JOIN c USING (tok) GROUP BY t.doc_id),
+    gate AS (
+      SELECT doc_id FROM s
+      WHERE CAST(log2_sum AS DOUBLE) / n_tokens >=
+            (SELECT CAST(SUM(log2_sum) AS DOUBLE) / SUM(n_tokens) FROM s)),
+    d2 AS (
+      SELECT m.doc_id, m.source, {_TOKS.format(col='m.text')} AS toks
+      FROM mix m JOIN gate g ON g.doc_id = m.doc_id),
+    k2 AS (
+      SELECT doc_id, source, toks,
+             greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER)) AS k
+      FROM d2),
+    x AS (
+      SELECT doc_id, source, toks, unnest(range(0, k + 1)) AS i FROM k2)
+    SELECT doc_id, source, CAST(i AS INTEGER) AS chunk_id,
+           COALESCE(array_to_string(toks[i*24+1 : i*24+32], ' '), '')
+             AS chunk_text,
+           CAST(len(toks[i*24+1 : i*24+32]) AS INTEGER) AS chunk_tokens
+    FROM x
+    """,
+)
+def q_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 curation composite chaining the new training ops as ONE
+    dataflow: deterministic domain mixing (md5 threshold, map-only) →
+    unigram-LM quality gate (keep docs at or above the corpus-level
+    log-frequency ratio — the gate threshold is a ratio of exact
+    corpus-wide BIGINTs, so it is scale-invariant and bit-portable,
+    unlike a hard-coded band) → 32/24 sliding-window chunking.
+
+    Plan: sampling is a filter in the scan; the vocab count and per-doc
+    score are the q_unigram_logfreq two-shuffle shape; the corpus ratio
+    is a 1-row broadcast; chunking is a row-local fan-out. Four
+    exchanges end-to-end, none keyed on anything that skews."""
+    d = catalog.load(spark, sf_dir, "documents")
+    num = F.substring("source", 4, 10).cast("int")
+    threshold = F.when(num % 2 == 0, F.lit("c0000000")).otherwise(F.lit("40000000"))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    mix = d.filter(F.substring(key, 1, 8) < threshold).select("doc_id", "source", "text")
+
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    t = mix.select("doc_id", F.explode(toks).alias("tok"))
+    c = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    bucket = F.length(F.bin("cnt")) - F.lit(1)
+    s = (
+        t.join(c, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(bucket).alias("log2_sum"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    ratio = s.agg(
+        (F.sum("log2_sum").cast("double") / F.sum("n_tokens")).alias("_r")
+    )
+    gate = (
+        s.crossJoin(F.broadcast(ratio))
+        .filter(F.col("log2_sum").cast("double") / F.col("n_tokens") >= F.col("_r"))
+        .select("doc_id")
+    )
+    kept = mix.join(gate, "doc_id").select("doc_id", "source", toks.alias("_toks"))
+    base = kept.withColumn(
+        "_k",
+        F.greatest(
+            F.lit(0), F.ceil((F.size("_toks") - F.lit(32)) / F.lit(24.0)).cast("int")
+        ),
+    )
+    chunk = base.select(
+        "doc_id", "source", "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_k"))).alias("chunk_id"),
+    )
+    sl = F.slice("_toks", F.col("chunk_id") * 24 + 1, 32)
+    return chunk.select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        F.concat_ws(" ", sl).alias("chunk_text"),
+        F.size(sl).alias("chunk_tokens"),
+    )
