@@ -145,3 +145,32 @@ def test_unigram_logfreq_two_shuffles_with_partial_aggs(spark, sf_dir):
 def test_domain_mix_is_map_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_domain_mix")
     assert "Exchange" not in plan  # pure scan + hash-filter
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark, sf_dir):
+    # Catalyst's runtime bloom-filter injection: a selective filter on
+    # the small side of a shuffle join seeds a bloom filter applied to
+    # the fact scan, cutting shuffle volume before the join — the
+    # runtime analog of static predicate pushdown. Thresholds are
+    # lowered to make the local corpus eligible; at warehouse scale the
+    # defaults (10 MB creation side) trigger on real dims.
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        li = catalog.load(spark, sf_dir, "lineitem")
+        orders = catalog.load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")

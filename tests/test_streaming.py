@@ -106,3 +106,54 @@ def test_tumbling_counts_match_batch(spark, sf_dir):
     g = {(r["bucket_start"], r["event_type"]): r["n_events"] for r in got.collect()}
     b = {(r["bucket_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
     assert g == b
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir):
+    """Stream-static join: the streaming event feed enriched against the
+    static per-user profile (batch DataFrame) — Spark re-plans the
+    static side per microbatch and broadcasts it; results must equal
+    the all-batch join."""
+    stream = ss.read_events_stream(spark, sf_dir)
+    ev = catalog.load(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    enriched = stream.join(F.broadcast(prof), "user_id").select(
+        "event_id", "user_id", "user_events"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_stream_static")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["user_id"], r["user_events"])
+        for r in spark.table("t_stream_static").collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["user_events"])
+        for r in ev.join(prof, "user_id").select("event_id", "user_id", "user_events").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_observe_metrics_count_rejects_without_extra_pass(spark, sf_dir):
+    """df.observe(): pipeline data-quality counters (the reference's
+    validation counts) accumulated DURING the main action — no second
+    scan, unlike a separate .count() per metric."""
+    from pyspark.sql import Observation
+
+    ev = catalog.load(spark, sf_dir, "events")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("n_null_ts"),
+        F.sum((~F.col("value").between(-1e6, 1e6)).cast("long")).alias("n_out_of_range"),
+    )
+    n = observed.filter(F.col("event_type") != "error").count()  # one action
+    m = obs.get
+    assert m["n_rows"] == ev.count()
+    assert m["n_null_ts"] == ev.filter(F.col("ts").isNull()).count()
+    assert n > 0 and m["n_rows"] >= n
