@@ -556,3 +556,20 @@ def q_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("address"),
     )
     return http_source.enrich_with_parcels_mapinpandas(requests, num_partitions=8)
+
+
+@query("q_audio_chunks")  # rows-only: executor-side binary fan-out
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-chunking plumbing (sources/binary.py chunk_audio): each
+    payload (document bytes standing in for raw PCM) fans out to 30 s
+    windows with exact millisecond spans — the mapInPandas shape an ASR
+    ingest pipeline uses ahead of transcription."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import chunk_audio
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .withColumn("content", F.encode("text", "UTF-8"))
+    )
+    # tiny synthetic "sample rate" so text-sized payloads span chunks
+    return chunk_audio(d, sample_rate=8, bytes_per_sample=1, chunk_seconds=4.0)

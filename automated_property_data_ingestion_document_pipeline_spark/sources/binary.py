@@ -150,3 +150,62 @@ def extract_features(df: DataFrame, content_col: str = "content", fake: bool = T
             yield out
 
     return df.mapInPandas(_extract, out_schema)
+
+
+def chunk_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    chunk_seconds: float = 30.0,
+    fake: bool = True,
+) -> DataFrame:
+    """Fixed-duration audio chunking (the ASR-pipeline pre-step: 30 s
+    windows for a speech model): one PCM-typed payload row →
+    ceil(duration/chunk) rows of ``(id, chunk_idx, start_ms, end_ms,
+    chunk_bytes)``.
+
+    Chunk boundaries are computed from the byte layout (sample_rate ×
+    bytes_per_sample), so the operator never decodes — a container
+    format (wav/flac) would decode first behind ``DecodeUnavailable``
+    (fake=True treats payloads as raw PCM). Same scale contract as
+    sample_frames: bytes stay executor-local, fan-out is row-local,
+    output rows carry exact millisecond spans for downstream
+    window-joins against transcripts."""
+    import pandas as pd
+
+    chunk_bytes_n = int(sample_rate * bytes_per_sample * chunk_seconds)
+    ms_per_byte = 1000.0 / (sample_rate * bytes_per_sample)
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, chunks = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col].to_numpy(), pdf[content_col].to_numpy()):
+                if payload is None:
+                    continue
+                if not fake:
+                    raise DecodeUnavailable("audio container decode not in this environment")
+                payload = bytes(payload)
+                n = max((len(payload) + chunk_bytes_n - 1) // chunk_bytes_n, 1)
+                for i in range(n):
+                    seg = payload[i * chunk_bytes_n : (i + 1) * chunk_bytes_n]
+                    ids.append(rid)
+                    idxs.append(i)
+                    starts.append(int(i * chunk_bytes_n * ms_per_byte))
+                    ends.append(int((i * chunk_bytes_n + len(seg)) * ms_per_byte))
+                    chunks.append(seg or b"\x00")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_idx": idxs,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "chunk_bytes": chunks,
+                }
+            )
+
+    return df.mapInPandas(
+        _chunk,
+        f"{id_col} bigint, chunk_idx int, start_ms bigint, end_ms bigint, chunk_bytes binary",
+    )

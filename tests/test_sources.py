@@ -412,3 +412,23 @@ def test_parcel_poll_stream_source_paces_and_replays(spark, tmp_path):
     # null contract survives
     assert any(r["parcel_id"] is None for r in out)
     assert sum(r["parcel_id"] is None for r in out) < 120
+
+
+def test_chunk_audio_spans_are_exact_and_reassemble(spark):
+    """Chunk spans must tile the payload exactly: concatenating
+    chunk_bytes in order reproduces the payload, spans are contiguous
+    in ms, and the final short chunk is kept (never padded/dropped)."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import chunk_audio
+
+    payload = bytes(range(256)) * 5  # 1280 bytes
+    df = spark.createDataFrame([(1, payload)], "doc_id bigint, content binary")
+    rows = sorted(
+        chunk_audio(df, sample_rate=10, bytes_per_sample=1, chunk_seconds=50.0).collect(),
+        key=lambda r: r["chunk_idx"],
+    )  # 500-byte chunks -> 3 chunks (500, 500, 280)
+    assert [len(r["chunk_bytes"]) for r in rows] == [500, 500, 280]
+    assert b"".join(bytes(r["chunk_bytes"]) for r in rows) == payload
+    assert rows[0]["start_ms"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert a["end_ms"] == b["start_ms"]
+    assert rows[-1]["end_ms"] == 128_000  # 1280 bytes / 10 B-per-s * 1000
