@@ -1,0 +1,98 @@
+"""Data-layout tests: Z-order clustering actually narrows per-file
+min/max ranges on BOTH dimensions (the property zone-map pruning needs),
+compaction hits its file-count target, and schema evolution merges."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark.operators import layout
+
+
+def _file_ranges(path: str, cols: tuple[str, str]):
+    """Per-file (min, max) of each column, via parquet footer stats —
+    the same metadata a scan planner prunes with."""
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                    maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def test_zorder_write_narrows_minmax_on_both_dims(spark, tmp_path):
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    z_path = str(tmp_path / "zorder")
+    lin_path = str(tmp_path / "linear")
+    layout.zorder_write(df, z_path, "x", "y", num_files=16, bits=6)
+    # baseline: sorted by x only — x clusters, y spans the full domain
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lin_path)
+
+    def spans(path, col):
+        rs = _file_ranges(path, ("x", "y"))
+        return [hi - lo for (lo, hi) in (r[col] for r in rs)]
+
+    full = 63
+    # z-order: BOTH dims clustered — average span a fraction of the domain
+    z_x, z_y = spans(z_path, "x"), spans(z_path, "y")
+    assert sum(z_x) / len(z_x) <= full / 2
+    assert sum(z_y) / len(z_y) <= full / 2
+    # linear sort: y unclustered — files span (nearly) the whole y domain
+    l_y = spans(lin_path, "y")
+    assert sum(l_y) / len(l_y) > full * 0.9
+
+
+def test_zorder_prunes_files_for_point_filter(spark, tmp_path):
+    """The payoff: a selective filter on either dimension must be
+    satisfiable from a minority of files' footer ranges."""
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "z2")
+    layout.zorder_write(df, path, "x", "y", num_files=16, bits=6)
+    ranges = _file_ranges(path, ("x", "y"))
+    for col, val in (("x", 7), ("y", 55)):
+        eligible = [r for r in ranges if r[col][0] <= val <= r[col][1]]
+        assert len(eligible) <= len(ranges) / 2, (col, val, ranges)
+
+
+def test_compact_write_hits_file_target(spark, tmp_path):
+    df = spark.range(10_000).repartition(37)  # the small-files mess
+    path = str(tmp_path / "compacted")
+    layout.compact_write(df, path, target_files=4)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) == 4
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """mergeSchema read across evolving batch schemas: old files gain
+    NULLs for new columns, nothing is dropped — the append-only data
+    lake contract."""
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(p + "/b=1")
+    spark.range(5, 10).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(p + "/b=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) >= {"id", "v1", "v2"}
+    assert df.count() == 10
+    assert df.filter(F.col("v2").isNull()).count() == 5
