@@ -145,3 +145,63 @@ def test_wizard_replay_differential_random_logs(spark):
         )
     got = {u: sorted(v) for u, v in got.items()}
     assert got == {u: v for u, v in expected.items() if v}
+
+
+def ref_sessionize_capped(events, gap_us, span_us):
+    """Straight-line Python replay of the capped-session recurrence:
+    events = [(event_id, user_id, ts_us)], returns {(user, event): n}."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, uid, ts in events:
+        by_user[uid].append((ts, eid))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur, anchor, prev = 0, None, None
+        for ts, eid in evs:
+            if anchor is None or ts - prev >= gap_us or ts - anchor >= span_us:
+                cur += 1
+                anchor = ts
+            prev = ts
+            out[(uid, eid)] = cur
+    return out
+
+
+def test_sessionize_capped_differential_random_logs(spark):
+    """300 random event logs' worth of cases in one Spark job: dense
+    timestamps (many boundary-exact gaps — ts drawn on a coarse grid so
+    exact-gap and exact-span collisions actually occur) across 30
+    users, vs the Python recurrence."""
+    import random
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
+        sessionize_capped,
+    )
+
+    rng = random.Random(17)
+    gap_min, span_min = 30, 120
+    gap_us, span_us = gap_min * 60 * 10**6, span_min * 60 * 10**6
+    base = 1_700_000_000 * 10**6
+    events = []
+    eid = 0
+    for uid in range(30):
+        t = base
+        for _ in range(rng.randint(1, 60)):
+            # grid of 10-minute steps: exact 30-min gaps and exact 2-h
+            # spans are common, stressing the >= boundaries
+            t += rng.choice([0, 1, 2, 3, 4, 6, 12, 18]) * 600 * 10**6
+            events.append((eid, uid, t))
+            eid += 1
+    df = spark.createDataFrame(
+        [(e, u, t) for e, u, t in events],
+        "event_id bigint, user_id bigint, ts_us bigint",
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("ts_us").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["session_n"]
+        for r in sessionize_capped(df, gap_minutes=gap_min, max_span_minutes=span_min).collect()
+    }
+    want = ref_sessionize_capped(events, gap_us, span_us)
+    assert got == want
