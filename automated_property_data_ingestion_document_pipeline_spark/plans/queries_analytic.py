@@ -573,3 +573,36 @@ def q_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return shard.unionByName(merged)
+
+
+# -- approximate heavy hitters (exact regime) ---------------------------------
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4), exploded to
+    (item, count) rows. Run in its EXACT regime: the sketch tracks up
+    to 10 000 items, the domain has 5 — when capacity ≥ cardinality the
+    'approximate' counts are exact and fully oracle-checkable (k = 50 ≥
+    any corpus's type domain — the edge corpus carries extra
+    adversarial types — so tie-order among equal counts can't change
+    the SET).
+    At 100 TB with a real heavy-tail domain the same one-pass sketch
+    degrades gracefully to approximate top-k with bounded-error counts
+    — the exact-regime oracle pins the plumbing; the mergeable-sketch
+    rollup story is q_hll_shard_merge's."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n
+        FROM (SELECT explode(approx_top_k(event_type, 50)) AS t
+              FROM events WHERE event_type IS NOT NULL)
+        """
+    )
