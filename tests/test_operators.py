@@ -464,3 +464,37 @@ def test_sessionize_capped_degenerates_to_gap_only_and_respects_cap(spark, sf_di
         .collect()
     )
     assert spans and all(r["span_us"] < 120 * 60 * 1_000_000 for r in spans)
+
+
+def test_fastss_equals_bruteforce_on_random_strings(spark):
+    """Zero-false-negative check on an adversarial random domain: short
+    strings over a 3-letter alphabet (dense near-neighborhoods), FastSS
+    k=1 and k=2 vs all-pairs DP Levenshtein."""
+    import itertools
+    import random
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import dedup as dd
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(5)
+    strs = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 6))) for _ in range(60)]
+    df = spark.createDataFrame(list(enumerate(strs)), "id bigint, s string")
+    for k in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dd.fuzzy_pairs_fastss(df, "s", "id", max_dist=k).collect()
+        }
+        want = {
+            (i, j, lev(strs[i], strs[j]))
+            for i, j in itertools.combinations(range(len(strs)), 2)
+            if lev(strs[i], strs[j]) <= k
+        }
+        assert got == want, f"k={k}"
