@@ -88,7 +88,7 @@ _PRIORITY = [
     "q_sql_tpch_q5", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q10",
     "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15",
     "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19",
-    "q_sql_tpch_q22",
+    "q_sql_tpch_q22", "q_top_supplier_onepass", "q_heavy_hitters",
     # r03 training-pipeline additions
     "q_domain_mix", "q_chunk_overlap", "q_unigram_logfreq",
     "q_salted_join", "q_pivot_multi",

@@ -493,3 +493,59 @@ _sql_query(
     "variant q_except collapses them). Planned as a count-annotated "
     "aggregate join, one shuffle per side.",
 )
+
+_TOP_SUPPLIER_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q_top_supplier_onepass", oracle=_TOP_SUPPLIER_SQL)
+def q_top_supplier_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 with the CTE double-scan optimized away: Spark inlines
+    (never materializes) SQL CTEs, so the same-SQL q_sql_tpch_q15 scans
+    and aggregates lineitem TWICE — once under the scalar MAX subquery,
+    once as the join input (plan audit, PERFORMANCE.md §21). This
+    DataFrame twin aggregates revenue ONCE and takes the max with an
+    unpartitioned window over the post-aggregate rows: the window's
+    single-partition exchange carries |suppliers| aggregated rows, not
+    lineitems — at 100 TB that trades a second full fact scan+shuffle
+    for one tiny exchange. The oracle is the SAME SQL as the CTE form:
+    both must produce identical rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog as cat
+
+    li = cat.load(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = rev.withColumn(
+        "_mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_mx"))
+    s = cat.load(spark, sf_dir, "supplier")
+    return top.join(s, top.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )

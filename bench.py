@@ -54,6 +54,9 @@ HEADLINE = [
     "q_chunk_overlap",
     "q_knn_pq",
     "q_salted_join",
+    "q_fuzzy_match",
+    "q_sessionize_capped",
+    "q_curation_pipeline2",
 ]
 
 
