@@ -389,16 +389,24 @@ def fuzzy_pairs_fastss(
     error this operator surfaces."""
     if max_dist not in (1, 2):
         raise ValueError("fastss supports max_dist 1 or 2")
-    variants = deletion_variants(F.col(text_col))
+    # D_2 = deletions of deletions, flattened (row-local; ~n^2/2 variants
+    # per string — the space cost of exact dist-2 bucketing)
+    # two-step projection: aliasing AND exploding an expression over the
+    # same source column in one select trips Spark's lateral-column-alias
+    # analysis when the input is already named like the alias (internal
+    # LateralColumnAliasReference error) — materialize the rename first
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_fss_s"))
     if max_dist == 2:
-        # D_2 = deletions of deletions, flattened (row-local; ~n^2/2
-        # variants per string — the space cost of exact dist-2 bucketing)
         variants = F.array_distinct(
-            F.flatten(F.transform(variants, lambda s: deletion_variants(s)))
+            F.flatten(
+                F.transform(deletion_variants(F.col("_fss_s")), lambda s: deletion_variants(s))
+            )
         )
-    v = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_name"),
+    else:
+        variants = deletion_variants(F.col("_fss_s"))
+    v = base.select(
+        "_id",
+        F.col("_fss_s").alias("_name"),
         F.explode(variants).alias("_variant"),
     ).distinct()  # a deletion can coincide for repeated chars ('ll' -> one variant)
     a, b = v.alias("a"), v.alias("b")
@@ -415,3 +423,38 @@ def fuzzy_pairs_fastss(
     return cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b")
     ).filter(F.col("dist") <= max_dist)
+
+
+def fuzzy_pairs_fastss_grouped(
+    df: DataFrame,
+    text_col: str = "c_name",
+    id_col: str = "c_custkey",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Skew-hardened FastSS: collapse exact-duplicate strings BEFORE the
+    variant join.
+
+    The hazard: k rows sharing one string share every deletion variant,
+    so the bucket join emits k² candidate pairs per duplicated string —
+    and real corpora duplicate pathologically ('', 'N/A', boilerplate).
+    Collapsing to distinct strings first (representative = min id,
+    multiplicity carried) makes the join quadratic only in DISTINCT
+    spellings per bucket; exact duplicates never even enter it. Returns
+    STRING-level pairs: (name_a, name_b, dist, n_a, n_b, rep_a, rep_b)
+    — the row-level pair count is n_a*n_b by construction, recoverable
+    without materializing it."""
+    g = df.groupBy(F.col(text_col).alias("_name")).agg(
+        F.min(id_col).alias("_rep"), F.count("*").alias("_n")
+    )
+    pairs = fuzzy_pairs_fastss(g, "_name", "_rep", max_dist)
+    # multiplicities re-join by NAME (distinct join-column names, no
+    # self-join attribute ambiguity)
+    na = df.groupBy(F.col(text_col).alias("name_a")).agg(F.count("*").alias("n_a"))
+    nb = df.groupBy(F.col(text_col).alias("name_b")).agg(F.count("*").alias("n_b"))
+    return (
+        pairs.withColumnRenamed("id_a", "rep_a")
+        .withColumnRenamed("id_b", "rep_b")
+        .join(na, "name_a")
+        .join(nb, "name_b")
+        .select("name_a", "name_b", "dist", "rep_a", "rep_b", "n_a", "n_b")
+    )

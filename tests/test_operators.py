@@ -498,3 +498,23 @@ def test_fastss_equals_bruteforce_on_random_strings(spark):
             if lev(strs[i], strs[j]) <= k
         }
         assert got == want, f"k={k}"
+
+
+def test_fastss_grouped_collapses_duplicates(spark):
+    """1000 rows of only 4 distinct strings: the grouped variant's
+    candidate space is the 4-string cross section (pairs ~ distinct²),
+    never the 1000-row one (~10^6); multiplicities recover row-level
+    pair counts exactly."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import dedup as dd
+
+    rows = [(i, ["N/A", "NA", "n/a", "N/A"][i % 4]) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    # distinct strings: N/A (500), NA (250), n/a (250).
+    # lev(N/A,NA)=1; lev(N/A,n/a)=2 (two case substitutions);
+    # lev(NA,n/a)=3 (case-sensitive)
+    out1 = dd.fuzzy_pairs_fastss_grouped(df, "s", "id", max_dist=1).collect()
+    got1 = {(r["name_a"], r["name_b"]): (r["dist"], r["n_a"] * r["n_b"]) for r in out1}
+    assert got1 == {("N/A", "NA"): (1, 500 * 250)}
+    out2 = dd.fuzzy_pairs_fastss_grouped(df, "s", "id", max_dist=2).collect()
+    got2 = {(r["name_a"], r["name_b"]): r["dist"] for r in out2}
+    assert got2 == {("N/A", "NA"): 1, ("N/A", "n/a"): 2}
