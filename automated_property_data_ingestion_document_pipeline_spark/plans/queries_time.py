@@ -268,7 +268,9 @@ def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap + max-span sessionization (operators/sessionize.py
     sessionize_capped): the split depends on the running session anchor
     — a sequential recurrence no window frame can express — so the
-    Spark path is applyInPandas per user (one shuffle, key-local state)
+    Spark path is one sorted mapInPandas stream per partition (one
+    shuffle on the key; O(1) recurrence state carried across Arrow
+    batches — PERFORMANCE.md §19 on why not per-group applyInPandas)
     and the oracle replays the identical recurrence as a recursive CTE.
     30-min gap, 2-h span cap, exact integer-micro comparisons on both
     engines."""
