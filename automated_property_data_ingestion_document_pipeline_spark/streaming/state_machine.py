@@ -13,7 +13,7 @@ core (:func:`_replay_core`):
   ``last_event + stale_timeout`` past the watermark, emitting the
   in-flight run as ``in_progress`` (the reference's stale-abort made
   explicit; also what bounds state-store growth at 100 TB key counts).
-- **Batch replay**: ``applyInPandas`` per user replays the event log in
+- **Batch replay**: a sorted ``mapInPandas`` stream replays the event log in
   time order — used for backfill and as the differential check of the
   streaming operator.
 - **transformWithStateInPandas**: the Spark-4 arbitrary-state API;
@@ -113,18 +113,57 @@ def _replay(events: pd.DataFrame) -> list[tuple]:
 
 
 def wizard_outcomes_batch(events: DataFrame) -> DataFrame:
-    """Batch replay via applyInPandas: one group per user, events sorted
-    by (ts, event_id) inside the group. One shuffle on user_id; group
-    state is O(1) — holds at any scale with bounded per-user history."""
+    """Batch replay as ONE sorted mapInPandas stream per partition
+    (same shuffle applyInPandas per user would pay, minus the per-group
+    Arrow-frame overhead that made the capped sessionizer 5× slower —
+    PERFORMANCE.md §19): repartition on user_id, sort (user_id, ts,
+    event_id) within partitions, replay sequentially with the machine
+    state carried across both user boundaries and Arrow batch
+    boundaries. Per-user state is O(1) — holds at any scale."""
+    from pyspark.sql import functions as F
 
-    def _per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        return pd.DataFrame(
-            _replay(pdf),
-            columns=["user_id", "outcome", "final_step", "n_events", "started_ts", "ended_ts"],
-        )
+    cols = ["user_id", "outcome", "final_step", "n_events", "started_ts", "ended_ts"]
 
-    return events.groupBy("user_id").applyInPandas(_per_user, OUTPUT_SCHEMA)
+    def _stream(batches):
+        cur_uid = None
+        step, n, start, last = 0, 0, None, None
+
+        def flush():
+            # trailing open run for the user we just finished
+            if cur_uid is not None and n > 0:
+                return [(cur_uid, "in_progress", step, n, start, last)]
+            return []
+
+        for pdf in batches:
+            out = []
+            uids = pdf["user_id"].to_numpy()
+            # replay contiguous same-user runs without per-user frames
+            import numpy as np
+
+            bounds = np.flatnonzero(np.concatenate(([True], uids[1:] != uids[:-1])))
+            for s0, s1 in zip(bounds, np.append(bounds[1:], len(uids))):
+                uid = int(uids[s0])
+                if uid != cur_uid:
+                    out.extend(flush())
+                    cur_uid, step, n, start, last = uid, 0, 0, None, None
+                seg = pdf.iloc[s0:s1]
+                propss = seg["props"].to_numpy() if "props" in seg.columns else None
+                rows, (step, n, start, last) = _replay_core(
+                    uid, seg["event_type"].to_numpy(), seg["ts"].to_numpy(),
+                    propss, step, n, start, last,
+                )
+                out.extend(rows)
+            if out:  # empty frames mis-infer dtypes (float64 -> timestamp cast fails)
+                yield pd.DataFrame(out, columns=cols)
+        tail = flush()
+        if tail:
+            yield pd.DataFrame(tail, columns=cols)
+
+    return (
+        events.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(_stream, OUTPUT_SCHEMA)
+    )
 
 
 def has_transform_with_state_runtime() -> bool:
