@@ -291,3 +291,36 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.max(dr).over(w_part) - has_null).cast("bigint").alias("n_types"),
     )
+
+
+@query(
+    "q_rank_fns",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)
+    """,
+)
+def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window (one shuffle,
+    one sort): rank / dense_rank / percent_rank / cume_dist.
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers/n divide
+    identical integers on both engines, so the doubles are bit-portable
+    (ties broken by event_id to pin rank itself). NaN sorts above +inf
+    on both engines; NULL ordering is pinned explicitly — Spark
+    defaults to NULLS FIRST ascending, DuckDB to NULLS LAST (caught by
+    the edge corpus)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
