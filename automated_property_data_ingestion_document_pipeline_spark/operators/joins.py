@@ -124,3 +124,50 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_big.join(salted_dim, [key, "_salt"]).drop("_salt")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest-event as-of join: for each left row, the right row with
+    the smallest |Δts| within the key — backward wins distance ties
+    (sensor alignment / attribution where 'closest reading' matters,
+    not 'latest prior').
+
+    Composed from the two directional union-merges (each ONE shuffle on
+    the key, no range self-join): run backward, then forward over its
+    output, then pick per payload column by exact integer-micro gap.
+    The right ts rides along as an extra payload so the comparison
+    never re-joins. Output: ``nearest_<col>`` plus ``nearest_gap_us``."""
+    rts = f"_rts_{ts}"
+    r2 = right.withColumn(rts, F.col(ts))
+    cols = payload_cols + [rts]
+    b = asof_join(left, r2, key, ts, cols, "backward", tiebreak)
+    for c in cols:
+        b = b.withColumnRenamed(f"asof_{c}", f"_b_{c}")
+    f2 = asof_join(b, r2, key, ts, cols, "forward", tiebreak)
+    for c in cols:
+        f2 = f2.withColumnRenamed(f"asof_{c}", f"_f_{c}")
+    lts = F.unix_micros(F.col(ts).cast("timestamp"))
+    bgap = lts - F.unix_micros(F.col(f"_b_{rts}").cast("timestamp"))
+    fgap = F.unix_micros(F.col(f"_f_{rts}").cast("timestamp")) - lts
+    # backward wins ties; a missing side loses automatically (NULL gap)
+    use_b = F.when(
+        F.col(f"_b_{rts}").isNotNull()
+        & (F.col(f"_f_{rts}").isNull() | (bgap <= fgap)),
+        F.lit(True),
+    ).otherwise(F.lit(False))
+    out = f2
+    for c in payload_cols:
+        out = out.withColumn(
+            f"nearest_{c}", F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+        )
+    out = out.withColumn(
+        "nearest_gap_us", F.when(use_b, bgap).otherwise(fgap).cast("bigint")
+    )
+    return out.drop(*[f"_b_{c}" for c in cols], *[f"_f_{c}" for c in cols])

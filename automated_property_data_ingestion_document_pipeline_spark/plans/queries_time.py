@@ -280,3 +280,46 @@ def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = catalog.load(spark, sf_dir, "events")
     return sessionize_capped(ev, gap_minutes=30, max_span_minutes=120)
+
+
+@query(
+    "q_asof_nearest",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+      (SELECT v.event_id FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+          AND v.ts IS NOT NULL AND p.ts IS NOT NULL
+        ORDER BY abs(date_diff('microsecond', p.ts, v.ts)) ASC,
+                 CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END ASC,
+                 CASE WHEN v.ts <= p.ts THEN -v.event_id ELSE v.event_id END ASC
+        LIMIT 1) AS nearest_event_id,
+      (SELECT abs(date_diff('microsecond', p.ts, v.ts)) FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+          AND v.ts IS NOT NULL AND p.ts IS NOT NULL
+        ORDER BY abs(date_diff('microsecond', p.ts, v.ts)) ASC,
+                 CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END ASC,
+                 CASE WHEN v.ts <= p.ts THEN -v.event_id ELSE v.event_id END ASC
+        LIMIT 1) AS nearest_gap_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-view attribution: each purchase matched to the view with
+    the smallest |Δts| (backward wins ties, then the direction's own
+    id tiebreak). Composed from the two directional union-merges
+    (operators/joins.py asof_join_nearest) — two key-shuffles total,
+    never an inequality self-join; gaps compared in exact integer
+    micros. The oracle replays the full preference order as a
+    correlated LIMIT 1."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    ev = catalog.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = asof_join_nearest(
+        purchases, views, key="user_id", ts="ts", payload_cols=["event_id"],
+        tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "nearest_event_id", "nearest_gap_us")
