@@ -57,6 +57,8 @@ HEADLINE = [
     "q_fuzzy_match",
     "q_sessionize_capped",
     "q_curation_pipeline2",
+    "q_asof_nearest",
+    "q_wizard_steps",
 ]
 
 
