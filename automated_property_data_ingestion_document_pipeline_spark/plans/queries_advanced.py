@@ -314,3 +314,111 @@ def q_resample_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bfill_value"
         ),
     )
+
+
+@query(
+    "q_resample_interp",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             arg_max(TRY_CAST(round(value * 100, 0) AS BIGINT), event_id)
+               FILTER (TRY_CAST(round(value * 100, 0) AS BIGINT) IS NOT NULL)
+               AS cents
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT g.user_id, g.bucket, epoch_us(g.bucket) AS t_us, h.cents
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.bucket = h.bucket),
+    w AS (
+      SELECT user_id, bucket, t_us, cents,
+             last_value(cents IGNORE NULLS) OVER wp AS pc,
+             last_value(CASE WHEN cents IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER wp AS pt,
+             first_value(cents IGNORE NULLS) OVER wf AS nc,
+             first_value(CASE WHEN cents IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER wf AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, bucket,
+           CASE WHEN pt = nt THEN CAST(pc AS DOUBLE) / 100
+                WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+                  (CAST(pc AS DOUBLE)
+                   + CAST(nc - pc AS DOUBLE)
+                     * (CAST(t_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)))
+                  / 100
+           END AS interp_value
+    FROM w
+    """,
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample with LINEAR interpolation (the ffill twin for continuous
+    measures): per-user hourly grid; gaps take
+    v = prev + (next-prev) * (t-pt)/(nt-pt) between the surrounding
+    anchors, NULL outside them. Anchors pair (time, value) through two
+    ignore-nulls windows driven by the SAME non-null condition — both
+    directions share one (user) shuffle and one ordered sort (frames
+    differ, order doesn't). Bit-portable floats: every operand entering
+    the double arithmetic is an exact integer (cents, epoch micros) and
+    the expression tree is identical on both engines, so IEEE gives
+    identical doubles — no rounding slop needed."""
+    ev = catalog.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).try_cast("bigint")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    hourly = (
+        ev.withColumn("_c", cents)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.expr("max_by(_c, event_id) FILTER (WHERE _c IS NOT NULL)").alias("cents")
+        )
+    )
+    j = grid.join(hourly, ["user_id", "bucket"], "left").withColumn(
+        "t_us", F.unix_micros(F.col("bucket").cast("timestamp"))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_if_anchor = F.when(F.col("cents").isNotNull(), F.col("t_us"))
+    w = (
+        j.withColumn("pc", F.last("cents", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last(t_if_anchor, ignorenulls=True).over(wp))
+        .withColumn("nc", F.first("cents", ignorenulls=True).over(wf))
+        .withColumn("nt", F.first(t_if_anchor, ignorenulls=True).over(wf))
+    )
+    interp = (
+        F.col("pc").cast("double")
+        + (F.col("nc") - F.col("pc")).cast("double")
+        * (
+            (F.col("t_us") - F.col("pt")).cast("double")
+            / (F.col("nt") - F.col("pt")).cast("double")
+        )
+    ) / 100
+    return w.select(
+        "user_id",
+        "bucket",
+        F.when(F.col("pt") == F.col("nt"), F.col("pc").cast("double") / 100)
+        .when(F.col("pt").isNotNull() & F.col("nt").isNotNull(), interp)
+        .alias("interp_value"),
+    )
