@@ -324,3 +324,50 @@ def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prnk"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@query(
+    "q_next_greater",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE ts IS NOT NULL)
+    SELECT a.event_id, a.user_id,
+      (SELECT b.event_id FROM o b
+        WHERE b.user_id = a.user_id AND b.rn > a.rn AND b.rn <= a.rn + 20
+          AND b.value > a.value
+        ORDER BY b.rn LIMIT 1) AS next_greater_id
+    FROM o a
+    """,
+)
+def q_next_greater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-greater-event search, bounded horizon: for each event, the
+    first LATER event of the same user (ts, event_id order) with a
+    strictly greater value, looking at most 20 events ahead.
+
+    Why the horizon: the unbounded form as a correlated LATERAL plans
+    as a BroadcastNestedLoopJoin — measured 29 s at sf0.01 (vs 0.3 s
+    here), i.e. quadratic per key and dead at scale. The bounded
+    reformulation is 20 ``lead`` expressions over ONE window sort,
+    searched with a row-local array filter — linear, one shuffle, and
+    the bound is explicit in the semantics instead of hidden in the
+    planner. NaN ranks above every number on both engines, so the
+    strict > agrees; NULL values match nothing."""
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    H = 20
+    nxt = F.array(
+        *[
+            F.lead(
+                F.struct(F.col("value").alias("v"), F.col("event_id").alias("id")), h
+            ).over(w)
+            for h in range(1, H + 1)
+        ]
+    )
+    hit = F.filter(nxt, lambda x: x.isNotNull() & (x["v"] > F.col("value")))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.get(hit, 0)["id"].alias("next_greater_id"),
+    )

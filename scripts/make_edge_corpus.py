@@ -135,6 +135,12 @@ write(
                         "the quick brown fox jumps over the lazy dog " * 8,
                         "der schnelle braune fuchs springt " * 6,
                         "word " * 120,
+                        # r03 stressors for BPE/chunking/unigram paths:
+                        "x" * 3000,  # one giant token (no whitespace)
+                        "a\u200bb\u200bc zero\u200bwidth joined",  # ZWSP is \S
+                        "\u05e9\u05dc\u05d5\u05dd \u0639\u0627\u0644\u0645 rtl mix",  # Hebrew+Arabic
+                        "12345 67890 " * 40,  # digit-run pieces
+                        "!!!???;;;,,,... punct runs " * 15,
                     ],
                 )
             ),
