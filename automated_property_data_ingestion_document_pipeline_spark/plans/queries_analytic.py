@@ -606,3 +606,59 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM events WHERE event_type IS NOT NULL)
         """
     )
+
+
+# -- sequence-pattern matching (MATCH_RECOGNIZE stand-in) ---------------------
+
+
+@query(
+    "q_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY ts, event_id), ' ')
+               AS s
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id,
+           regexp_matches(s, 'view( \\S+)* click( \\S+)* purchase')
+             AS has_funnel_path,
+           CAST(len(regexp_extract_all(s, 'view( \\S+)* purchase'))
+                AS BIGINT) AS n_view_purchase_spans
+    FROM seq
+    """,
+)
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over event streams (the
+    MATCH_RECOGNIZE stand-in neither engine ships): collapse each
+    user's ordered event types into one string, then run ordinary
+    regexes — 'view … click … purchase' with arbitrary gaps. The
+    collapse is collect_list over a deterministic (ts, event_id) sort;
+    pattern evaluation is row-local. Greedy non-overlapping span counts
+    match between Java regex and RE2 because the pattern is
+    backtracking-free on this alphabet. At 100 TB the per-user string
+    is bounded by per-user history (the same bounded-state argument as
+    sessionization); unbounded keys would chunk by time first."""
+    ev = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            " ",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.col("s").rlike(r"view( \S+)* click( \S+)* purchase").alias("has_funnel_path"),
+        F.size(
+            F.regexp_extract_all("s", F.lit(r"view( \S+)* purchase"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_view_purchase_spans"),
+    )
