@@ -174,3 +174,26 @@ def test_runtime_bloom_filter_prunes_selective_join(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+
+
+def test_next_greater_is_window_not_nested_loop(spark, sf_dir):
+    # the whole point of the bounded-horizon reformulation: no
+    # BroadcastNestedLoopJoin (the LATERAL form's plan), one window sort
+    plan = plan_of(spark, sf_dir, "q_next_greater")
+    assert "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_pattern_match_single_aggregation_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_pattern_match")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan
+
+
+def test_asof_nearest_two_exchanges_no_inequality_join(spark, sf_dir):
+    # two directional union-merges = two key shuffles; never a range
+    # self-join
+    plan = plan_of(spark, sf_dir, "q_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "NestedLoop" not in plan and "SortMergeJoin" not in plan
