@@ -100,7 +100,7 @@ _PRIORITY = [
     "q_sessionize_capped", "q_fuzzy_match", "q_nullsafe_join",
     "q_except_all", "q_window_count_distinct", "q_token_count_bpe",
     "q_rank_fns", "q_variant_json", "q_asof_nearest", "q_resample_interp",
-    "q_next_greater", "q_pattern_match",
+    "q_next_greater", "q_pattern_match", "q_centroid_assign",
     # composite / analytic keys with real dataflow behind them
     "q_sessionize_twophase", "q_dedup_lastwin_agg", "q_paragraph_dedup",
     "q_funnel", "q_cohort_retention", "q_anomaly_zscore",

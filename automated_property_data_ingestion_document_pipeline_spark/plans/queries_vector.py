@@ -115,3 +115,72 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table ~ n/2^planes, map-only signatures, broadcast query side."""
     e = catalog.load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk_multi(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@query(
+    "q_centroid_assign",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(round(unnest(embedding) * 1000) AS BIGINT) AS qv
+      FROM embeddings),
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY label, pos),
+    d AS (
+      SELECT q.vec_id, q.label AS true_label, cent.c_label,
+             CAST(SUM((q.qv * cent.n - cent.s) * (q.qv * cent.n - cent.s))
+                  AS DOUBLE) / (MAX(cent.n) * MAX(cent.n)) AS dist2
+      FROM q JOIN cent ON q.pos = cent.pos
+      GROUP BY q.vec_id, q.label, cent.c_label)
+    SELECT vec_id, CAST(true_label AS INT) AS true_label,
+           CAST(arg_min(c_label, dist2 ORDER BY dist2, c_label) AS INT)
+             AS assigned_label
+    FROM d GROUP BY vec_id, true_label
+    """,
+)
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the embedding column — the
+    array-aggregation ML primitive (per-label element-wise mean +
+    distance argmin) done with INTEGER-EXACT algebra so both engines
+    agree bit-for-bit: vectors quantize to round(x·1000) ints, the
+    centroid stays a RATIONAL (per-dim sum s, count n) instead of a
+    float mean, and ||q − s/n||² compares as Σ(q·n − s)²/n² — integer
+    sums (overflow-sized: |q·n−s| ≤ ~4·10⁶ at n ≤ 10⁴, squares ×64 dims
+    fit int64 with 10³ headroom) divided once at the end, so the argmin
+    sees identical doubles on both engines. Plan: one explode, one
+    (label, pos) aggregate (map-side combined), one join keyed on pos
+    (64 rows/label — broadcast), one (vec, label) aggregate, one argmin
+    — at 100 TB every stage is linear in cells and the centroid table
+    stays tiny."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v") * 1000).cast("bigint").alias("qv"),
+    )
+    cent = q.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.sum("qv").alias("s"), F.count("*").alias("n")
+    )
+    diff = F.col("qv") * F.col("n") - F.col("s")
+    d = (
+        q.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(
+            (F.sum(diff * diff).cast("double") / (F.max("n") * F.max("n"))).alias(
+                "dist2"
+            )
+        )
+    )
+    return d.groupBy("vec_id", F.col("true_label").cast("int").alias("true_label")).agg(
+        F.expr("min_by(c_label, struct(dist2, c_label))").cast("int").alias(
+            "assigned_label"
+        )
+    )
