@@ -95,7 +95,7 @@ _PRIORITY = [
     # r02 training batch, never driver-sampled
     "q_quantize_embeddings", "q_pack_sequences", "q_pii_scrub",
     "q_decontaminate", "q_stratified_sample", "q_corpus_pipeline",
-    "q_curation_pipeline2",
+    "q_curation_pipeline2", "q_dataset_split", "q_token_budget",
     # r03 semantic-coverage batch
     "q_sessionize_capped", "q_fuzzy_match", "q_nullsafe_join",
     "q_except_all", "q_window_count_distinct", "q_token_count_bpe",

@@ -10,7 +10,7 @@ windows ``shingles_of`` builds (full-text single shingle when n < k).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_property_data_ingestion_document_pipeline_spark import catalog
@@ -457,4 +457,90 @@ def q_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_id",
         F.concat_ws(" ", sl).alias("chunk_text"),
         F.size(sl).alias("chunk_tokens"),
+    )
+
+
+# -- deterministic dataset split ----------------------------------------------
+
+
+@query(
+    "q_dataset_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, lang,
+             SUBSTRING(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents),
+    a AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN h < 'e6666666' THEN 'train'
+                  WHEN h < 'f3333333' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM s)
+    SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM a GROUP BY split, source
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split — the md5-threshold
+    trick again (q_domain_mix): assignment is a pure function of
+    doc_id, so it is stable across runs, partitionings and engines
+    (never re-shuffles a doc between splits when the corpus grows —
+    the property random splits lose). Thresholds are hex fractions of
+    the 16^8 space (0.9 → 'e6666666', 0.95 → 'f3333333'). Output
+    digests per-(split, source) counts; the oracle checks the exact
+    assignment through them."""
+    d = catalog.load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8)
+    split = (
+        F.when(h < "e6666666", "train").when(h < "f3333333", "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# -- token-budget-capped sampling ---------------------------------------------
+
+
+@query(
+    "q_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM r WHERE cum <= 2000
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped sampling: keep documents per source, in
+    deterministic doc_id order, until the source's running token total
+    exceeds the budget (how a mixture recipe caps each domain's
+    contribution in TOKENS, not documents). One window pass per source
+    partition; exact BIGINT running sums so the cut-off document is
+    identical on both engines."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    t = d.select("doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("doc_id", "source", "n_tokens", F.col("cum_tokens").cast("bigint"))
     )
