@@ -157,3 +157,31 @@ def test_observe_metrics_count_rejects_without_extra_pass(spark, sf_dir):
     assert m["n_rows"] == ev.count()
     assert m["n_null_ts"] == ev.filter(F.col("ts").isNull()).count()
     assert n > 0 and m["n_rows"] >= n
+
+
+def test_watermark_drop_metrics_are_observable(spark, sf_dir, tmp_path):
+    """Operational pin: the streaming session aggregation exposes
+    per-operator watermark state metrics through query progress
+    (numRowsDroppedByWatermark et al.) — the signal an operator's
+    late-data policy is monitored by in production."""
+    import json
+
+    stream = ss.read_events_stream(spark, sf_dir)
+    result = ss.session_agg(stream, gap="30 minutes")
+    q = (
+        result.writeStream.format("memory")
+        .queryName("t_wm_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [
+        p if isinstance(p, dict) else json.loads(p.json if hasattr(p, "json") else str(p))
+        for p in q.recentProgress
+    ]
+    ops = [op for p in progress for op in p.get("stateOperators", [])]
+    assert ops, "expected stateOperators in streaming progress"
+    assert any("numRowsDroppedByWatermark" in op for op in ops)
+    assert any(op.get("numRowsTotal", 0) > 0 for op in ops)
