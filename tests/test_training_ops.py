@@ -72,3 +72,40 @@ def test_stratified_sample_quota_and_determinism(spark):
     for lang, _ in ra:
         per[lang] = per.get(lang, 0) + 1
     assert per == {"en": 10, "de": 10}
+
+
+def test_domain_mix_and_split_rates_converge(spark, sf_dir):
+    """Statistical sanity beyond the oracle: md5-threshold sampling must
+    actually deliver the configured rates (0.75 even / 0.25 odd
+    sources; 90/5/5 split) within binomial tolerance."""
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+    from automated_property_data_ingestion_document_pipeline_spark.plans.registry import QUERIES
+
+    d = catalog.load(spark, sf_dir, "documents")
+    total = d.count()
+    by_parity = {
+        r["p"]: r["n"]
+        for r in d.groupBy(
+            (F.substring("source", 4, 10).cast("int") % 2).alias("p")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    kept = QUERIES["q_domain_mix"](spark, sf_dir)
+    kept_parity = {
+        r["p"]: r["n"]
+        for r in kept.groupBy(
+            (F.substring("source", 4, 10).cast("int") % 2).alias("p")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(kept_parity.get(0, 0) / by_parity[0] - 0.75) < 0.08
+    assert abs(kept_parity.get(1, 0) / by_parity[1] - 0.25) < 0.08
+
+    splits = QUERIES["q_dataset_split"](spark, sf_dir)
+    per = {
+        r["split"]: r["n"]
+        for r in splits.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert abs(per.get("train", 0) / total - 0.90) < 0.06
+    assert abs(per.get("val", 0) / total - 0.05) < 0.04
+    assert abs(per.get("test", 0) / total - 0.05) < 0.04
