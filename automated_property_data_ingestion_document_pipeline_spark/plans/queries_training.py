@@ -544,3 +544,44 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 2000)
         .select("doc_id", "source", "n_tokens", F.col("cum_tokens").cast("bigint"))
     )
+
+
+# -- percentile-band outlier trimming -----------------------------------------
+
+
+@query(
+    "q_quality_band",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             cume_dist() OVER (PARTITION BY source
+                               ORDER BY n_tokens NULLS FIRST, doc_id) AS pct
+      FROM t)
+    SELECT doc_id, source, n_tokens
+    FROM r WHERE pct > 0.1 AND pct <= 0.9
+    """,
+)
+def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band outlier trimming (the Gopher-style length rule
+    done exactly): per source, keep documents whose token count falls
+    strictly inside the (p10, p90] band — dropping the truncated-
+    fragment tail and the boilerplate-concatenation head. cume_dist
+    over (n_tokens, doc_id) gives an EXACT, deterministic percentile
+    (ratio of identical integers — no approx_percentile sketch, no
+    engine-specific interpolation), at the cost of one sort per source
+    partition; at 100 TB swap in approx_percentile thresholds and keep
+    this form as its oracle-checkable twin (q_quantile_error's pattern
+    measures that substitution's error)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    t = d.select("doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+    return (
+        t.withColumn("pct", F.cume_dist().over(w))
+        .filter((F.col("pct") > 0.1) & (F.col("pct") <= 0.9))
+        .select("doc_id", "source", "n_tokens")
+    )
