@@ -96,3 +96,38 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) >= {"id", "v1", "v2"}
     assert df.count() == 10
     assert df.filter(F.col("v2").isNull()).count() == 5
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """The 100 TB first lever: a filter on the partition column must
+    become a PartitionFilters entry (planning-time directory pruning),
+    not a post-scan Filter over all partitions."""
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+
+    p = str(tmp_path / "docs_by_source")
+    catalog.load(spark, sf_dir, "documents").write.partitionBy("source").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("source") == "src3").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan and "src3" in plan
+    n_all = spark.read.parquet(p).count()
+    assert 0 < df.count() < n_all
+
+
+def test_zstd_parquet_roundtrip_smaller_and_identical(spark, sf_dir, tmp_path):
+    """Codec is a writer option, not a schema property: zstd output must
+    read back bit-identical and smaller than uncompressed."""
+    import glob
+    import os
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+
+    d = catalog.load(spark, sf_dir, "documents")
+    pz = str(tmp_path / "zstd")
+    pu = str(tmp_path / "uncompressed")
+    d.coalesce(1).write.option("compression", "zstd").parquet(pz)
+    d.coalesce(1).write.option("compression", "none").parquet(pu)
+    size = lambda p: sum(os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet")))
+    assert size(pz) < size(pu) * 0.8
+    a = {tuple(r) for r in spark.read.parquet(pz).collect()}
+    b = {tuple(r) for r in d.collect()}
+    assert a == b
