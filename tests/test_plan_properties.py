@@ -134,12 +134,14 @@ def test_pivot_two_phase_agg_with_partial_combine(spark, sf_dir):
     assert "pivotfirst" in plan
 
 
-def test_unigram_logfreq_two_shuffles_with_partial_aggs(spark, sf_dir):
-    # vocab count + per-doc mean (+ the join back) — the vocab aggregate
-    # must map-side combine so shuffle volume is |vocab|, not |tokens|
+def test_unigram_logfreq_one_scan_two_shuffles(spark, sf_dir):
+    # r03 plan fix: vocab count as an unordered window over tok — ONE
+    # corpus scan (the groupBy+join-back form scanned and exploded it
+    # twice), one shuffle on tok, one on doc_id with map-side combine
     plan = plan_of(spark, sf_dir, "q_unigram_logfreq")
-    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
-    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 2  # partial+final per-doc agg
 
 
 def test_domain_mix_is_map_only(spark, sf_dir):
