@@ -421,13 +421,13 @@ def q_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
     t = mix.select("doc_id", F.explode(toks).alias("tok"))
-    c = t.groupBy("tok").agg(F.count("*").alias("cnt"))
-    bucket = F.length(F.bin("cnt")) - F.lit(1)
+    # one-scan vocab count (window over tok), as in q_unigram_logfreq
+    bucket = F.length(F.bin(F.count("*").over(Window.partitionBy("tok")))) - F.lit(1)
     s = (
-        t.join(c, "tok")
+        t.withColumn("_b", bucket)
         .groupBy("doc_id")
         .agg(
-            F.sum(bucket).alias("log2_sum"),
+            F.sum("_b").alias("log2_sum"),
             F.count("*").alias("n_tokens"),
         )
     )
