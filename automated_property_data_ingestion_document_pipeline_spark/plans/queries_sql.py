@@ -153,19 +153,23 @@ _sql_query(
 _sql_query(
     "q_cohort_retention",
     """
-    WITH f AS (
-      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
-      FROM events GROUP BY user_id),
-    a AS (
+    WITH a AS (
       SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
-      FROM events)
-    SELECT f.cohort_week, a.active_week, CAST(COUNT(*) AS BIGINT) AS n_active
-    FROM f JOIN a ON f.user_id = a.user_id
-    GROUP BY f.cohort_week, a.active_week
+      FROM events),
+    f AS (
+      SELECT user_id, active_week,
+             MIN(active_week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM a)
+    SELECT cohort_week, active_week, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM f GROUP BY cohort_week, active_week
     """,
     "Weekly cohort retention (classic event-analytics rollup): users "
     "bucketed by first-seen week, distinct-active counts per (cohort, "
-    "activity) week. Weeks emitted as date_trunc timestamps rather than "
+    "activity) week. ONE events scan (r03): cohort week = "
+    "min(active_week) over the user — valid because date_trunc is "
+    "monotone, so min of trunc = trunc of min — instead of a second "
+    "full-scan aggregate joined back. Weeks emitted as date_trunc "
+    "timestamps rather than "
     "week offsets — both engines truncate to Monday 00:00, where the "
     "datediff('week') functions differ in name and argument order.",
 )
