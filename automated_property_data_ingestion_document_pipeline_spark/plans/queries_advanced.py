@@ -135,6 +135,27 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- time-series resample + forward fill --------------------------------------
 
 
+def _grid_from_hourly(hourly):
+    """Per-user hourly grid derived from the hourly rollup itself — ONE
+    events scan for the whole resample (r03): date_trunc is monotone
+    (min of trunc = trunc of min), so the span bounds come from the
+    rollup's own buckets instead of a second full-table aggregate, and
+    the rollup is lazily localCheckpoint-ed (the connected-components
+    precedent) so its two consumers (bounds, grid join) don't each
+    rescan the fact table. At 100 TB the rollup is |users × active
+    hours| — the small side; NULL buckets (NULL-ts rows) are skipped by
+    min/max and never join the grid, matching the old two-scan form."""
+    hourly = hourly.localCheckpoint(eager=False)
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("t0"), F.max("bucket").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    return hourly, grid
+
+
 @query(
     "q_resample_ffill",
     oracle="""
@@ -168,14 +189,6 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side."""
     ev = catalog.load(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).try_cast("bigint")  # non-finite -> NULL, both engines
-    bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
-    )
     # FILTER pins both engines to 'last VALID observation': DuckDB's
     # arg_max skips NULL values while Spark's max_by returns them, so an
     # unfiltered max_by diverges when the newest row has a NULL measure
@@ -188,6 +201,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_cents"
         ),
     )
+    hourly, grid = _grid_from_hourly(hourly)
     joined = grid.join(hourly, ["user_id", "bucket"], "left")
     w = (
         Window.partitionBy("user_id")
@@ -284,14 +298,6 @@ def q_resample_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-skipping arg_min exactly as the ffill twin does for arg_max."""
     ev = catalog.load(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).try_cast("bigint")
-    bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
-    )
     hourly = ev.withColumn("_cents", cents).groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
@@ -300,17 +306,23 @@ def q_resample_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_cents"
         ),
     )
+    hourly, grid = _grid_from_hourly(hourly)
     joined = grid.join(hourly, ["user_id", "bucket"], "left")
+    # DESC running frame, NOT (currentRow -> unboundedFollowing): Spark's
+    # UnboundedFollowing frame re-scans to the partition end for EVERY
+    # row — O(n^2) per key (measured 10x+ on dense grids, PERFORMANCE.md
+    # §26). Reversing the sort turns "first non-null at-or-after" into
+    # "last non-null seen so far", an O(n) running frame.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("bucket").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return joined.select(
         "user_id",
         "bucket",
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
-        (F.first("first_cents", ignorenulls=True).over(w).cast("double") / 100).alias(
+        (F.last("first_cents", ignorenulls=True).over(w).cast("double") / 100).alias(
             "bfill_value"
         ),
     )
@@ -372,14 +384,6 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles — no rounding slop needed."""
     ev = catalog.load(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).try_cast("bigint")
-    bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
-    )
     hourly = (
         ev.withColumn("_c", cents)
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
@@ -387,6 +391,7 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(_c, event_id) FILTER (WHERE _c IS NOT NULL)").alias("cents")
         )
     )
+    hourly, grid = _grid_from_hourly(hourly)
     j = grid.join(hourly, ["user_id", "bucket"], "left").withColumn(
         "t_us", F.unix_micros(F.col("bucket").cast("timestamp"))
     )
@@ -395,17 +400,19 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bucket").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # DESC running frame instead of the quadratic UnboundedFollowing
+    # frame (see q_resample_bfill / PERFORMANCE.md §26)
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("bucket").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t_if_anchor = F.when(F.col("cents").isNotNull(), F.col("t_us"))
     w = (
         j.withColumn("pc", F.last("cents", ignorenulls=True).over(wp))
         .withColumn("pt", F.last(t_if_anchor, ignorenulls=True).over(wp))
-        .withColumn("nc", F.first("cents", ignorenulls=True).over(wf))
-        .withColumn("nt", F.first(t_if_anchor, ignorenulls=True).over(wf))
+        .withColumn("nc", F.last("cents", ignorenulls=True).over(wf))
+        .withColumn("nt", F.last(t_if_anchor, ignorenulls=True).over(wf))
     )
     interp = (
         F.col("pc").cast("double")

@@ -59,6 +59,8 @@ HEADLINE = [
     "q_curation_pipeline2",
     "q_asof_nearest",
     "q_wizard_steps",
+    "q_resample_bfill",
+    "q_resample_interp",
 ]
 
 
