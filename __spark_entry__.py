@@ -97,7 +97,7 @@ _PRIORITY = [
     "q_decontaminate", "q_stratified_sample", "q_corpus_pipeline",
     "q_curation_pipeline2", "q_dataset_split", "q_token_budget",
     # r03 semantic-coverage batch
-    "q_sessionize_capped", "q_fuzzy_match", "q_nullsafe_join",
+    "q_sessionize_capped", "q_fuzzy_match", "q_name_canonicalize", "q_nullsafe_join",
     "q_except_all", "q_window_count_distinct", "q_token_count_bpe",
     "q_rank_fns", "q_variant_json", "q_asof_nearest", "q_resample_interp",
     "q_next_greater", "q_pattern_match", "q_centroid_assign",

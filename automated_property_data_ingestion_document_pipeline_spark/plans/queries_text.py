@@ -630,3 +630,62 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_pairs_fastss(c, "c_name", "c_custkey", max_dist=1).select(
         "id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist")
     )
+
+
+# -- entity canonicalization: fuzzy pairs -> clusters -> canonical map --------
+
+
+@query(
+    "q_name_canonicalize",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200),
+    pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    clusters AS (
+      SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.c_custkey, c.c_name,
+           CAST(COALESCE(cl.cluster_id, c.c_custkey) AS BIGINT)
+             AS canonical_id,
+           (SELECT c2.c_name FROM c c2
+             WHERE c2.c_custkey = COALESCE(cl.cluster_id, c.c_custkey))
+             AS canonical_name
+    FROM c LEFT JOIN clusters cl ON c.c_custkey = cl.id
+    """,
+)
+def q_name_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canonicalization end-to-end (the data-cleaning dataflow
+    the reference's 'Bristill City, VA' typo row begs for): FastSS
+    deletion-neighborhood pairs (zero false negatives, sub-quadratic)
+    → connected components (hash-min label propagation) → every record
+    mapped to its cluster's min-id representative and that
+    representative's spelling; singletons canonicalize to themselves.
+    The oracle replays the closure as a recursive CTE over bounded
+    all-pairs Levenshtein — matching proves the composed path finds
+    the exact same equivalence classes. Scale path: the same code
+    unbounded (pairs from the variant join, CC rounds = cluster
+    diameter)."""
+    c = catalog.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    pairs = dedup.fuzzy_pairs_fastss(c, "c_name", "c_custkey", max_dist=1).select(
+        "id_a", "id_b"
+    )
+    cc = dedup.connected_components(pairs)
+    base = c.select(F.col("c_custkey"), F.col("c_name"))
+    labeled = base.join(
+        cc.select(F.col("id").alias("c_custkey"), "cluster_id"), "c_custkey", "left"
+    ).withColumn("canonical_id", F.coalesce("cluster_id", F.col("c_custkey")).cast("bigint"))
+    names = base.select(
+        F.col("c_custkey").alias("canonical_id"), F.col("c_name").alias("canonical_name")
+    )
+    return labeled.join(F.broadcast(names), "canonical_id").select(
+        "c_custkey", "c_name", "canonical_id", "canonical_name"
+    )
