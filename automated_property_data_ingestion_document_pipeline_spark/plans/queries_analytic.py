@@ -662,3 +662,54 @@ def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_view_purchase_spans"),
     )
+
+
+# -- conversion latency -------------------------------------------------------
+
+
+@query(
+    "q_conversion_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id)
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           CAST(date_diff('microsecond', s.signup_ts, p.first_purchase_ts)
+                AS BIGINT) AS latency_us
+    FROM s LEFT JOIN p USING (user_id)
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency per user (the funnel's
+    time dimension): first signup, first purchase AT OR AFTER it, exact
+    integer-micro delta; unconverted users keep a NULL latency. ONE
+    events scan: the per-user signup floor is a window minimum over
+    conditional values, the qualifying-purchase minimum a conditional
+    aggregate over the same partitioning — the oracle spells it as two
+    aggregates + join, same result."""
+    ev = catalog.load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    signup_ts = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    t = ev.withColumn("_signup_ts", signup_ts).filter(F.col("_signup_ts").isNotNull())
+    out = t.groupBy("user_id").agg(
+        F.min("_signup_ts").alias("signup_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("_signup_ts")),
+                F.col("ts"),
+            )
+        ).alias("first_purchase_ts"),
+    )
+    lat = (
+        F.unix_micros(F.col("first_purchase_ts").cast("timestamp"))
+        - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+    ).cast("bigint")
+    return out.select("user_id", "signup_ts", "first_purchase_ts", lat.alias("latency_us"))
