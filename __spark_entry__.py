@@ -102,7 +102,7 @@ _PRIORITY = [
     "q_rank_fns", "q_variant_json", "q_asof_nearest", "q_resample_interp",
     "q_next_greater", "q_pattern_match", "q_centroid_assign",
     # composite / analytic keys with real dataflow behind them
-    "q_sessionize_twophase", "q_dedup_lastwin_agg", "q_paragraph_dedup",
+    "q_temporal_join", "q_sessionize_twophase", "q_dedup_lastwin_agg", "q_paragraph_dedup",
     "q_funnel", "q_conversion_latency", "q_cohort_retention", "q_anomaly_zscore",
     "q_correlated_scalar", "q_in_subquery", "q_lateral_topk",
     "q_recursive_cte", "q_salted_agg", "q_cube", "q_grouping_sets",

@@ -323,3 +323,93 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
     )
     return out.select("event_id", "user_id", "ts", "nearest_event_id", "nearest_gap_us")
+
+
+@query(
+    "q_temporal_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE ts IS NOT NULL),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    scd AS (
+      SELECT user_id, event_type AS state, ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to
+      FROM changes),
+    sess AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (
+        SELECT user_id, ts, event_id,
+               SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+          FROM events WHERE ts IS NOT NULL))
+      GROUP BY user_id, session_id)
+    SELECT s.user_id, CAST(s.session_id AS BIGINT) AS session_id,
+           sc.state, sc.effective_from,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM sess s JOIN scd sc
+      ON s.user_id = sc.user_id
+     AND sc.effective_from <= s.s_end
+     AND (sc.effective_to IS NULL OR sc.effective_to > s.s_start)
+    GROUP BY s.user_id, CAST(s.session_id AS BIGINT), sc.state, sc.effective_from
+    """,
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (interval-overlap) join: each user session aligned with
+    every SCD2 state interval in effect during any part of it —
+    the OVERLAPS predicate two versioned tables join on (half-open
+    [from, to), open intervals extend to +∞). Equi-key on user_id
+    carries the join (hash join; candidate pairs bounded per user),
+    the overlap condition filters above it — never a time-only theta
+    join. Both interval sets derive from the same event scan
+    (gaps-and-islands sessions, lag-based SCD2), so the whole dataflow
+    is windows over ONE user partitioning plus the final join."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import sessionize
+
+    ev = catalog.load(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    from pyspark.sql import Window
+
+    base = ev.filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = base.withColumn("prev", F.lag("event_type").over(w)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    changes = ordered.filter(
+        (F.col("rn") == 1) | ~F.col("prev").eqNullSafe(F.col("event_type"))
+    )
+    scd = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w.orderBy("ts", "event_id")).alias("effective_to"),
+    )
+    j = sess.join(
+        scd,
+        (sess.user_id == scd.user_id)
+        & (F.col("effective_from") <= F.col("s_end"))
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > F.col("s_start"))),
+    )
+    return j.groupBy(
+        sess.user_id, F.col("session_id").cast("bigint").alias("session_id"),
+        "state", "effective_from"
+    ).agg(F.count("*").cast("bigint").alias("n_overlaps"))
