@@ -20,21 +20,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def z_value(a: Column, b: Column, bits: int = 16) -> Column:
-    """Morton code of two non-negative ints: interleaves the low
-    ``bits`` of each (a in even positions, b in odd) into one sortable
-    long. Built from unrolled shift/mask Column expressions — codegen'd
-    JVM bit math, no Python. Values are clamped into [0, 2^bits) so
-    outliers can't flip the interleave."""
+def z_value(*cols: Column, bits: int = 16) -> Column:
+    """Morton code of k non-negative ints: interleaves the low ``bits``
+    of each column (column j owns bit positions j, j+k, j+2k, …) into
+    one sortable long. Built from unrolled shift/mask Column
+    expressions — codegen'd JVM bit math, no Python. Values are clamped
+    into [0, 2^bits) so outliers can't flip the interleave; k·bits must
+    fit 63 bits."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("z_value needs at least two columns")
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed long")
     lim = F.lit((1 << bits) - 1)
-    aa = F.least(F.greatest(a.cast("long"), F.lit(0)), lim)
-    bb = F.least(F.greatest(b.cast("long"), F.lit(0)), lim)
+    clamped = [F.least(F.greatest(c.cast("long"), F.lit(0)), lim) for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z.bitwiseOR(F.shiftleft(F.shiftright(aa, i).bitwiseAND(F.lit(1)), 2 * i))
-            .bitwiseOR(F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-        )
+        for j, cc in enumerate(clamped):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cc, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
     return z
 
 
@@ -51,7 +56,7 @@ def zorder_write(
     a compact rectangle in (a, b) space — min/max footer stats on BOTH
     columns become selective, and a filter on either dimension prunes
     most files at planning time."""
-    zed = df.withColumn("_z", z_value(F.col(col_a), F.col(col_b), bits))
+    zed = df.withColumn("_z", z_value(F.col(col_a), F.col(col_b), bits=bits))
     (
         zed.repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")

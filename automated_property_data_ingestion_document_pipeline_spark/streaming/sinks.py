@@ -114,3 +114,13 @@ def upsert_aggregate_batch(
     if os.path.exists(cur):
         shutil.rmtree(cur)
     os.rename(tmp, cur)
+
+
+def read_state_version(spark, state_dir: str, batch_id: int | None = None) -> DataFrame:
+    """Time-travel read over the upsert sink's version directories: the
+    write-new-then-swap protocol leaves every batch's full snapshot as
+    ``v{batch_id}`` beside ``current`` — a poor-man's table history
+    (the Delta/Iceberg snapshot idea on plain parquet). ``batch_id``
+    None → current; otherwise the state AS OF that micro-batch."""
+    name = "current" if batch_id is None else f"v{batch_id}"
+    return spark.read.parquet(os.path.join(state_dir, name))

@@ -131,3 +131,27 @@ def test_zstd_parquet_roundtrip_smaller_and_identical(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(pz).collect()}
     b = {tuple(r) for r in d.collect()}
     assert a == b
+
+
+def test_z_value_three_columns_clusters_all_dims(spark, tmp_path):
+    """k-column Morton generalization: sorting by z over (x, y, w)
+    clusters all three dimensions' footer ranges."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators.layout import z_value
+
+    df = spark.range(16 * 16 * 16).select(
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") / 16).cast("long") % 16).alias("y"),
+        (F.col("id") / 256).cast("long").alias("w"),
+    )
+    p = str(tmp_path / "z3")
+    (
+        df.withColumn("_z", z_value(F.col("x"), F.col("y"), F.col("w"), bits=4))
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.parquet(p)
+    )
+    ranges = _file_ranges(p, ("x", "y", "w"))
+    for col in ("x", "y", "w"):
+        spans = [hi - lo for (lo, hi) in (r[col] for r in ranges)]
+        assert sum(spans) / len(spans) <= 15 * 0.75, (col, spans)

@@ -94,3 +94,17 @@ def test_streaming_materialized_view_upsert(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+    # time travel: every version is a complete snapshot; earlier
+    # versions hold strictly fewer events and the first equals its own
+    # batch partial
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(state) if d.startswith("v")
+    )
+    counts = [
+        sinks.read_state_version(spark, state, v)
+        .agg(F.sum("n_events").alias("n"))
+        .collect()[0]["n"]
+        for v in versions
+    ]
+    assert counts == sorted(counts) and counts[-1] == ev.count()
+    assert counts[0] < counts[-1]
