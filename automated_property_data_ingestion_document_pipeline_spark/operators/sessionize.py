@@ -15,6 +15,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ts_to_micros(series):
+    """Exact integer micros from a pandas datetime series, whatever the
+    Arrow→pandas resolution (ns today, us under pandas 2.x non-nano
+    paths).  Hardcoding ``// 1000`` assumes ns — at us resolution every
+    gap would shrink 1000× and sessionization silently collapses (the
+    same 1000× hazard streaming/sessions.py documents; ADVICE r03)."""
+    import numpy as np
+
+    arr = series.to_numpy()
+    if arr.dtype.kind != "M":  # tz-aware or object fallback → force ns
+        arr = series.astype("datetime64[ns]").to_numpy()
+    unit, _ = np.datetime_data(arr.dtype)
+    per_unit_us = {"s": 1_000_000, "ms": 1_000, "us": 1}
+    if unit in per_unit_us:
+        return arr.astype("int64") * per_unit_us[unit]
+    if unit == "ns":
+        return arr.astype("int64") // 1_000
+    raise ValueError(f"unsupported datetime64 resolution: {unit!r}")
+
+
 def sessionize(
     df: DataFrame,
     key: str = "user_id",
@@ -213,7 +233,7 @@ def sessionize_capped(
         cur_user, cur, anchor, prev = None, 0, 0, 0
         for pdf in batches:
             uids = pdf[key].to_numpy()
-            t = pdf[ts].astype("int64").to_numpy() // 1000  # ns -> exact micros
+            t = _ts_to_micros(pdf[ts])  # resolution-aware exact micros
             sess = np.empty(len(uids), dtype=np.int64)
             for i in range(len(uids)):
                 u, ti = uids[i], t[i]

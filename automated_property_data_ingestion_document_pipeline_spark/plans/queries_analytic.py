@@ -691,13 +691,24 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     events scan: the per-user signup floor is a window minimum over
     conditional values, the qualifying-purchase minimum a conditional
     aggregate over the same partitioning — the oracle spells it as two
-    aggregates + join, same result."""
+    aggregates + join, same result.
+
+    The membership gate is "user HAS a signup event" (boolean window
+    max), NOT "the min signup ts is non-null": a user whose signup
+    events all carry NULL ts must still be emitted with a NULL
+    signup_ts, exactly as the oracle's GROUP BY keeps the group while
+    MIN over all-NULL yields NULL (ADVICE r03)."""
     ev = catalog.load(spark, sf_dir, "events")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id")
     signup_ts = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
-    t = ev.withColumn("_signup_ts", signup_ts).filter(F.col("_signup_ts").isNotNull())
+    has_signup = F.max(F.coalesce(F.col("event_type") == "signup", F.lit(False))).over(w)
+    t = (
+        ev.withColumn("_signup_ts", signup_ts)
+        .withColumn("_has_signup", has_signup)
+        .filter(F.col("_has_signup"))
+    )
     out = t.groupBy("user_id").agg(
         F.min("_signup_ts").alias("signup_ts"),
         F.min(

@@ -187,6 +187,11 @@ def chunk_audio(
                 if not fake:
                     raise DecodeUnavailable("audio container decode not in this environment")
                 payload = bytes(payload)
+                # zero-length payload → one empty chunk, emitted AS-IS:
+                # substituting b"\x00" would break reassembly
+                # (concat(chunk_bytes) != payload) and disagree with the
+                # end_ms computed from len(seg)=0 (ADVICE r03); Arrow
+                # handles empty binary values fine.
                 n = max((len(payload) + chunk_bytes_n - 1) // chunk_bytes_n, 1)
                 for i in range(n):
                     seg = payload[i * chunk_bytes_n : (i + 1) * chunk_bytes_n]
@@ -194,7 +199,7 @@ def chunk_audio(
                     idxs.append(i)
                     starts.append(int(i * chunk_bytes_n * ms_per_byte))
                     ends.append(int((i * chunk_bytes_n + len(seg)) * ms_per_byte))
-                    chunks.append(seg or b"\x00")
+                    chunks.append(seg)
             yield pd.DataFrame(
                 {
                     id_col: ids,

@@ -65,6 +65,21 @@ def email_foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
     batch_df.select("customer_email", "letter_text").foreachPartition(send_email_partition)
 
 
+def _state_versions(state_dir: str) -> list[int]:
+    """Sorted batch ids of COMPLETE snapshots (``v{N}/_SUCCESS`` present —
+    Spark writes the marker only after every task committed)."""
+    import re
+
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        m = re.fullmatch(r"v(\d+)", d)
+        if m and os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def upsert_aggregate_batch(
     batch_df: DataFrame, state_dir: str, batch_id: int, key: str = "user_id"
 ) -> None:
@@ -73,54 +88,68 @@ def upsert_aggregate_batch(
     foreachBatch upsert pattern — what you do when the serving store is
     plain parquet, no Delta/Hudi merge available).
 
-    Reads current state, full-outer-merges the batch partial (sums
-    combine associatively, so batch partials compose exactly), writes
-    to a NEW versioned directory then publishes it as ``current`` — the
-    write-new-then-swap protocol keeps readers consistent (they only
-    ever see a complete snapshot) and makes a failed batch harmless
-    (an orphan version directory, never a half-written ``current``).
+    IDEMPOTENT under Spark's micro-batch retry contract (foreachBatch
+    replays a failed batch with the SAME ``batch_id``):
+
+    - the merge base is the latest complete snapshot ``v{M}, M <
+      batch_id`` — never the published ``current`` pointer — so a
+      replay recomputes ``v{batch_id}`` from the same inputs instead of
+      double-merging its own partial into state that already contains
+      it;
+    - if ``v{batch_id}`` already committed (``_SUCCESS`` present), the
+      replay skips the merge and just republishes — a driver crash
+      between snapshot commit and publish loses nothing;
+    - publishing is an atomic ``os.replace`` of a one-line ``_CURRENT``
+      manifest naming the snapshot directory (POSIX rename atomicity),
+      so a concurrent reader always resolves to a complete snapshot —
+      there is no rmtree+rename window with ``current`` missing.
+
+    Sums combine associatively, so batch partials compose exactly.
     State size is |keys|, not |events| — at 100 TB the state table is
     the small side and the merge is a broadcast join."""
-    import shutil
-
     spark = batch_df.sparkSession
-    partial = batch_df.groupBy(key).agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100, 0).try_cast("bigint")).alias("cents"),
-    )
-    cur = os.path.join(state_dir, "current")
-    if os.path.exists(cur):
-        prev = spark.read.parquet(cur)
-        merged = (
-            prev.withColumnRenamed("n_events", "_pn")
-            .withColumnRenamed("cents", "_pc")
-            .join(partial, key, "full_outer")
-            .select(
-                key,
-                (F.coalesce("_pn", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias(
-                    "n_events"
-                ),
-                (F.coalesce("_pc", F.lit(0)) + F.coalesce("cents", F.lit(0))).alias("cents"),
-            )
-        )
-    else:
-        merged = partial
     version = os.path.join(state_dir, f"v{batch_id}")
-    merged.write.mode("overwrite").parquet(version)
-    tmp = cur + ".swap"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    shutil.copytree(version, tmp)
-    if os.path.exists(cur):
-        shutil.rmtree(cur)
-    os.rename(tmp, cur)
+    if not os.path.exists(os.path.join(version, "_SUCCESS")):
+        partial = batch_df.groupBy(key).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).try_cast("bigint")).alias("cents"),
+        )
+        prev_ids = [v for v in _state_versions(state_dir) if v < batch_id]
+        if prev_ids:
+            prev = spark.read.parquet(os.path.join(state_dir, f"v{prev_ids[-1]}"))
+            merged = (
+                prev.withColumnRenamed("n_events", "_pn")
+                .withColumnRenamed("cents", "_pc")
+                .join(partial, key, "full_outer")
+                .select(
+                    key,
+                    (F.coalesce("_pn", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias(
+                        "n_events"
+                    ),
+                    (F.coalesce("_pc", F.lit(0)) + F.coalesce("cents", F.lit(0))).alias(
+                        "cents"
+                    ),
+                )
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(version)
+    tmp = os.path.join(state_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{batch_id}\n")
+    os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
 
 
 def read_state_version(spark, state_dir: str, batch_id: int | None = None) -> DataFrame:
     """Time-travel read over the upsert sink's version directories: the
-    write-new-then-swap protocol leaves every batch's full snapshot as
-    ``v{batch_id}`` beside ``current`` — a poor-man's table history
-    (the Delta/Iceberg snapshot idea on plain parquet). ``batch_id``
-    None → current; otherwise the state AS OF that micro-batch."""
-    name = "current" if batch_id is None else f"v{batch_id}"
+    snapshot-then-publish protocol leaves every batch's full snapshot as
+    ``v{batch_id}`` beside the ``_CURRENT`` manifest — a poor-man's
+    table history (the Delta/Iceberg snapshot idea on plain parquet).
+    ``batch_id`` None → the manifest's published snapshot; otherwise
+    the state AS OF that micro-batch."""
+    if batch_id is None:
+        with open(os.path.join(state_dir, "_CURRENT")) as f:
+            name = f.read().strip()
+    else:
+        name = f"v{batch_id}"
     return spark.read.parquet(os.path.join(state_dir, name))

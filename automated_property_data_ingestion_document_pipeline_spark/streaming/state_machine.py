@@ -112,6 +112,50 @@ def _replay(events: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _wizard_stream(batches):
+    """Sequential replay over a sorted per-partition Arrow stream; the
+    machine state carries across user boundaries AND batch boundaries.
+    Module-level (not a closure) so the empty-batch guard is unit-testable."""
+    cols = ["user_id", "outcome", "final_step", "n_events", "started_ts", "ended_ts"]
+    cur_uid = None
+    step, n, start, last = 0, 0, None, None
+
+    def flush():
+        # trailing open run for the user we just finished
+        if cur_uid is not None and n > 0:
+            return [(cur_uid, "in_progress", step, n, start, last)]
+        return []
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            # np.concatenate(([True], ...)) on an empty frame still
+            # yields bounds=[0] and uids[0] raises (ADVICE r03)
+            continue
+        out = []
+        uids = pdf["user_id"].to_numpy()
+        # replay contiguous same-user runs without per-user frames
+        import numpy as np
+
+        bounds = np.flatnonzero(np.concatenate(([True], uids[1:] != uids[:-1])))
+        for s0, s1 in zip(bounds, np.append(bounds[1:], len(uids))):
+            uid = int(uids[s0])
+            if uid != cur_uid:
+                out.extend(flush())
+                cur_uid, step, n, start, last = uid, 0, 0, None, None
+            seg = pdf.iloc[s0:s1]
+            propss = seg["props"].to_numpy() if "props" in seg.columns else None
+            rows, (step, n, start, last) = _replay_core(
+                uid, seg["event_type"].to_numpy(), seg["ts"].to_numpy(),
+                propss, step, n, start, last,
+            )
+            out.extend(rows)
+        if out:  # empty frames mis-infer dtypes (float64 -> timestamp cast fails)
+            yield pd.DataFrame(out, columns=cols)
+    tail = flush()
+    if tail:
+        yield pd.DataFrame(tail, columns=cols)
+
+
 def wizard_outcomes_batch(events: DataFrame) -> DataFrame:
     """Batch replay as ONE sorted mapInPandas stream per partition
     (same shuffle applyInPandas per user would pay, minus the per-group
@@ -120,49 +164,10 @@ def wizard_outcomes_batch(events: DataFrame) -> DataFrame:
     event_id) within partitions, replay sequentially with the machine
     state carried across both user boundaries and Arrow batch
     boundaries. Per-user state is O(1) — holds at any scale."""
-    from pyspark.sql import functions as F
-
-    cols = ["user_id", "outcome", "final_step", "n_events", "started_ts", "ended_ts"]
-
-    def _stream(batches):
-        cur_uid = None
-        step, n, start, last = 0, 0, None, None
-
-        def flush():
-            # trailing open run for the user we just finished
-            if cur_uid is not None and n > 0:
-                return [(cur_uid, "in_progress", step, n, start, last)]
-            return []
-
-        for pdf in batches:
-            out = []
-            uids = pdf["user_id"].to_numpy()
-            # replay contiguous same-user runs without per-user frames
-            import numpy as np
-
-            bounds = np.flatnonzero(np.concatenate(([True], uids[1:] != uids[:-1])))
-            for s0, s1 in zip(bounds, np.append(bounds[1:], len(uids))):
-                uid = int(uids[s0])
-                if uid != cur_uid:
-                    out.extend(flush())
-                    cur_uid, step, n, start, last = uid, 0, 0, None, None
-                seg = pdf.iloc[s0:s1]
-                propss = seg["props"].to_numpy() if "props" in seg.columns else None
-                rows, (step, n, start, last) = _replay_core(
-                    uid, seg["event_type"].to_numpy(), seg["ts"].to_numpy(),
-                    propss, step, n, start, last,
-                )
-                out.extend(rows)
-            if out:  # empty frames mis-infer dtypes (float64 -> timestamp cast fails)
-                yield pd.DataFrame(out, columns=cols)
-        tail = flush()
-        if tail:
-            yield pd.DataFrame(tail, columns=cols)
-
     return (
         events.repartition("user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")
-        .mapInPandas(_stream, OUTPUT_SCHEMA)
+        .mapInPandas(_wizard_stream, OUTPUT_SCHEMA)
     )
 
 

@@ -106,16 +106,36 @@ ev_props = [EDGE_JSON[i % len(EDGE_JSON)] for i in range(N)]
 for eid, bad in ((233, float("nan")), (234, float("inf")), (235, 1e308)):
     ev_values[eid] = bad
     ev_props[eid] = '{"k": 50}'
+ev_ids = list(range(N))
+ev_users = [i % 7 for i in range(N)]
+ev_types = [["click", "view", "purchase", "submit", "", "signup"][i % 6] for i in range(N)]
+# ADVICE r03 (q_conversion_latency): a user whose signup events ALL have
+# NULL ts must still be emitted (signup_ts NULL, no qualifying purchase),
+# and a user mixing NULL-ts and timed signups must take the timed MIN.
+extra_rows = [
+    # (event_id, ts, user_id, event_type)
+    (N + 0, None, 900, "signup"),
+    (N + 1, None, 900, "signup"),
+    (N + 2, ts_base + np.timedelta64(10**13, "ns"), 900, "purchase"),
+    (N + 3, None, 901, "signup"),
+    (N + 4, ts_base + np.timedelta64(2 * 10**13, "ns"), 901, "signup"),
+    (N + 5, ts_base + np.timedelta64(3 * 10**13, "ns"), 901, "purchase"),
+]
+for eid, ets, euid, etype in extra_rows:
+    ev_ids.append(eid)
+    ts.append(ets)
+    ev_users.append(euid)
+    ev_types.append(etype)
+    ev_values.append(1.0)
+    ev_props.append(None)
 write(
     "events",
     pa.table(
         {
-            "event_id": pa.array(range(N), pa.int64()),
+            "event_id": pa.array(ev_ids, pa.int64()),
             "ts": pa.array(ts, pa.timestamp("ns")),
-            "user_id": pa.array([i % 7 for i in range(N)], pa.int64()),
-            "event_type": pa.array(
-                [["click", "view", "purchase", "submit", "", "signup"][i % 6] for i in range(N)]
-            ),
+            "user_id": pa.array(ev_users, pa.int64()),
+            "event_type": pa.array(ev_types),
             "value": pa.array(ev_values, pa.float64()),
             "props": pa.array(ev_props),
         }

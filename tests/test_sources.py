@@ -464,3 +464,18 @@ def test_permissive_json_corrupt_record_routing(spark):
     assert rows["{broken"][0:2] + (None,) == ("{broken", None, None) or rows["{broken"][1] is None
     assert rows[None] == (None, None, None)  # NULL body -> NULL struct fields
     assert rows['"just a string"'][2] == '"just a string"'  # non-object routed
+
+
+def test_chunk_audio_empty_payload_emits_empty_chunk(spark):
+    """A zero-length payload yields exactly one chunk whose bytes are
+    EMPTY (reassembly-faithful) with start_ms == end_ms == 0 — never a
+    substituted b'\\x00' (ADVICE r03)."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import chunk_audio
+
+    df = spark.createDataFrame([(1, b""), (2, None)], "doc_id bigint, content binary")
+    rows = chunk_audio(df, sample_rate=10, bytes_per_sample=1, chunk_seconds=1.0).collect()
+    assert len(rows) == 1  # None payload skipped, empty payload kept
+    (r,) = rows
+    assert r["doc_id"] == 1 and r["chunk_idx"] == 0
+    assert bytes(r["chunk_bytes"]) == b""
+    assert r["start_ms"] == 0 and r["end_ms"] == 0

@@ -234,3 +234,30 @@ def test_stream_matches_batch_on_corpus(spark, sf_dir):
         for r in batch.filter(F.col("outcome") == "in_progress").collect()
     }
     assert streamed_ip <= batch_ip
+
+
+def test_wizard_stream_skips_empty_arrow_batches():
+    """An empty Arrow batch interleaved in the per-partition stream must
+    be skipped, not crash on uids[0] (ADVICE r03) — and carried state
+    must survive across the empty batch."""
+    import pandas as pd
+
+    def frame(rows):
+        return pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).astype({"user_id": "int64"})
+
+    empty = frame([])
+    first = frame([(1, ts(0), 7, "signup", 1.0, None), (2, ts(1), 7, "view", 1.0, None)])
+    second = frame(
+        [(3, ts(2), 7, "click", 1.0, None), (4, ts(3), 7, "purchase", 1.0, None)]
+    )
+    out = pd.concat(
+        list(sm._wizard_stream(iter([empty, first, empty, second, empty])))
+    )
+    # the 4 events complete one run at step 4 — state crossed the gaps
+    assert list(out["outcome"]) == ["completed"]
+    assert list(out["n_events"]) == [4]
+    # fully empty stream: no output, no crash
+    assert list(sm._wizard_stream(iter([empty, empty]))) == []

@@ -82,7 +82,7 @@ def test_streaming_materialized_view_upsert(spark, sf_dir, tmp_path):
     assert len([d for d in os.listdir(state) if d.startswith("v")]) >= 2
     got = {
         r["user_id"]: (r["n_events"], r["cents"])
-        for r in spark.read.parquet(os.path.join(state, "current")).collect()
+        for r in sinks.read_state_version(spark, state).collect()
     }
     want = {
         r["user_id"]: (r["n_events"], r["cents"])
@@ -108,3 +108,47 @@ def test_streaming_materialized_view_upsert(spark, sf_dir, tmp_path):
     ]
     assert counts == sorted(counts) and counts[-1] == ev.count()
     assert counts[0] < counts[-1]
+
+    # Retry idempotency (ADVICE r03): foreachBatch replays a failed
+    # batch with the SAME batch_id.  Replaying the last batch — both
+    # the committed-snapshot path (v{N}/_SUCCESS present → republish
+    # only) and the recompute path (snapshot removed → re-merge from
+    # v{N-1}) — must leave state bit-identical, not double-counted.
+    last = versions[-1]
+    import shutil as _sh
+
+    before = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in sinks.read_state_version(spark, state).collect()
+    }
+    # path 1: snapshot exists → republish only
+    sinks.upsert_aggregate_batch(ev.limit(0), state, last)
+    after1 = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in sinks.read_state_version(spark, state).collect()
+    }
+    assert after1 == before
+    # path 2: snapshot lost mid-publish → recompute from v{last-1}.
+    # Use a single-user slice as the "replayed batch": the recomputed
+    # v{last} must equal prev + partial exactly once.
+    prev_totals = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in sinks.read_state_version(spark, state, versions[-2]).collect()
+    }
+    replay = ev.filter(F.col("user_id") == 0)
+    _sh.rmtree(os.path.join(state, f"v{last}"))
+    sinks.upsert_aggregate_batch(replay, state, last)
+    sinks.upsert_aggregate_batch(replay, state, last)  # double replay
+    after2 = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in sinks.read_state_version(spark, state).collect()
+    }
+    part = replay.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).try_cast("bigint")).alias("c"),
+    ).collect()[0]
+    want0 = (
+        prev_totals[0][0] + part["n"],
+        prev_totals[0][1] + part["c"],
+    )
+    assert after2[0] == want0  # exactly-once despite double replay
