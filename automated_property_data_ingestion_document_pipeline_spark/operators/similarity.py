@@ -23,6 +23,36 @@ from automated_property_data_ingestion_document_pipeline_spark.functions.vectors
 # xxhash64(plane, dim) scaled to [-1, 1]. No RNG state → reproducible
 # across runs and oracle-checkable in principle.
 
+#: Hard cap on the collected query side of the PQ / IVF-PQ entry points.
+#: Their ADC lookup table is built driver-side (Q × M × ks doubles) and
+#: shipped in the scoring UDF's closure, so the query side MUST be the
+#: bounded broadcast side — the same enforced-boundedness contract as the
+#: 4096-row codebook sample. 65 536 queries × 32 subspaces × 16 centroids
+#: ≈ 268 MB LUT, the sane ceiling for a closure broadcast; past it you
+#: want a different plan (ivf_candidate_pairs / LSH for corpus×corpus).
+MAX_QUERY_SIDE = 65_536
+
+
+def _bounded_query_rows(queries: DataFrame, id_col: str, vec_col: str) -> list:
+    """Collect the query side under :data:`MAX_QUERY_SIDE`, raising a
+    clear contract error instead of a driver OOM on misuse (e.g.
+    ``pq_topk(corpus, corpus)`` at scale). ``limit(cap+1)`` bounds the
+    transfer even on the failure path."""
+    rows = (
+        queries.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(MAX_QUERY_SIDE + 1)
+        .collect()
+    )
+    if len(rows) > MAX_QUERY_SIDE:
+        raise ValueError(
+            f"PQ/IVF-PQ query side exceeds MAX_QUERY_SIDE={MAX_QUERY_SIDE}: "
+            "these operators broadcast a per-query ADC LUT, so the query set "
+            "must be bounded (filter/limit it), or use ivf_candidate_pairs / "
+            "lsh_candidate_pairs for corpus-scale query sets"
+        )
+    return rows
+
 
 def _plane_component(p: int, d: Column) -> Column:
     h = F.xxhash64(F.lit(p), d)
@@ -424,11 +454,7 @@ def pq_scored_candidates(
 
     Output: ``(query_id, neighbor_id, approx_sim)`` — feed to
     :func:`pq_topk` for exact rerank."""
-    q_rows = (
-        queries.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .collect()
-    )
+    q_rows = _bounded_query_rows(queries, id_col, vec_col)
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([[float(x) for x in r[vec_col]] for r in q_rows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -577,7 +603,7 @@ def ivfpq_topk(
     sub = dim // num_subspaces
     n_probe = min(nprobe, len(cents_n))
 
-    q_rows = queries.select(id_col, vec_col).orderBy(F.col(id_col).asc()).collect()
+    q_rows = _bounded_query_rows(queries, id_col, vec_col)
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([[float(x) for x in r[vec_col]] for r in q_rows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
