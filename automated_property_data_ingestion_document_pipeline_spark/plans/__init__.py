@@ -27,6 +27,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_misc,
     queries_reference,
     queries_training,
+    queries_layout,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,125 @@
+"""Data-layout / table-management registrations (VERDICT r03 #4): the
+write-side operators a 100 TB user exercises daily — schema evolution,
+Z-order clustered writes, and snapshot time travel — each as a
+driver-checkable key whose oracle verifies the WRITE→READ roundtrip
+value-for-value (the layout mechanics themselves are pinned by
+tests/test_layout.py footer-stats assertions and
+tests/test_streaming_fanout.py's retry-idempotency checks).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators import layout
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+from automated_property_data_ingestion_document_pipeline_spark.streaming import sinks
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SCRATCH = os.path.join(_REPO_ROOT, ".scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, f"{name}_{sf_tag}")
+
+
+# -- schema evolution: mergeSchema over generational writes -------------------
+
+
+@query(
+    "q_schema_evolution_read",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution, the append-only data-lake contract: generation 1
+    writes (doc_id, text, lang); generation 2 appends files that ALSO
+    carry (source, n_chars). A ``mergeSchema`` read must surface the
+    union schema with NULLs backfilled for the old files — no rows
+    dropped, no columns lost. The oracle reconstructs the same union
+    from the source table, so the driver hash-checks that evolution
+    changed nothing but the schema."""
+    out = _scratch(sf_dir, "evolving_docs")
+    shutil.rmtree(out, ignore_errors=True)
+    d = catalog.load(spark, sf_dir, "documents")
+    gen1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    gen2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    gen1.write.parquet(os.path.join(out, "gen=1"))
+    gen2.write.parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
+# -- Z-order clustered write: roundtrip under a selective filter --------------
+
+
+@query(
+    "q_zorder_prune",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_returnflag
+    FROM lineitem WHERE l_partkey < 100
+    """,
+)
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write (operators/layout.py): lineitem rewritten
+    clustered on the Morton code of (l_partkey, l_suppkey), then read
+    back under a selective single-dimension filter. The oracle pins the
+    roundtrip row-for-row — clustering must be a pure layout change.
+    The pruning PAYOFF (footer min/max ranges narrow on BOTH dims, a
+    point filter is satisfiable from a minority of files) is asserted
+    against real parquet footers in tests/test_layout.py:36-74; file
+    layout is not SQL-visible, so that half stays a local invariant."""
+    out = _scratch(sf_dir, "zorder_lineitem")
+    shutil.rmtree(out, ignore_errors=True)
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_returnflag",
+    )
+    layout.zorder_write(li, out, "l_partkey", "l_suppkey", num_files=8)
+    return spark.read.parquet(out).filter(F.col("l_partkey") < 100)
+
+
+# -- time travel: version-N readback over the upsert sink ---------------------
+
+
+@query(
+    "q_time_travel",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_id % 3 < 2
+    GROUP BY user_id
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the upsert sink's version history
+    (streaming/sinks.py): three deterministic "micro-batches"
+    (event_id % 3) maintain the per-user aggregate; reading AS OF
+    version 1 must equal aggregating exactly batches 0-1's input — the
+    poor-man's-Delta contract that every published snapshot is a
+    complete, consistent past state. The oracle recomputes that past
+    state straight from the source table."""
+    state = _scratch(sf_dir, "timetravel_state")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    ev = catalog.load(spark, sf_dir, "events")
+    for b in range(3):
+        sinks.upsert_aggregate_batch(ev.filter(F.col("event_id") % 3 == b), state, b)
+    return sinks.read_state_version(spark, state, 1).select(
+        "user_id", "n_events", F.col("cents").cast("bigint").alias("cents")
+    )
