@@ -6,6 +6,18 @@
 Each query is forced through the noop sink (full materialization of every
 output column — ``count()`` would let Catalyst prune the projections we
 mean to measure). Timings include plan+execute, not session startup.
+
+Two outputs (r04 split — the r03 line embedded per-query dicts, overflowed
+the driver's 2000-char stdout tail, and was recorded as ``parsed: null``):
+
+- stdout: the driver-spec line, ``"queries": {key: seconds}`` ONLY, kept
+  small enough to always survive the tail window;
+- ``BENCH_DETAIL.json`` beside this file: per-query static plan exchange
+  counts, EXECUTED shuffle-stage counts and shuffle-write MB accumulated
+  across ALL jobs the query triggers (the r03 verdict's ask #3 — iterative
+  operators like connected components shuffle once per round in separate
+  jobs, invisible to a final-plan count), cc rounds, and deltas vs the
+  last parseable round.
 """
 
 from __future__ import annotations
@@ -61,6 +73,13 @@ HEADLINE = [
     "q_wizard_steps",
     "q_resample_bfill",
     "q_resample_interp",
+    # round-4 additions: layout roundtrips + skew variants
+    "q_zorder_prune",
+    "q_time_travel",
+    "q_sessionize_skew",
+    "q_sessionize_capped_skew",
+    "q_window_rank_skew",
+    "q_sessionize_twophase",
 ]
 
 
@@ -69,22 +88,50 @@ def materialize(df) -> None:
 
 
 def exchange_count(df) -> int:
-    """Number of Exchange (shuffle/broadcast-exchange excluded) nodes in
-    the physical plan. The r02 q_asof_join regression was an extra
-    shuffle invisible in wall-time jitter — counting exchanges makes a
-    plan-shape regression show up in the bench line itself. Counts the
-    initial physical plan (pre-AQE), which is deterministic across runs;
-    AQE can only coalesce/convert these at runtime, not add more."""
+    """Number of Exchange nodes in the STATIC physical plan (pre-AQE,
+    deterministic across runs) — the plan-shape regression signal the
+    r02 q_asof_join fix is pinned by. Misses per-round shuffles of
+    iterative operators; see :func:`shuffle_snapshot` for those."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )
 
 
+def shuffle_snapshot(spark) -> tuple[int, int]:
+    """(shuffle-writing stage count, total shuffle write bytes) across
+    the WHOLE app so far, read from the AppStatusStore after draining
+    the listener bus. Diffing snapshots around a query brackets every
+    job it ran — including the per-round jobs of iterative operators
+    (connected components, k-means sweeps) that a final-plan Exchange
+    count can't see (VERDICT r03 'What's wrong' #2). Skipped (reused)
+    stages report zero write and correctly don't count."""
+    sc = spark.sparkContext
+    sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        gw.jvm.java.util.ArrayList(),  # all statuses
+        False,
+        False,
+        gw.new_array(gw.jvm.double, 0),
+        gw.jvm.java.util.ArrayList(),
+    )
+    n, total = 0, 0
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        w = s.shuffleWriteBytes()
+        if w > 0:
+            n += 1
+            total += w
+    return n, total
+
+
 def load_round_baseline() -> tuple[str, dict] | None:
-    """Latest BENCH_r{N}.json beside this file → (name, per-query secs).
-    Used to report per-query deltas so a regression is visible in the
-    bench line itself, not only by diffing round artifacts."""
+    """Latest BENCH_r{N}.json beside this file with a PARSEABLE payload →
+    (name, per-query secs). r03's artifact has ``parsed: null`` (line
+    overflow, see module docstring) — skip such rounds instead of
+    comparing against nothing."""
     import glob
     import re
 
@@ -92,16 +139,18 @@ def load_round_baseline() -> tuple[str, dict] | None:
     rounds = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        reverse=True,
     )
-    if not rounds:
-        return None
-    path = rounds[-1]
-    try:
-        with open(path) as f:
-            parsed = json.load(f).get("parsed") or {}
-        return os.path.basename(path), parsed.get("queries") or {}
-    except (OSError, ValueError):
-        return None
+    for path in rounds:
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            queries = parsed.get("queries") or {}
+        except (OSError, ValueError, AttributeError):
+            continue
+        if queries:
+            return os.path.basename(path), queries
+    return None
 
 
 def main() -> None:
@@ -115,29 +164,35 @@ def main() -> None:
 
     from automated_property_data_ingestion_document_pipeline_spark.operators import dedup
 
-    timings: dict[str, dict] = {}
+    timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     total = 0.0
     for key in HEADLINE:
-        t_build = time.perf_counter()
-        df = QUERIES[key](spark, SF_DIR)
-        build_s = time.perf_counter() - t_build
-        nx = exchange_count(df)
+        pre_n, pre_bytes = shuffle_snapshot(spark)
         t0 = time.perf_counter()
+        df = QUERIES[key](spark, SF_DIR)  # iterative ops run jobs HERE
+        t_built = time.perf_counter()
+        nx = exchange_count(df)
+        t1 = time.perf_counter()
         materialize(df)
-        dt = round(time.perf_counter() - t0, 3)
-        timings[key] = {"sec": dt, "exchanges": nx}
+        t2 = time.perf_counter()
+        post_n, post_bytes = shuffle_snapshot(spark)
+        build_s = t_built - t0
+        exec_s = t2 - t1
+        # iterative operators (CC label propagation) do their real work
+        # during construction; fold build time in for those, plan-only
+        # build cost (ms) is noise for the rest.
+        sec = round(exec_s + (build_s if build_s > 0.2 else 0.0), 3)
+        timings[key] = sec
+        total += sec
+        detail[key] = {
+            "sec": sec,
+            "exchanges_plan": nx,
+            "exchanges_exec": post_n - pre_n,
+            "shuffle_write_mb": round((post_bytes - pre_bytes) / 1e6, 2),
+        }
         if key == "q_neardup_clusters":
-            # iterative CC runs its per-round jobs (and convergence
-            # probes) during CONSTRUCTION, so its real cost is build
-            # time; fold it in, and report rounds-to-convergence
-            # (= component diameter) — the plan-shape number for an
-            # iterative operator, one shuffle per round.
-            timings[key] = {
-                "sec": round(dt + build_s, 3),
-                "exchanges": nx,
-                "cc_rounds": dedup.LAST_CC_ROUNDS,
-            }
-        total += timings[key]["sec"]
+            detail[key]["cc_rounds"] = dedup.LAST_CC_ROUNDS
     line = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -145,30 +200,30 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    detail_doc: dict = {"sf": sf, "queries": detail}
     baseline = load_round_baseline()
     if baseline:
-        # pre-r03 rounds recorded bare seconds; r03+ records
-        # {sec, exchanges} — normalize for the delta computation.
+        # pre-r03 rounds recorded bare seconds; normalize dict forms.
         name, base_q = baseline
         base_sec = {
             k: (v["sec"] if isinstance(v, dict) else v) for k, v in base_q.items()
         }
-        line["baseline"] = name
-        line["baseline_total"] = round(sum(base_sec.values()), 3)
-        line["delta_x"] = {
-            k: round(timings[k]["sec"] / base_sec[k], 2)
-            for k in timings
-            if base_sec.get(k)
+        detail_doc["baseline"] = name
+        detail_doc["baseline_total"] = round(sum(base_sec.values()), 3)
+        detail_doc["delta_x"] = {
+            k: round(timings[k] / base_sec[k], 2) for k in timings if base_sec.get(k)
         }
-        exchange_regressions = {
-            k: {"was": base_q[k]["exchanges"], "now": timings[k]["exchanges"]}
-            for k in timings
-            if isinstance(base_q.get(k), dict)
-            and timings[k]["exchanges"] > base_q[k]["exchanges"]
-        }
-        if exchange_regressions:
-            line["exchange_regressions"] = exchange_regressions
-    print(json.dumps(line))
+        regressions = {k: d for k, d in detail_doc["delta_x"].items() if d > 1.15}
+        if regressions:
+            line["regressions"] = regressions  # visible in the driver line
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail_doc, f, indent=1, sort_keys=True)
+    out = json.dumps(line)
+    # hard guard: the driver records only a 2000-char stdout tail; the
+    # spec line must never overflow it again (r03 lesson)
+    assert len(out) < 1900, f"bench line {len(out)} chars would overflow driver tail"
+    print(out)
     spark.stop()
 
 
