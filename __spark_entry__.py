@@ -118,6 +118,7 @@ _PRIORITY = [
     "q_ref_state_coverage", "q_quality_band",
     # new r04 keys (registered this round; filtered if absent)
     "q_schema_evolution_read", "q_time_travel", "q_zorder_prune",
+    "q_sessionize_skew", "q_sessionize_capped_skew", "q_window_rank_skew",
     # highest-value rows-only keys, for rows/err driver visibility
     "q_neardup_clusters", "q_letter_sink_ref_template", "q_pq_recall",
     "q_ivf_recall", "q_lsh_recall",

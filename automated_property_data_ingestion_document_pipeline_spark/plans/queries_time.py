@@ -226,6 +226,98 @@ def q_wizard_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wizard_outcomes_batch(ev.withColumn("event_type", remapped))
 
 
+# -- skewed-key variants (VERDICT r03 #6) --------------------------------------
+# One user owns ~10% of the whole event log: the hot-key shape that
+# breaks per-key operators at scale (one straggler task owns the hot
+# partition). Derived deterministically from the corpus so the DuckDB
+# oracle replays the identical remap — benchmark rows for these live in
+# bench.py's HEADLINE and PERFORMANCE.md's skew section.
+
+_SKEW_SQL = "CASE WHEN event_id % 10 = 0 THEN 0 ELSE user_id END"
+
+
+def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load(spark, sf_dir, "events")
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+
+
+@query(
+    "q_sessionize_skew",
+    oracle=f"""
+    WITH skewed AS (
+      SELECT event_id, ts, {_SKEW_SQL} AS user_id FROM events),
+    ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM skewed WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sessionize over the hot-key corpus: same window-form plan, one
+    shuffle on user_id — the hot user's whole timeline lands on ONE
+    task, the measured cost of which is the reason
+    q_sessionize_twophase (segment-then-merge) exists as the
+    recommended path for skewed keys."""
+    return session_summary(_skewed_events(spark, sf_dir), gap_minutes=30)
+
+
+@query(
+    "q_sessionize_capped_skew",
+    oracle=f"""
+    WITH RECURSIVE skewed AS (
+      SELECT event_id, ts, {_SKEW_SQL} AS user_id FROM events),
+    e AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM skewed WHERE ts IS NOT NULL),
+    r AS (
+      SELECT user_id, event_id, ts, rn,
+             1 AS session_n, ts AS anchor
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.ts, e.rn,
+             CASE WHEN date_diff('microsecond', r.ts, e.ts) >= 1800000000
+                    OR date_diff('microsecond', r.anchor, e.ts) >= 7200000000
+                  THEN r.session_n + 1 ELSE r.session_n END,
+             CASE WHEN date_diff('microsecond', r.ts, e.ts) >= 1800000000
+                    OR date_diff('microsecond', r.anchor, e.ts) >= 7200000000
+                  THEN e.ts ELSE r.anchor END
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+    SELECT user_id, event_id, ts, CAST(session_n AS INTEGER) AS session_n
+    FROM r
+    """,
+)
+def q_sessionize_capped_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sessionize_capped over the hot-key corpus: the sequential
+    recurrence is per-key, so the hot user serializes on one core —
+    this key puts a measured number on that worst case (the operator's
+    events/sec/core ceiling is the contract, PERFORMANCE.md)."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
+        sessionize_capped,
+    )
+
+    return sessionize_capped(
+        _skewed_events(spark, sf_dir), gap_minutes=30, max_span_minutes=120
+    )
+
+
 # -- T1/T2 streaming-backed key (rows-only) ------------------------------------
 
 

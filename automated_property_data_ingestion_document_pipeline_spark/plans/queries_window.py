@@ -76,6 +76,38 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_rank_skew",
+    oracle="""
+    WITH skewed AS (
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 10 = 0 THEN 0 ELSE o_custkey END AS o_custkey
+      FROM orders)
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+    FROM skewed
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def q_window_rank_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_window_rank over a hot-key corpus (one synthetic customer owns
+    ~10% of all orders — VERDICT r03 #6): the ranking window shuffles
+    on the key, so the hot customer's rows serialize into one task.
+    rank=1 per key only needs the per-key MAX, so a skew-robust
+    rewrite exists (max_by aggregation pre-combines map-side); this
+    key measures the plain window form's skew cost next to
+    q_window_rank's uniform cost in the bench."""
+    o = catalog.load(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(0)).otherwise(F.col("o_custkey")),
+    )
+    return last_write_wins(o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")]).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").alias("latest_orderdate"),
+    )
+
+
 # -- W4: running aggregate -----------------------------------------------------
 
 

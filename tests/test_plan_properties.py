@@ -199,3 +199,42 @@ def test_asof_nearest_two_exchanges_no_inequality_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_asof_nearest")
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "NestedLoop" not in plan and "SortMergeJoin" not in plan
+
+
+def test_temporal_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    # interval-overlap join rides the user_id equi-key; the OVERLAPS
+    # conditions must stay ABOVE a hash/merge join — an OVERLAPS-only
+    # (theta) plan regresses to BroadcastNestedLoopJoin/Cartesian and
+    # is quadratic per user at scale (VERDICT r03 #7)
+    plan = plan_of(spark, sf_dir, "q_temporal_join")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_curation_pipeline2_exchange_budget(spark, sf_dir):
+    # the composed mix->gate->chunk pipeline's documented contract is
+    # <=4 exchanges total; a rewrite that re-shuffles between stages
+    # silently doubles the scan cost at 100 TB
+    plan = plan_of(spark, sf_dir, "q_curation_pipeline2")
+    n = plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+    assert n <= 4, f"{n} exchanges\n{plan[:2000]}"
+
+
+def test_name_canonicalize_never_all_pairs(spark, sf_dir):
+    # FastSS deletion-neighborhood bucketing: candidate pairing must be
+    # an equi-join on bucket keys; no nested-loop/cartesian anywhere in
+    # the executed plan (the all-pairs regression this operator exists
+    # to avoid)
+    plan = plan_of(spark, sf_dir, "q_name_canonicalize")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_variants_share_the_uniform_plan(spark, sf_dir):
+    # the skewed-corpus keys must run the SAME plan shape as their
+    # uniform twins (one key shuffle) — the remap is a projection, not
+    # an excuse for a different strategy
+    for key in ("q_sessionize_skew", "q_window_rank_skew"):
+        plan = plan_of(spark, sf_dir, key)
+        assert plan.count("Exchange hashpartitioning") == 1, key
