@@ -226,24 +226,76 @@ def sessionize_capped(
     # applyInPandas was measured 5× slower here purely on per-group
     # overhead (1 500 users → 1 500 tiny frames at sf0.1). Instead:
     # shuffle once on the key, sort (key, ts, id) within partitions, and
-    # run the recurrence as a single sequential scan whose O(1) state
-    # carries across Arrow batch boundaries (a key's events are
-    # contiguous within exactly one partition, so closure state is safe).
+    # run the recurrence with O(1) state carried across Arrow batch
+    # boundaries (a key's events are contiguous within exactly one
+    # partition, so closure state is safe).
+    #
+    # r04 rewrite of the recurrence (VERDICT r03 #8 — the per-row Python
+    # loop was the suite's one super-linear-constant scaling outlier):
+    # gap splits and session numbering are fully vectorized; the
+    # sequential part of the recurrence is ONLY the span-cap anchor
+    # chain, and Python touches it per-SPLIT (searchsorted jumps), and
+    # only inside segments whose duration reaches the cap at all — for
+    # real corpora (most sessions shorter than the cap) the scan is
+    # pure numpy. Semantics are bit-identical to the naive per-row loop
+    # (pinned by the recursive-CTE oracle + differential tests):
+    #   new session at  u != prev_u  |  ts-prev >= gap  |  ts-anchor >= span
     def assign(batches):
         cur_user, cur, anchor, prev = None, 0, 0, 0
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             uids = pdf[key].to_numpy()
             t = _ts_to_micros(pdf[ts])  # resolution-aware exact micros
-            sess = np.empty(len(uids), dtype=np.int64)
-            for i in range(len(uids)):
-                u, ti = uids[i], t[i]
-                if u != cur_user:
-                    cur_user, cur, anchor = u, 1, ti
-                elif ti - prev >= gap_us or ti - anchor >= span_us:
-                    cur += 1
-                    anchor = ti
-                prev = ti
-                sess[i] = cur
+            n = len(uids)
+            new_user = np.empty(n, dtype=bool)
+            new_user[0] = cur_user is None or uids[0] != cur_user
+            new_user[1:] = uids[1:] != uids[:-1]
+            prev_t = np.empty(n, dtype=np.int64)
+            prev_t[0] = prev
+            prev_t[1:] = t[:-1]
+            is_start = new_user | (t - prev_t >= gap_us)
+            starts = np.flatnonzero(is_start)
+            inc = is_start.astype(np.int64)
+            # segments = gap-delimited runs; the head (rows before the
+            # first start) continues the carried session and anchor
+            if len(starts) and starts[0] == 0:
+                seg_s, anchors0 = starts, t[starts]
+            else:
+                seg_s = np.concatenate(([0], starts))
+                anchors0 = np.concatenate(([anchor], t[starts]))
+            seg_e = np.append(seg_s[1:], n)
+            # span-cap anchor chains, only where the cap can fire
+            needy = np.flatnonzero(t[seg_e - 1] - anchors0 >= span_us)
+            track_anchor = anchors0[-1]
+            for si in needy:
+                s, e, a = int(seg_s[si]), int(seg_e[si]), int(anchors0[si])
+                pos = s
+                while True:
+                    j = pos + int(
+                        np.searchsorted(t[pos:e], a + span_us, side="left")
+                    )
+                    if j >= e:
+                        break
+                    inc[j] += 1
+                    a = int(t[j])
+                    pos = j + 1
+                if si == len(seg_s) - 1:
+                    track_anchor = a
+            # per-user session numbers: running increment count, rebased
+            # to 1 at each user's first row (head rebases to carried cur)
+            c = np.cumsum(inc)
+            base = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+            ufirst = np.flatnonzero(new_user)
+            base[ufirst] = c[ufirst] - 1
+            if not new_user[0]:
+                base[0] = -cur
+            base = np.maximum.accumulate(base)
+            sess = c - base
+            cur_user = uids[-1]
+            prev = int(t[-1])
+            cur = int(sess[-1])
+            anchor = int(track_anchor)
             out = pdf[[key, id_col, ts]].copy()
             out["session_n"] = sess
             yield out

@@ -560,3 +560,92 @@ def test_pq_query_side_cap_raises_on_misuse(spark, sf_dir, monkeypatch):
     # bounded query side still works under the patched cap
     q = emb.filter("vec_id < 5")
     assert sim.pq_topk(emb, q, k=3).count() > 0
+
+
+def test_sessionize_capped_vectorized_matches_naive_recurrence(spark):
+    """The r04 segment-vectorized recurrence must be row-identical to
+    the naive per-row loop on adversarial data: tight gap/span forcing
+    long span-split chains, duplicate timestamps, single-event users,
+    and Arrow batches small enough that state crosses batch boundaries
+    many times."""
+    import random
+
+    import datetime as dt
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
+        sessionize_capped,
+    )
+
+    rng = random.Random(1234)
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for uid in range(40):
+        n = rng.choice([1, 2, 3, 8, 40, 200])
+        tcur = 0
+        for _ in range(n):
+            # gaps cluster around the 60s gap and 300s span boundaries,
+            # including exact hits and zero gaps (duplicate ts)
+            tcur += rng.choice([0, 1, 59, 60, 61, 299, 300, 30, 150])
+            rows.append((eid, base + dt.timedelta(seconds=tcur), uid))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+
+    got = {
+        (r["user_id"], r["event_id"]): r["session_n"]
+        for r in sessionize_capped(
+            df, gap_minutes=1, max_span_minutes=5
+        ).collect()
+    }
+
+    # naive reference recurrence (the pre-r04 implementation)
+    want = {}
+    for uid, evs in sorted(
+        {u: sorted((t, e) for (e, t, uu) in rows if uu == u) for u in range(40)}.items()
+    ):
+        cur, anchor, prev = 0, None, None
+        for t, e in evs:
+            us = int(t.timestamp() * 1_000_000)
+            if cur == 0:
+                cur, anchor = 1, us
+            elif us - prev >= 60 * 1_000_000 or us - anchor >= 300 * 1_000_000:
+                cur += 1
+                anchor = us
+            prev = us
+            want[(uid, e)] = cur
+    assert got == want
+
+
+def test_sessionize_capped_state_survives_tiny_arrow_batches(spark):
+    """Force multi-batch streams (maxRecordsPerBatch=7) so the carried
+    (user, session, anchor, prev) state crosses batch boundaries mid-user
+    and mid-session — results must not depend on batch framing."""
+    import datetime as dt
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators.sessionize import (
+        sessionize_capped,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i * 45), i // 500)  # 45s steps, 2 users
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small = {
+            (r["user_id"], r["event_id"]): r["session_n"]
+            for r in sessionize_capped(df, gap_minutes=1, max_span_minutes=5).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    big = {
+        (r["user_id"], r["event_id"]): r["session_n"]
+        for r in sessionize_capped(df, gap_minutes=1, max_span_minutes=5).collect()
+    }
+    assert small == big
+    # 45s steps never hit the 60s gap; the 300s span splits every 7th
+    # event (ceil(300/45)=7): session numbers must climb accordingly
+    assert max(v for (u, e), v in big.items() if u == 0) == (999 % 500 * 45) // 315 + 1
