@@ -120,8 +120,8 @@ _PRIORITY = [
     "q_schema_evolution_read", "q_time_travel", "q_zorder_prune",
     "q_sessionize_skew", "q_sessionize_capped_skew", "q_window_rank_skew",
     # highest-value rows-only keys, for rows/err driver visibility
-    "q_neardup_clusters", "q_letter_sink_ref_template", "q_pq_recall",
-    "q_ivf_recall", "q_lsh_recall",
+    "q_neardup_clusters", "q_png_resize", "q_letter_sink_ref_template",
+    "q_pq_recall", "q_ivf_recall", "q_lsh_recall",
 ]
 
 

@@ -247,6 +247,53 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- X7: real PNG decode + resize (rows-only) -----------------------------------
+
+
+@query("q_png_resize")  # rows-only: re-encoded zlib bytes aren't SQL-comparable
+def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pixel path (r03 verdict #5): a deterministic 16×12 RGB
+    image is synthesized per document (pure Column-free numpy math,
+    executor-side), encoded to PNG, then decoded → nearest-neighbor
+    resized → re-encoded through the stdlib codec
+    (sources/png.py; sources/binary.py resize_image). Every row must
+    come back ``decoded=true`` at 8×8×3 — pixel-exact equivalence with
+    the direct numpy resize is pinned in tests/test_png.py."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
+        resize_image,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.png import (
+        encode_png,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 256)
+        .select("doc_id")
+    )
+
+    def _mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            pngs = []
+            for did in ids:
+                y, x, c = np.ogrid[0:16, 0:12, 0:3]
+                px = ((int(did) * 7 + y * 13 + x * 29 + c * 97) % 256).astype(np.uint8)
+                pngs.append(encode_png(px, filter_type=int(did) % 5))
+            yield pd.DataFrame({"doc_id": ids, "content": pngs})
+
+    imgs = d.mapInPandas(_mk, "doc_id bigint, content binary")
+    out = resize_image(imgs, target_h=8, target_w=8)
+    return out.select(
+        "doc_id", "decoded", "height", "width", "channels",
+        F.sha2(F.col("content"), 256).alias("out_sha256"),
+    )
+
+
 # -- X7: multimodal frame sampling (rows-only) ---------------------------------
 
 
