@@ -463,6 +463,189 @@ _sql_query(
 )
 
 _sql_query(
+    "q_sql_tpch_q2",
+    """
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_acctbal, n.n_name
+    FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_size = 15
+      AND s.s_acctbal = (
+        SELECT MAX(s2.s_acctbal)
+        FROM supplier s2
+          JOIN lineitem l2 ON l2.l_suppkey = s2.s_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    GROUP BY p.p_partkey, p.p_brand, s.s_suppkey, s.s_acctbal, n.n_name
+    """,
+    "TPC-H Q2 shape (best supplier per part; the trimmed schema has no "
+    "partsupp/ps_supplycost, so 'min cost' becomes 'max account balance "
+    "among suppliers that shipped the part', preserving the defining "
+    "structure: a correlated scalar aggregate over a multi-join inner "
+    "block, decorrelated by Catalyst into an aggregate joined back on "
+    "partkey — never a per-row re-execution; region/size filters push "
+    "into both occurrences of the dimension scans.",
+)
+
+_sql_query(
+    "q_sql_tpch_q4",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H Q4 shape (order priority checking; no l_commitdate/"
+    "l_receiptdate in the trimmed schema, so 'late delivery' becomes "
+    "'shipped after the order date'): correlated EXISTS planned as a "
+    "LEFT SEMI join on orderkey — the fact side never duplicates "
+    "orders with multiple qualifying lines; date range pushed into the "
+    "orders scan.",
+)
+
+_sql_query(
+    "q_sql_tpch_q9",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.5 * p.p_retailprice * l.l_quantity, 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%a%' AND o.o_orderdate IS NOT NULL
+    GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+    """,
+    "TPC-H Q9 shape (product-type profit; ps_supplycost is absent, so "
+    "cost is modeled from p_retailprice): the 5-way fact-centred join "
+    "with an expression aggregate grouped by (nation, year) — all dims "
+    "broadcast, the LIKE filter prunes part before the join, profit "
+    "accumulated in exact decimal at a fixed scale.",
+)
+
+_sql_query(
+    "q_sql_tpch_q11",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_value FROM val
+    WHERE part_value > (
+      SELECT 0.0006 * SUM(part_value) FROM val)
+    """,
+    "TPC-H Q11 shape (important stock identification; lineitem revenue "
+    "stands in for partsupp value): per-key aggregate filtered against "
+    "an uncorrelated scalar fraction of the SAME aggregate — the "
+    "HAVING-vs-global-total pattern; Spark inlines the CTE so the plan "
+    "is two aggregations over one scan shape with the scalar broadcast.",
+)
+
+_sql_query(
+    "q_sql_tpch_q12",
+    """
+    SELECT l.l_returnflag AS shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          AND o.o_orderpriority IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'N')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+    "TPC-H Q12 shape (shipping modes / priority; l_shipmode is absent, "
+    "l_returnflag stands in): fact-fact equijoin with conditional "
+    "aggregates (CASE inside SUM) — both counts computed in ONE pass "
+    "with map-side partials; IN-list and date range pushed to the "
+    "lineitem scan.",
+)
+
+_sql_query(
+    "q_sql_tpch_q16",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16 shape (parts/supplier relationship via lineitem): NOT IN "
+    "subquery planned as a null-aware anti join (the subtle one — a "
+    "NULL in the subquery output empties the result, which is why the "
+    "filter guarantees non-null keys), NOT LIKE / <> / IN-list pushed "
+    "into the part scan, COUNT(DISTINCT) expanded to a two-phase exact "
+    "distinct aggregate.",
+)
+
+_sql_query(
+    "q_sql_tpch_q20",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 2
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%o%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0)
+    """,
+    "TPC-H Q20 shape (suppliers with excess shipments of selected "
+    "parts): nested IN subqueries — part filter feeds a grouped HAVING "
+    "aggregate over lineitem, whose keys semi-join suppliers; Catalyst "
+    "plans both INs as semi joins (no per-row subquery execution), the "
+    "LIKE prunes part before anything joins.",
+)
+
+_sql_query(
+    "q_sql_tpch_q21",
+    """
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+      JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate)
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape (suppliers who kept orders waiting; late = shipped "
+    "after the order date, standing in for the absent receipt/commit "
+    "dates): the hardest subquery pattern in the suite — a correlated "
+    "EXISTS (some OTHER supplier on the order) and a correlated NOT "
+    "EXISTS (no OTHER supplier was also late) against the same fact, "
+    "planned as a semi + anti join pair on orderkey with the "
+    "inequality correlation carried as join-side filters; deterministic "
+    "top-20.",
+)
+
+_sql_query(
     "q_nullsafe_join",
     """
     WITH c AS (
