@@ -558,6 +558,73 @@ def q_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- TF-IDF scoring ------------------------------------------------------------
+
+
+@query(
+    "q_tfidf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest({_TOKS_SQL.format(col='text')}) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY doc_id, tok),
+    stats AS (
+      SELECT doc_id, tok, tf,
+             CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+             CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
+      FROM tf),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM t)
+    SELECT s.doc_id, s.tok, s.tf, s.df, s.doc_len,
+           CAST(s.tf * ((length(bin(n.n_docs)) - 1) - (length(bin(s.df)) - 1))
+                AS DOUBLE) / s.doc_len AS tfidf
+    FROM stats s, n
+    WHERE s.tf >= 2
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring (the keyword-extraction / relevance primitive
+    every retrieval-ish curation pipeline needs): tf from one grouped
+    count, df and doc length as unordered windows over the SAME grouped
+    rows (no join-back, one scan — the q_unigram_logfreq plan shape),
+    corpus size broadcast from a single-row aggregate. Engine-portable
+    by the integer-log2 trick: idf = floor(log2 N) - floor(log2 df) is
+    pure integer arithmetic (no libm), and the final score divides an
+    exact integer product by an exact count, so both engines divide
+    identical operands. Emitted for tf >= 2 terms (bounds the output to
+    genuinely repeated terms; the filter rides the grouped rows)."""
+    from pyspark.sql import Window
+
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    t = d.select("doc_id", F.explode(toks).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_w = F.count("*").over(Window.partitionBy("tok"))
+    len_w = F.sum("tf").over(Window.partitionBy("doc_id"))
+    stats = tf.withColumn("df", df_w).withColumn("doc_len", len_w)
+    n = t.agg(F.count_distinct("doc_id").alias("n_docs"))
+    log2 = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
+    return (
+        stats.join(F.broadcast(n))
+        .filter(F.col("tf") >= 2)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            "doc_len",
+            (
+                (F.col("tf") * (log2(F.col("n_docs")) - log2(F.col("df")))).cast(
+                    "double"
+                )
+                / F.col("doc_len")
+            ).alias("tfidf"),
+        )
+    )
+
+
 # -- BPE-style pre-tokenization count -----------------------------------------
 
 # GPT-2-family pre-tokenizer, minus the lookahead clause ((?!\S) is

@@ -505,6 +505,53 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- weighted (probability-proportional-to-size) sampling ----------------------
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(MAX(n_chars) AS BIGINT) AS max_chars FROM documents),
+    s AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             SUBSTRING(md5('wsample:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS h,
+             printf('%08x', CAST(d.n_chars * 2147483647 / mx.max_chars AS BIGINT))
+               AS thresh
+      FROM documents d, mx
+      WHERE d.n_chars IS NOT NULL AND d.n_chars > 0)
+    SELECT doc_id, lang, n_chars FROM s WHERE h < thresh
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (PPS / Poisson) sampling: each document is kept with
+    probability proportional to its length — the standard
+    upweight-long-documents draw in mixture construction. Deterministic
+    and engine-portable: the uniform draw is the md5-hex prefix
+    (q_dataset_split's trick), the acceptance threshold is the weight
+    fraction rendered as an 8-hex string via printf('%08x', ...) — the
+    comparison is pure string ordering, no float in sight; the
+    fraction itself is exact (n_chars × 2^31-1 stays far below 2^53,
+    so both engines' double division truncates identically). Map-only
+    except the single-row MAX broadcast; acceptance is a pure function
+    of (doc_id, n_chars) — stable under repartitioning and corpus
+    growth, the property rand()-based sampling loses."""
+    d = catalog.load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    mx = d.agg(F.max("n_chars").cast("bigint").alias("max_chars"))
+    h = F.substring(F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))), 1, 8)
+    thresh = F.format_string(
+        "%08x",
+        (F.col("n_chars") * F.lit(2147483647) / F.col("max_chars")).cast("bigint"),
+    )
+    return (
+        d.join(F.broadcast(mx))
+        .filter(h < thresh)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 # -- token-budget-capped sampling ---------------------------------------------
 
 
