@@ -1,0 +1,101 @@
+"""Graph operators on edge-list DataFrames: canonicalization, degree
+distribution, and triangle counting.
+
+A property pipeline's entity graph (owners ↔ parcels ↔ lenders) and a
+training pipeline's dup-cluster graph (operators/dedup.py connected
+components) are both edge lists; the analytics here complete that
+layer: triangles (local clustering / community strength) and degree
+profiles (hub detection — the same skew signal that drives salting).
+
+Triangle counting at scale is join-order-sensitive. The naive 3-way
+self-join explodes on hubs (a degree-d node contributes d^2 wedges).
+The standard fix (degree orientation, cf. the classic MapReduce
+triangle literature): rank vertices by (degree, id) and direct every
+edge from the lower-ranked to the higher-ranked endpoint. Every
+vertex's OUT-degree is then O(sqrt(m)) on any graph, so the wedge join
+fans out by sqrt(m) instead of max-degree — the difference between a
+plan that finishes and one that dies on the first celebrity node at
+100 TB. Each triangle is counted exactly once (its lowest-ranked
+vertex owns it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list normal form: (u, v) with u < v, loops
+    dropped, duplicates collapsed. One shuffle (the distinct)."""
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def degrees(cedges: DataFrame) -> DataFrame:
+    """Vertex degrees from canonical edges: explode each edge to both
+    endpoints, count. Two-level aggregation, map-side partials."""
+    ends = cedges.select(F.col("u").alias("node")).unionAll(
+        cedges.select(F.col("v").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def degree_histogram(cedges: DataFrame) -> DataFrame:
+    """Degree → number of vertices with that degree (the skew
+    profile)."""
+    return degrees(cedges).groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def _oriented(cedges: DataFrame) -> DataFrame:
+    """Direct each canonical edge from its lower (degree, id) endpoint
+    to the higher — the O(sqrt(m)) out-degree orientation. Degrees join
+    back by endpoint; both joins shuffle on a vertex id."""
+    deg = degrees(cedges)
+    e = (
+        cedges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("degree", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"),
+            "v",
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+
+
+def triangles_per_lowest_vertex(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, n_tri): triangles grouped by their minimum vertex id — each
+    triangle counted exactly once.
+
+    Wedges form on the ORIENTED edges (out-degree O(sqrt(m)), hub-safe),
+    then close against the canonical edge set. Plan: orient (2 broadcast-
+    able degree joins) → wedge self-join on the pivot → closing
+    equi-join on (min, max) of the wedge tips → aggregate. All
+    equi-joins — AQE handles residual skew."""
+    ce = canonical_edges(edges, src, dst)
+    o = _oriented(ce)
+    wedges = (
+        o.select(F.col("lo").alias("pivot"), F.col("hi").alias("b"))
+        .join(
+            o.select(F.col("lo").alias("pivot"), F.col("hi").alias("c")),
+            "pivot",
+        )
+        .filter(F.col("b") < F.col("c"))
+    )
+    # wedge tips already satisfy b < c, matching canonical edge order
+    closed = wedges.join(
+        ce.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+    )
+    tri_min = F.least("pivot", "b", "c").alias("u")
+    return closed.select(tri_min).groupBy("u").agg(F.count("*").alias("n_tri"))

@@ -690,3 +690,43 @@ def ivfpq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every vector that has
+    a LOWER-id neighbor above ``threshold`` cosine *within its cluster*
+    (min-id dominance — the deterministic reading of "keep one per
+    semantic duplicate group").
+
+    The cluster column bounds the pairwise comparison — the whole point
+    of the cluster-then-dedup design: cost is sum(|cluster|^2), never
+    |corpus|^2, and the pair join is a plain equi-join on the cluster id
+    (AQE-splittable if one cluster runs hot). Upstream clustering can be
+    the corpus' own label, or :func:`centroid-assign <ivf_topk>` output
+    at 100 TB. Cosine is rounded to 6 places before thresholding, the
+    same boundary contract as :func:`cosine_pairs`.
+    """
+    a = df.select(
+        F.col(cluster_col).alias("_cl"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("_cl"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dominated = (
+        a.join(b, "_cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dominated, id_col, "left_anti")

@@ -28,6 +28,11 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_reference,
     queries_training,
     queries_layout,
+    queries_geo,
+    queries_cdc,
+    queries_graph,
+    queries_intervals,
+    queries_sqlx,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,175 @@
+"""CDC / table-maintenance registrations (operators/cdc.py): MERGE
+upsert, change-log application, and snapshot diff.
+
+The reference's store is upsert-by-key over JSON files (app.py:46-58
+read→overwrite→write); these keys re-express that contract as set-based
+merges — the operators a lakehouse user runs daily (MERGE INTO, CDC
+apply, table diff). Scenarios are derived deterministically from the
+orders/customer tables with pure integer/modulo arithmetic so the
+DuckDB oracle rebuilds byte-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators import cdc
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS order_key, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), s AS (
+      SELECT o_orderkey AS order_key, 'U' AS status,
+             o_totalprice + 10 AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(t.order_key, s.order_key) AS order_key,
+           COALESCE(s.status, t.status) AS status,
+           COALESCE(s.price, t.price) AS price
+    FROM t FULL OUTER JOIN s ON t.order_key = s.order_key
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as one full-outer equi-join: a target snapshot (2/3 of
+    orders) merged with a source batch (every even order re-priced,
+    status 'U'). Matched keys take source values, source-only keys
+    insert, target-only keys pass through — app.py:46-58's dict
+    overwrite, set-based. One shuffle on the key."""
+    o = catalog.load(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit("U").alias("status"),
+        (F.col("o_totalprice") + 10).alias("price"),
+    )
+    return cdc.merge_upsert(target, source, "order_key", ["status", "price"])
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS c_custkey,
+             CASE WHEN o_orderkey % 10 <= 1 THEN 'D'
+                  WHEN o_orderkey % 10 <= 6 THEN 'U'
+                  ELSE 'I' END AS op,
+             o_totalprice AS bal, o_orderpriority AS seg,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+      FROM orders
+    ), last AS (
+      SELECT c_custkey, op, bal, seg FROM ch WHERE rk = 1
+    ), b AS (
+      SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg FROM customer
+    )
+    SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+           COALESCE(l.bal, b.bal) AS bal,
+           COALESCE(l.seg, b.seg) AS seg
+    FROM b FULL OUTER JOIN last l ON b.c_custkey = l.c_custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application: orders become a change log over the customer
+    base (op derived from the order key, sequenced by order date then
+    key — a total order, so replays are deterministic). The log first
+    collapses to the newest op per key (ranking window), then ONE merge
+    touches the base: final D deletes, I/U upserts. Log depth never
+    multiplies base passes — the 100 TB contract."""
+    base = catalog.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    changes = catalog.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderkey") % 10 <= 1, "D")
+        .when(F.col("o_orderkey") % 10 <= 6, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_totalprice").alias("bal"),
+        F.col("o_orderpriority").alias("seg"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return cdc.apply_changes(
+        base, changes, "c_custkey", ["o_orderdate", "o_orderkey"], "op", ["bal", "seg"]
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS order_key, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), new AS (
+      SELECT o_orderkey AS order_key, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT COALESCE(old.order_key, new.order_key) AS order_key,
+           CASE WHEN old.order_key IS NULL THEN 'added'
+                WHEN new.order_key IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.order_key = new.order_key
+    WHERE old.order_key IS NULL OR new.order_key IS NULL
+       OR old.status <> new.status OR old.price <> new.price
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (table audit): two versions of the orders table
+    compared key-by-key into added / removed / changed rows, unchanged
+    rows dropped. One full-outer equi-join — the reconciliation query
+    every migration and backfill ends with."""
+    o = catalog.load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    new = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    on = old.select(
+        F.col("order_key").alias("_ok"), F.col("status").alias("_os"), F.col("price").alias("_op")
+    ).join(
+        new.select(
+            F.col("order_key").alias("_nk"),
+            F.col("status").alias("_ns"),
+            F.col("price").alias("_np"),
+        ),
+        F.col("_ok") == F.col("_nk"),
+        "full_outer",
+    )
+    return on.filter(
+        F.col("_ok").isNull()
+        | F.col("_nk").isNull()
+        | (F.col("_os") != F.col("_ns"))
+        | (F.col("_op") != F.col("_np"))
+    ).select(
+        F.coalesce(F.col("_ok"), F.col("_nk")).alias("order_key"),
+        F.when(F.col("_ok").isNull(), "added")
+        .when(F.col("_nk").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+    )

@@ -1,0 +1,79 @@
+"""Graph analytics registrations (operators/graph.py): triangle counts
+and degree profile over a deterministic entity graph.
+
+The edge list derives from orders with pure integer arithmetic
+(customer → customer+1+orderkey%50 — a banded graph dense in
+triangles), so the DuckDB oracle rebuilds the identical graph. The
+Spark side counts via degree-oriented wedges (hub-safe at scale); the
+oracle uses the textbook u<v<w three-way self-join — agreement proves
+the orientation rewrite loses/creates nothing.
+
+Connected components (the third leg of the graph layer) is already
+covered by operators/dedup.py's hash-min propagation
+(`q_dedup_clusters`, `q_neardup_clusters`, `q_name_canonicalize`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators import graph
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+_EDGE_SQL = """
+    SELECT o_custkey AS a, o_custkey + 1 + (o_orderkey % 50) AS b FROM orders
+"""
+_CANON_SQL = f"""
+    SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+    FROM ({_EDGE_SQL}) WHERE a <> b
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("a"),
+        (F.col("o_custkey") + 1 + (F.col("o_orderkey") % 50)).alias("b"),
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH ce AS ({_CANON_SQL})
+    SELECT LEAST(e1.u, e1.v, e2.v) AS u, COUNT(*) AS n_tri
+    FROM ce e1
+    JOIN ce e2 ON e1.v = e2.u
+    JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v
+    GROUP BY 1
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles per lowest member vertex. Spark plan: orient edges by
+    (degree, id) → wedge join with O(sqrt(m)) fan-out → close against
+    canonical edges — the formulation that survives hub vertices at
+    100 TB, verified here against the brute 3-way self-join oracle."""
+    return graph.triangles_per_lowest_vertex(_edges(spark, sf_dir), "a", "b")
+
+
+@query(
+    "q_degree_histogram",
+    oracle=f"""
+    WITH ce AS ({_CANON_SQL}),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT u AS node FROM ce UNION ALL SELECT v AS node FROM ce)
+      GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the entity graph — the skew profile that
+    decides when joins need salting. Two cascaded aggregations, both
+    with map-side partials."""
+    return graph.degree_histogram(
+        graph.canonical_edges(_edges(spark, sf_dir), "a", "b")
+    )

@@ -1,0 +1,194 @@
+"""Interval algebra and time-axis densification registrations:
+merge-overlaps coverage, run-length encoding, calendar gap fill.
+
+Gaps-and-islands is the workhorse behind uptime/SLA reporting,
+ad-break stitching, and possession-interval analysis on property
+records. All three keys are single-window or window+join plans — one
+shuffle on the entity key — with every boundary compared in integer
+microseconds on BOTH engines (catalog.load truncates the events table's
+nano timestamps to micros exactly like DuckDB does, see catalog.py:48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+# per-event interval: [ts, ts + 60..659 s), length from the event id —
+# pure integer arithmetic both engines
+_IVL_SQL = """
+    SELECT user_id, event_id,
+           epoch_us(ts) AS start_us,
+           epoch_us(ts) + ((event_id % 600) + 60) * 1000000 AS end_us
+    FROM events WHERE ts IS NOT NULL
+"""
+
+
+def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # ts may arrive TIMESTAMP_NTZ; session tz is pinned UTC by tune(),
+    # so the LTZ cast is value-preserving and unix_micros applies
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur = ((F.col("event_id") % 600) + 60) * F.lit(1_000_000)
+    return ev.select(
+        "user_id",
+        "event_id",
+        start.alias("start_us"),
+        (start + dur).alias("end_us"),
+    )
+
+
+@query(
+    "q_interval_coverage",
+    oracle=f"""
+    WITH ivl AS ({_IVL_SQL}),
+    flagged AS (
+      SELECT user_id, event_id, start_us, end_us,
+             CASE WHEN start_us > MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY start_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY start_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM ivl
+    ), islands AS (
+      SELECT user_id, start_us, end_us,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY start_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island,
+             MIN(start_us) AS s, MAX(end_us) AS e
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(e - s) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user intervals (classic gaps-and-islands):
+    an interval starts a new island iff it begins strictly after the
+    running max end of everything before it. Two stacked windows plus
+    one aggregation — a single shuffle on user_id; island spans sum to
+    exact covered microseconds."""
+    ivl = _intervals(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ivl.withColumn(
+        "is_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_us") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("start_us").alias("s"), F.max("end_us").alias("e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).alias("covered_us"),
+    )
+
+
+@query(
+    "q_event_runs",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_id
+      FROM ordered
+    )
+    SELECT user_id, run_id, event_type, COUNT(*) AS run_len
+    FROM runs GROUP BY user_id, run_id, event_type
+    """,
+)
+def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event stream: consecutive
+    same-type events collapse to one run (lag-flag → cumulative sum →
+    aggregate — the sessionize recurrence keyed on value change instead
+    of time gap). One shuffle on user_id."""
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").alias("run_len")
+    )
+
+
+@query(
+    "q_calendar_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT cal.user_id, strftime(cal.day, '%Y-%m-%d') AS day,
+           COALESCE(daily.n_events, 0) AS n_events
+    FROM cal LEFT JOIN daily
+      ON cal.user_id = daily.user_id AND cal.day = daily.day
+    """,
+)
+def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: every user's daily event count with
+    missing days filled as 0 across their [first, last] activity span —
+    the gap-fill every retention/forecast pipeline needs before
+    modeling. ``sequence()`` + explode generates the calendar
+    distributed (fan-out bounded by span days, no driver loop); the
+    fill is a left equi-join back to the daily counts."""
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        # driver-canonical form: dates serialize differently across the
+        # engines' pandas bridges, strings don't
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )

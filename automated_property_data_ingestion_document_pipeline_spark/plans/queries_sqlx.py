@@ -1,0 +1,154 @@
+"""Extended SQL-surface registrations: map-typed columns, value-range
+window frames, relational division, mode-per-group.
+
+Each key covers a SQL capability class a reference user would expect
+from a general engine (SURVEY §2.8's "functions" axis) that wasn't yet
+driver-visible: MapType construction/algebra, RANGE (value-based)
+window frames vs the ROWS frames used elsewhere, the division idiom
+("for all"), and deterministic mode extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+
+@query(
+    "q_map_fns",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(o_orderkey % 1000 AS DOUBLE) AS keymod,
+             CAST(LENGTH(o_orderstatus || o_orderpriority) AS DOUBLE) AS slen
+      FROM orders
+    )
+    SELECT o_orderkey, 'price' AS k, o_totalprice AS v
+    FROM base WHERE o_totalprice > 100
+    UNION ALL
+    SELECT o_orderkey, 'keymod' AS k, keymod AS v
+    FROM base WHERE keymod > 100
+    UNION ALL
+    SELECT o_orderkey, 'strlen' AS k, slen AS v
+    FROM base WHERE slen > 100
+    """,
+)
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType algebra end-to-end: build a map per order
+    (``map_from_arrays``), merge in a second map (``map_concat``),
+    drop small values (``map_filter`` — a JVM lambda HOF, not a Python
+    UDF), then ``explode`` to (key, value) rows. The oracle states the
+    expected exploded relation directly, so the driver verifies the
+    whole map pipeline by value. Map-only plan — zero shuffles."""
+    o = catalog.load(spark, sf_dir, "orders")
+    m1 = F.map_from_arrays(
+        F.array(F.lit("price"), F.lit("keymod")),
+        F.array(
+            F.col("o_totalprice"),
+            (F.col("o_orderkey") % 1000).cast("double"),
+        ),
+    )
+    m2 = F.create_map(
+        F.lit("strlen"),
+        F.length(F.concat("o_orderstatus", "o_orderpriority")).cast("double"),
+    )
+    merged = F.map_concat(m1, m2)
+    big = F.map_filter(merged, lambda k, v: v > 100)
+    return (
+        o.select("o_orderkey", F.explode(big).alias("k", "v"))
+    )
+
+
+@query(
+    "q_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day spend per customer with a VALUE-based (RANGE)
+    frame — peers at the same timestamp all join the frame, unlike the
+    ROWS frames used elsewhere. Ordered by integer epoch-micros on both
+    engines so the frame boundary is exact. One shuffle on o_custkey."""
+    o = catalog.load(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(us.alias("_us"))
+        .rangeBetween(-30 * 86_400 * 1_000_000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@query(
+    "q_relational_division",
+    oracle="""
+    SELECT o_custkey AS c_custkey
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) =
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    """,
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("customers who used EVERY priority class"):
+    per-key distinct count equals the global distinct count. The global
+    side is a single-row aggregate broadcast into the filter — the
+    only sound use of a cross join — so the plan is two aggregations
+    plus a broadcast, never a correlated subquery per key."""
+    o = catalog.load(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.countDistinct("o_orderpriority").alias("n_prio")
+    )
+    total = o.agg(F.countDistinct("o_orderpriority").alias("n_all"))
+    return (
+        per_key.join(F.broadcast(total))
+        .filter(F.col("n_prio") == F.col("n_all"))
+        .select("c_custkey")
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    WITH counted AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_type, n AS n_occurrences
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type
+      ) AS rk FROM counted
+    )
+    WHERE rk = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: each user's most frequent event type, ties
+    broken lexicographically. Count-then-rank — the shuffle carries
+    (user, type) partial counts, never raw events twice."""
+    ev = catalog.load(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

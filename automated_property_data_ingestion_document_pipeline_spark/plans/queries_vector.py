@@ -184,3 +184,31 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assigned_label"
         )
     )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dominated AS (
+      SELECT DISTINCT b.vec_id
+      FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.3
+    )
+    SELECT s.vec_id, CAST(s.label AS INT) AS label
+    FROM sub s LEFT JOIN dominated d ON s.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style curation step: within each embedding cluster
+    (label), drop vectors with a lower-id neighbor above 0.3 cosine —
+    keep-first semantic dedup. Pairwise work is cluster-bounded
+    (sum(|cluster|^2)), the equi-join on the cluster id shuffles once;
+    the survivors anti-join back (operators/similarity.semantic_dedup).
+    """
+    e = catalog.load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, "label", 0.3).select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )

@@ -1,0 +1,89 @@
+"""Unit tests for the CDC merge family (operators/cdc.py) and graph
+analytics (operators/graph.py) on hand-checkable inputs. Corpus-level
+parity for both lives in tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from automated_property_data_ingestion_document_pipeline_spark.operators import cdc, graph
+
+
+def _df(spark, schema, rows):
+    return spark.createDataFrame(rows, schema)
+
+
+# -- cdc ----------------------------------------------------------------------
+
+
+def test_merge_upsert_updates_inserts_and_passes_through(spark):
+    target = _df(spark, "k long, v string", [(1, "a"), (2, "b")])
+    source = _df(spark, "k long, v string", [(2, "B"), (3, "C")])
+    got = {r.k: r.v for r in cdc.merge_upsert(target, source, "k", ["v"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "C"}
+
+
+def test_apply_changes_latest_wins_deletes_and_upserts(spark):
+    base = _df(spark, "k long, v string", [(1, "a"), (2, "b"), (3, "c")])
+    changes = _df(
+        spark,
+        "k long, seq long, op string, v string",
+        [
+            (1, 1, "U", "a1"),
+            (1, 2, "D", None),  # final op for key 1: delete
+            (2, 1, "D", None),
+            (2, 2, "U", "b2"),  # delete then re-upsert: survives as b2
+            (4, 1, "I", "d"),  # insert of a key absent from base
+        ],
+    )
+    out = cdc.apply_changes(base, changes, "k", ["seq"], "op", ["v"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {2: "b2", 3: "c", 4: "d"}
+
+
+def test_apply_changes_is_replay_deterministic(spark):
+    # two changes with the same seq: the tiebreak column decides
+    base = _df(spark, "k long, v string", [])
+    changes = _df(
+        spark,
+        "k long, seq long, tie long, op string, v string",
+        [(1, 1, 1, "U", "x"), (1, 1, 2, "U", "y")],
+    )
+    out = cdc.apply_changes(base, changes, "k", ["seq", "tie"], "op", ["v"])
+    assert [r.v for r in out.collect()] == ["y"]
+
+
+# -- graph --------------------------------------------------------------------
+
+
+def test_canonical_edges_dedups_reverses_and_drops_loops(spark):
+    e = _df(
+        spark,
+        "a long, b long",
+        [(1, 2), (2, 1), (1, 2), (3, 3), (2, 3)],
+    )
+    got = {(r.u, r.v) for r in graph.canonical_edges(e, "a", "b").collect()}
+    assert got == {(1, 2), (2, 3)}
+
+
+def test_triangles_on_k4(spark):
+    # complete graph on {1,2,3,4}: C(4,3)=4 triangles; grouped by min
+    # vertex -> 1 owns (123)(124)(134), 2 owns (234)
+    rows = [(u, v) for u in range(1, 5) for v in range(1, 5) if u < v]
+    e = _df(spark, "a long, b long", rows)
+    got = {r.u: r.n_tri for r in graph.triangles_per_lowest_vertex(e, "a", "b").collect()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_triangles_hub_graph(spark):
+    # star around 0 (no triangles) plus one closing edge -> exactly one
+    rows = [(0, i) for i in range(1, 20)] + [(1, 2)]
+    e = _df(spark, "a long, b long", rows)
+    got = {r.u: r.n_tri for r in graph.triangles_per_lowest_vertex(e, "a", "b").collect()}
+    assert got == {0: 1}
+
+
+def test_degree_histogram(spark):
+    e = _df(spark, "a long, b long", [(1, 2), (2, 3)])
+    got = {r.degree: r.n_nodes for r in graph.degree_histogram(
+        graph.canonical_edges(e, "a", "b")
+    ).collect()}
+    assert got == {1: 2, 2: 1}
