@@ -99,3 +99,44 @@ def triangles_per_lowest_vertex(edges: DataFrame, src: str, dst: str) -> DataFra
     )
     tri_min = F.least("pivot", "b", "c").alias("u")
     return closed.select(tri_min).groupBy("u").agg(F.count("*").alias("n_tri"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the undirected graph (each canonical edge walks
+    both ways, so no dangling mass). Returns (node, rank) with
+    sum(rank) == |V| up to float associativity.
+
+    Per iteration: ranks join onto edges by source (shuffle on node id),
+    contributions aggregate by destination (second shuffle), then the
+    damping update. ``localCheckpoint`` truncates lineage each round —
+    the same iterative-plan hygiene as the connected-components operator
+    (operators/dedup.py): without it the plan doubles per iteration and
+    the 8th round recompiles a 2^8-deep tree. Iteration count is a fixed
+    budget (power iteration converges geometrically at `damping` rate);
+    callers needing a tolerance loop can inspect successive deltas the
+    same way dedup.LAST_CC_ROUNDS is surfaced."""
+    ce = canonical_edges(edges, src, dst)
+    both = ce.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
+        ce.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    outdeg = both.groupBy("s").agg(F.count("*").alias("odeg"))
+    adj = both.join(outdeg, "s").localCheckpoint(eager=True)
+    ranks = outdeg.select(F.col("s").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj["s"] == ranks["node"])
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = contrib.select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("csum")).alias("rank"),
+        ).localCheckpoint(eager=True)
+    return ranks

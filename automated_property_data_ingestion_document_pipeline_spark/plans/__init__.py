@@ -33,6 +33,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_graph,
     queries_intervals,
     queries_sqlx,
+    queries_sketches,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -77,3 +77,13 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_histogram(
         graph.canonical_edges(_edges(spark, sf_dir), "a", "b")
     )
+
+
+@query("q_pagerank")  # rows-only: float power iteration (summation order)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (8 damped power iterations) over the entity graph.
+    Rows-only by design: ranks are float sums whose partial-aggregation
+    order is engine-specific; the invariants (mass conservation, rank
+    ordering by degree) are pinned in tests/test_cdc_graph.py."""
+    ranks = graph.pagerank(_edges(spark, sf_dir), "a", "b")
+    return ranks.select("node", F.round("rank", 4).alias("rank"))

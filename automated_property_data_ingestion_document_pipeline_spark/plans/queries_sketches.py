@@ -1,0 +1,82 @@
+"""Frequency/membership sketch registrations (operators/sketches.py).
+
+Rows-only by design: cell contents hinge on xxhash64, a JVM expression
+DuckDB cannot replay. Instead each key JOINS THE SKETCH BACK TO THE
+EXACT ANSWER on the same corpus and emits the error profile as data —
+the one-sided guarantees (Count-Min never underestimates, Bloom never
+false-negatives) become hard zeros the driver and tests can see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators import sketches
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+
+@query("q_countmin_error")  # rows-only: xxhash64 cells, self-measured error
+def q_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (4×256 cells) over the events stream's
+    user ids, probed for every distinct user and joined to the exact
+    counts. Output is the error profile: underestimates MUST be zero
+    (CM's one-sided bound), mean overestimate is the accuracy cost of
+    the fixed 8 KB memory budget. Sketch build is one aggregation; the
+    probe joins against the broadcast 1024-row sketch."""
+    ev = catalog.load(spark, sf_dir, "events")
+    sk = sketches.count_min_build(ev, "user_id")
+    users = ev.select("user_id").distinct()
+    est = sketches.count_min_estimate(sk, users, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    err = est.join(exact, "user_id").select(
+        "user_id", "est", "exact", (F.col("est") - F.col("exact")).alias("over")
+    )
+    return err.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("over") < 0, 1).otherwise(0)).alias("n_underestimates"),
+        F.round(F.avg("over"), 3).alias("avg_overestimate"),
+        F.max("over").alias("max_overestimate"),
+    )
+
+
+@query("q_bloom_filter")  # rows-only: xxhash64 bits, self-measured FP rate
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter (64 Kbit, 5 hashes) built over the
+    supplier key set and probed with every customer key — the
+    persistable form of a runtime join filter (prune a 100 TB fact
+    against a dim WITHOUT shipping the dim to every scan task; Spark's
+    own InjectRuntimeFilter cannot outlive its query). Output: zero
+    false negatives (hard guarantee) and the measured false-positive
+    rate vs the exact semi-join."""
+    supp = catalog.load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k")
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    bloom = sketches.bloom_build(supp, "k")
+    flags = sketches.bloom_might_contain(cust, bloom, "k")
+    truth = cust.join(supp.distinct(), "k", "left_semi").select(
+        "k", F.lit(True).alias("is_member")
+    )
+    joined = flags.join(truth, "k", "left").select(
+        "k",
+        "might_contain",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return joined.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("might_contain"), 1).otherwise(0)
+        ).alias("false_negatives"),
+        F.sum(
+            F.when(~F.col("is_member") & F.col("might_contain"), 1).otherwise(0)
+        ).alias("false_positives"),
+        F.round(
+            F.sum(F.when(~F.col("is_member") & F.col("might_contain"), 1).otherwise(0))
+            / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+            4,
+        ).alias("fp_rate"),
+    )

@@ -152,3 +152,41 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts not dominated on
+    (minimize price, maximize size). Spark plan is the sweep-line
+    rewrite, not the O(n^2) NOT EXISTS: collapse to price levels
+    (groupBy), running max size over prior levels (ordered window on the
+    LEVEL table — bounded by the 2-decimal price domain, not row count),
+    then an equi-join back. Dominated iff a strictly cheaper level
+    reaches its size, or its own level strictly exceeds it. All
+    comparisons are raw double/int — no rounding, identical on both
+    engines — so the brute-force oracle agrees exactly."""
+    p = catalog.load(spark, sf_dir, "part")
+    lvl = p.groupBy("p_retailprice").agg(F.max("p_size").alias("lvl_max"))
+    w = Window.orderBy("p_retailprice")
+    lvl2 = lvl.select(
+        "p_retailprice",
+        F.max("lvl_max").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("m1"),
+        F.max("lvl_max").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("m2"),
+    )
+    joined = p.join(lvl2, "p_retailprice")
+    survives = (
+        (F.col("m1").isNull() | (F.col("m1") < F.col("p_size")))
+        & (F.col("m2") <= F.col("p_size"))
+    )
+    return joined.filter(survives).select("p_partkey", "p_size", "p_retailprice")

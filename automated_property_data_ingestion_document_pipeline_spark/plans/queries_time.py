@@ -505,3 +505,20 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.user_id, F.col("session_id").cast("bigint").alias("session_id"),
         "state", "effective_from"
     ).agg(F.count("*").cast("bigint").alias("n_overlaps"))
+
+
+@query("q_stream_join")  # rows-only: stream-stream join (watermark eviction)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join run end-to-end: the events file
+    stream branches into purchases and views, both watermarked, joined
+    on user within a 1-hour attribution window, append-mode memory sink,
+    availableNow trigger. State per side is bounded by watermark +
+    interval — the only join shape Structured Streaming admits
+    unboundedly (streaming/sessions.py purchase_view_join). Rows-only:
+    watermark eviction under multi-file triggers is
+    processing-order-dependent by design."""
+    stream = streaming_sessions.read_events_stream(spark, sf_dir)
+    joined = streaming_sessions.purchase_view_join(stream)
+    return streaming_sessions.run_available_now(
+        joined, "stream_purchase_views", output_mode="append"
+    )

@@ -157,15 +157,19 @@ def purchase_view_join(
     ).select("user_id", "purchase_event_id", "purchase_ts", "view_event_id", "view_ts")
 
 
-def run_available_now(result: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    result: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DF to completion with the availableNow trigger
     into a memory sink; returns the materialized table. Used for
-    batch-bounded correctness checks of the streaming surface."""
+    batch-bounded correctness checks of the streaming surface.
+    ``output_mode``: "complete" for aggregations, "append" for
+    stream-stream joins (complete is invalid there)."""
     spark = result.sparkSession
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -80,6 +80,10 @@ HEADLINE = [
     "q_sessionize_capped_skew",
     "q_window_rank_skew",
     "q_sessionize_twophase",
+    # round-4 additions: new operator families' heaviest members
+    "q_triangle_count",
+    "q_geo_radius_join",
+    "q_interval_coverage",
 ]
 
 

@@ -87,3 +87,18 @@ def test_degree_histogram(spark):
         graph.canonical_edges(e, "a", "b")
     ).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_pagerank_mass_and_ordering(spark):
+    # path graph 1-2-3-4-5: mass conserved, middle nodes outrank ends
+    e = _df(spark, "a long, b long", [(1, 2), (2, 3), (3, 4), (4, 5)])
+    ranks = {r.node: r.rank for r in graph.pagerank(e, "a", "b", iterations=12).collect()}
+    assert abs(sum(ranks.values()) - 5.0) < 1e-6  # no dangling mass
+    assert ranks[3] > ranks[1] and ranks[3] > ranks[5]  # centrality order
+    assert abs(ranks[1] - ranks[5]) < 1e-9  # symmetry
+
+
+def test_pagerank_star_hub_dominates(spark):
+    e = _df(spark, "a long, b long", [(0, i) for i in range(1, 9)])
+    ranks = {r.node: r.rank for r in graph.pagerank(e, "a", "b").collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 2

@@ -238,3 +238,33 @@ def test_skew_variants_share_the_uniform_plan(spark, sf_dir):
     for key in ("q_sessionize_skew", "q_window_rank_skew"):
         plan = plan_of(spark, sf_dir, key)
         assert plan.count("Exchange hashpartitioning") == 1, key
+
+
+def test_triangle_count_all_equi_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_single_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_merge_upsert")
+    assert plan.count("Join") == 1  # one full-outer merge, no re-reads
+    assert "FullOuter" in plan
+
+
+def test_range_frame_one_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_range_frame")
+    assert plan.count("Exchange hashpartitioning") == 1  # custkey only
+    assert "RangeFrame" in plan  # value frame survived to the window
+
+
+def test_semantic_dedup_joins_on_cluster_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # survivors via anti join
+
+
+def test_calendar_fill_no_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_calendar_fill")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
