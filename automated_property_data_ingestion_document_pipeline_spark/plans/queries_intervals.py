@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators import intervals
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 
 # per-event interval: [ts, ts + 60..659 s), length from the event id —
@@ -80,26 +81,9 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregation — a single shuffle on user_id; island spans sum to
     exact covered microseconds."""
     ivl = _intervals(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
-    prev_max_end = F.max("end_us").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = ivl.withColumn(
-        "is_new",
-        F.when(
-            prev_max_end.isNull() | (F.col("start_us") > prev_max_end), 1
-        ).otherwise(0),
-    )
-    islands = flagged.withColumn(
-        "island",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    merged = islands.groupBy("user_id", "island").agg(
-        F.min("start_us").alias("s"), F.max("end_us").alias("e")
-    )
-    return merged.groupBy("user_id").agg(
-        F.count("*").alias("n_islands"),
-        F.sum(F.col("e") - F.col("s")).alias("covered_us"),
+    merged = intervals.merge_intervals(ivl, "user_id", "start_us", "end_us", "event_id")
+    return intervals.coverage_summary(merged, "user_id").select(
+        "user_id", "n_islands", F.col("covered").alias("covered_us")
     )
 
 
@@ -191,4 +175,58 @@ def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engines' pandas bridges, strings don't
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "q_debounce",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), bursts AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS burst
+      FROM ordered
+    )
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, burst ORDER BY ts, event_id) AS rk
+      FROM bursts
+    ) WHERE rk = 1
+    """,
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debounce: keep only the FIRST event of each rapid-fire
+    burst (gap < 5 min chains collapse to their opener) — duplicate-
+    click / retry-storm suppression. Burst = a 5-min-gap session, so the
+    keep-first rule stays window-expressible (lag-flag → cumsum →
+    rank 1), avoiding the sequential "distance from last KEPT"
+    recurrence that would force a stateful pass. One shuffle on
+    user_id; all three windows share it."""
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(prev_us.isNull() | (us - prev_us >= 300 * 1_000_000), 1).otherwise(0),
+    )
+    bursts = flagged.withColumn(
+        "burst",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w2 = Window.partitionBy("user_id", "burst").orderBy("ts", "event_id")
+    return (
+        bursts.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
     )

@@ -74,9 +74,15 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(~F.col("is_member") & F.col("might_contain"), 1).otherwise(0)
         ).alias("false_positives"),
+        # try_divide: a probe set with zero non-members (edge corpus)
+        # must yield NULL, not an ANSI divide-by-zero abort
         F.round(
-            F.sum(F.when(~F.col("is_member") & F.col("might_contain"), 1).otherwise(0))
-            / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+            F.try_divide(
+                F.sum(
+                    F.when(~F.col("is_member") & F.col("might_contain"), 1).otherwise(0)
+                ),
+                F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+            ),
             4,
         ).alias("fp_rate"),
     )

@@ -157,10 +157,14 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_skyline",
     oracle="""
+    WITH pts AS (
+      SELECT p_partkey, p_size, p_retailprice FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    )
     SELECT p.p_partkey, p.p_size, p.p_retailprice
-    FROM part p
+    FROM pts p
     WHERE NOT EXISTS (
-      SELECT 1 FROM part q
+      SELECT 1 FROM pts q
       WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
     )
@@ -175,8 +179,14 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     then an equi-join back. Dominated iff a strictly cheaper level
     reaches its size, or its own level strictly exceeds it. All
     comparisons are raw double/int — no rounding, identical on both
-    engines — so the brute-force oracle agrees exactly."""
-    p = catalog.load(spark, sf_dir, "part")
+    engines — so the brute-force oracle agrees exactly. Points with a
+    NULL coordinate are excluded up front: NULL is outside any
+    dominance order (NOT EXISTS would silently keep every such row
+    while the sweep would rank it NULLS FIRST — the edge corpus
+    exposed exactly that divergence)."""
+    p = catalog.load(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+    )
     lvl = p.groupBy("p_retailprice").agg(F.max("p_size").alias("lvl_max"))
     w = Window.orderBy("p_retailprice")
     lvl2 = lvl.select(

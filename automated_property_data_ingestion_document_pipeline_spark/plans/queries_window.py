@@ -403,3 +403,49 @@ def q_next_greater(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.get(hit, 0)["id"].alias("next_greater_id"),
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           MEDIAN(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 0.0 AS med7
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(value) AND NOT isinf(value)
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-row median per user — the robust smoother where
+    rolling means get wrecked by outliers. Spark's ``percentile`` as a
+    window aggregate; interpolation of the two middle values is
+    order-independent (sorted operands), so the double output hashes
+    identically to DuckDB's MEDIAN with no rounding. One shuffle on
+    user_id; the frame is rows-bounded so state per key is O(7).
+
+    Domain contract: finite readings only — NULL/NaN/±Inf rows are
+    excluded up front. The engines disagree on NaN ordering inside a
+    median (and DuckDB's windowed MEDIAN aborts outright on NaN input),
+    so a robust-smoothing operator over sensor-style data filters
+    non-finite junk before smoothing, which is what a real pipeline
+    does anyway (the edge-corpus drive enforces this)."""
+    ev = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    # + 0.0 canonicalizes negative zero (an exact identity otherwise):
+    # Spark normalizes -0.0 in aggregate buffers, DuckDB preserves it
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.expr("percentile(value, 0.5)").over(w) + F.lit(0.0)).alias("med7"),
+    )
