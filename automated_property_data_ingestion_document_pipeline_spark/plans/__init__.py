@@ -34,6 +34,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_intervals,
     queries_sqlx,
     queries_sketches,
+    queries_formats,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -217,3 +217,37 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("spend").cast("double").alias("total_spend"),
         )
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o.o_custkey AS c_custkey, o.o_orderkey,
+           c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 500
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join, end to end as a driver key: both
+    tables are written ``bucketBy(8, custkey)`` + bucket-sorted (paying
+    the shuffle ONCE at write time), then joined as a SortMergeJoin
+    with ZERO Exchange on either side — the storage lever that
+    amortizes the fact-side shuffle across every downstream join at
+    100 TB. The no-Exchange property is pinned by
+    tests/test_bucketing.py; this key verifies the VALUES round-trip
+    the bucketed layout unchanged (plain-join oracle on the source
+    parquet)."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    o = catalog.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lt, rt = f"b_orders_{sf_tag}", f"b_customer_{sf_tag}"
+    bucketing.write_bucketed(o, lt, "c_custkey")
+    bucketing.write_bucketed(c, rt, "c_custkey")
+    return bucketing.bucketed_join(spark, lt, rt, "c_custkey").filter(
+        F.col("o_totalprice") > 500
+    ).select("c_custkey", "o_orderkey", "c_mktsegment", "o_totalprice")

@@ -180,9 +180,18 @@ def main() -> None:
         t1 = time.perf_counter()
         materialize(df)
         t2 = time.perf_counter()
-        post_n, post_bytes = shuffle_snapshot(spark)
-        build_s = t_built - t0
         exec_s = t2 - t1
+        # snapshot BEFORE any re-run so exchange/byte deltas count one
+        # execution exactly
+        post_n, post_bytes = shuffle_snapshot(spark)
+        # best-of-2 for short queries: a single cold run conflates JIT /
+        # page-cache state with the plan; iterative ops (work in build)
+        # and already-long runs skip the re-run to bound bench wall time
+        build_s = t_built - t0
+        if exec_s < 4.0 and build_s <= 0.2:
+            t3 = time.perf_counter()
+            materialize(df)
+            exec_s = min(exec_s, time.perf_counter() - t3)
         # iterative operators (CC label propagation) do their real work
         # during construction; fold build time in for those, plan-only
         # build cost (ms) is noise for the rest.
