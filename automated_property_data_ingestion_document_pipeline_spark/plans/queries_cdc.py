@@ -251,3 +251,83 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketing.bucketed_join(spark, lt, rt, "c_custkey").filter(
         F.col("o_totalprice") > 500
     ).select("c_custkey", "o_orderkey", "c_mktsegment", "o_totalprice")
+
+
+@query(
+    "q_data_quality_report",
+    oracle="""
+    SELECT 'row_count' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS observed,
+           COUNT(*) > 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'null_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'negative_price', CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'dup_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'fk_orphans',
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+    """,
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations as a relation (the Deequ/dbt-test
+    contract): row-count floor, null-rate on the key, value-range on
+    money, key uniqueness, and referential integrity to the customer
+    dim — each a (check_name, observed, passed) row a scheduler can
+    alert on. ONE pass over orders computes the four column checks as
+    conditional aggregates; the FK check is a broadcast anti join.
+    The whole report is a union of tiny aggregates — at 100 TB the
+    scan cost is one read of the audited table, not one per check."""
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+
+    def row(name, observed, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            observed.cast("bigint").alias("observed"),
+            passed.alias("passed"),
+        )
+
+    scans = o.agg(
+        F.array(
+            row("row_count", F.count("*"), F.count("*") > 0),
+            row(
+                "null_custkey",
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)) == 0,
+            ),
+            row(
+                "negative_price",
+                F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)),
+                F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)) == 0,
+            ),
+            row(
+                "dup_orderkey",
+                F.count("*") - F.countDistinct("o_orderkey"),
+                F.count("*") == F.countDistinct("o_orderkey"),
+            ),
+        ).alias("checks")
+    ).select(F.explode("checks").alias("r")).select("r.*")
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("fk_orphans").alias("check_name"),
+            F.col("n").cast("bigint").alias("observed"),
+            (F.col("n") == 0).alias("passed"),
+        )
+    )
+    return scans.unionAll(orphans)

@@ -200,3 +200,101 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("m2") <= F.col("p_size"))
     )
     return joined.filter(survives).select("p_partkey", "p_size", "p_retailprice")
+
+
+@query(
+    "q_global_rownum",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS global_rn
+    FROM orders
+    """,
+)
+def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sequence assignment (training-shard example indices)
+    WITHOUT the single-partition global window: range-repartition by the
+    sort key, number rows per partition locally, then add broadcast
+    per-partition offsets (counts → cumulative sum over the tiny
+    partition table). Output is invariant to where the range boundaries
+    land because offsets come from actual partition counts — so the
+    plan parallelizes across all executors while the naive
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` oracle pins one task at scale.
+    Requires a unique sort key (o_orderkey) for determinism."""
+    o = catalog.load(spark, sf_dir, "orders").select("o_orderkey")
+    parts = (
+        o.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = parts.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy("o_orderkey")
+        ),
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        "o_orderkey", (F.col("_rn") + F.col("_offset")).alias("global_rn")
+    )
+
+
+@query(
+    "q_item_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey FROM baskets
+      GROUP BY l_partkey HAVING COUNT(*) >= 3
+    ), fb AS (
+      SELECT b.l_orderkey, b.l_partkey FROM baskets b
+      JOIN freq f ON b.l_partkey = f.l_partkey
+    )
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+           COUNT(*) AS pair_support
+    FROM fb a JOIN fb b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket mining, the
+    A-Priori first pass): prune to items with support >= 3 BEFORE the
+    basket self-join — the pruning is what bounds the join at 100 TB
+    (pair candidates shrink quadratically with the item filter), then
+    pairs with support >= 2 survive. Equi-join on the basket key;
+    per-basket fan-out is C(|frequent items in basket|, 2)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("l_partkey")
+    )
+    fb = baskets.join(freq, "l_partkey").select("l_orderkey", "l_partkey")
+    a = fb.select("l_orderkey", F.col("l_partkey").alias("item_a"))
+    b = fb.select("l_orderkey", F.col("l_partkey").alias("item_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= 2)
+    )
