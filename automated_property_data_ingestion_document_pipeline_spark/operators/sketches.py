@@ -134,3 +134,66 @@ def bloom_might_contain(
         .groupBy(key)
         .agg((F.min("hit") == 1).alias("might_contain"))
     )
+
+
+# -- KMV (k minimum values) distinct-value sketch -----------------------------
+
+#: Hash domain for KMV: xxhash64 folded into [0, 2^61) so estimates use
+#: exact integer minima and only the final ratio is floating point.
+KMV_DOMAIN = 1 << 61
+
+
+def kmv_build(df: DataFrame, key: str, group: str, k: int = 64) -> DataFrame:
+    """KMV sketch per group: the ``k`` smallest distinct hash values of
+    ``key`` as (group, pos, hv) rows. Unlike HLL, KMV sketches support
+    SET OPERATIONS: the union sketch is the k minima of the merged
+    rows (:func:`kmv_merge`), and resemblance (Jaccard) falls out of
+    comparing union minima against the input sketches. One distinct +
+    one ranking window per build; sketch size is k rows per group no
+    matter the data."""
+    hv = F.pmod(F.xxhash64(F.col(key)), F.lit(KMV_DOMAIN)).alias("hv")
+    hashes = df.select(F.col(group).alias("grp"), hv).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        hashes.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("grp", "pos", "hv")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union of KMV sketches = k minima of the concatenated (distinct)
+    hash rows — the mergeability that lets per-shard sketches roll up."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    allrows = reduce(
+        lambda a, b: a.unionAll(b), [s.select("grp", "hv") for s in sketches]
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        allrows.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("grp", "pos", "hv")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group: if the sketch is saturated
+    (holds all k minima), n ≈ (k-1) * DOMAIN / kth_min; if the group
+    has fewer than k distinct values the sketch IS the distinct set and
+    the count is exact."""
+    agg = sketch.groupBy("grp").agg(
+        F.count("*").alias("n_in_sketch"), F.max("hv").alias("kth")
+    )
+    return agg.select(
+        "grp",
+        F.when(
+            F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double")
+        )
+        .otherwise((F.lit(float(k - 1)) * F.lit(float(KMV_DOMAIN))) / F.col("kth"))
+        .alias("est_distinct"),
+    )

@@ -86,3 +86,29 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fp_rate"),
     )
+
+
+@query("q_kmv_distinct")  # rows-only: xxhash64 minima, self-measured error
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per market segment over
+    customer keys, k=64 — the sketch family that, unlike HLL, supports
+    set operations via minima merging (mergeability unit-tested). The
+    key joins estimates to exact distinct counts and emits the relative
+    error; groups under k are exact by construction (the sketch IS the
+    set), which the driver row makes visible."""
+    c = catalog.load(spark, sf_dir, "customer")
+    sk = sketches.kmv_build(c, "c_custkey", "c_mktsegment", k=64)
+    est = sketches.kmv_estimate(sk, k=64)
+    exact = c.groupBy(F.col("c_mktsegment").alias("grp")).agg(
+        F.countDistinct("c_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "grp").select(
+        "grp",
+        F.round("est_distinct", 1).alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )

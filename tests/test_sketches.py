@@ -76,3 +76,25 @@ def test_bloom_fp_rate_reasonable_when_loaded(spark):
     )
     fp = flags.filter("might_contain").count() / 2000
     assert fp < 0.6
+
+
+def test_kmv_exact_below_k_and_bounded_error_above(spark):
+    # group 'small' has 30 < k distinct -> exact; 'big' has 5000 -> ~1/sqrt(k) error
+    rows = [("small", v) for v in range(30)] + [("big", v) for v in range(10_000, 15_000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = sketches.kmv_build(df, "v", "g", k=64)
+    est = {r.grp: r.est_distinct for r in sketches.kmv_estimate(sk, k=64).collect()}
+    assert est["small"] == 30.0
+    assert abs(est["big"] - 5000) / 5000 < 0.5  # 1/sqrt(63) ~ 0.13, loose band
+
+
+def test_kmv_merge_equals_whole_build(spark):
+    a = spark.createDataFrame([("g", v) for v in range(0, 400, 2)], "g string, v long")
+    b = spark.createDataFrame([("g", v) for v in range(100, 500, 3)], "g string, v long")
+    merged = sketches.kmv_merge(
+        sketches.kmv_build(a, "v", "g"), sketches.kmv_build(b, "v", "g")
+    )
+    whole = sketches.kmv_build(a.unionAll(b), "v", "g")
+    got = {(r.grp, r.pos, r.hv) for r in merged.collect()}
+    want = {(r.grp, r.pos, r.hv) for r in whole.collect()}
+    assert got == want
