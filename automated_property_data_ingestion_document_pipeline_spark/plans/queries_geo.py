@@ -147,3 +147,62 @@ def q_geo_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("tile_balance"),
         ],
     )
+
+
+@query(
+    "q_geo_pipeline",
+    oracle=f"""
+    WITH c AS ({_CUST_XY}), s AS ({_SUPP_XY}),
+    cand AS (
+        SELECT c.c_custkey, c.c_acctbal, c.cx, c.cy, s.s_suppkey,
+               (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+        FROM c, s
+        WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= {_RADIUS * _RADIUS}
+    ), nearest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_custkey ORDER BY dist2, s_suppkey) AS rk
+            FROM cand)
+        WHERE rk = 1
+    )
+    SELECT CAST(FLOOR(cx / 10000.0) AS BIGINT) AS tile_x,
+           CAST(FLOOR(cy / 10000.0) AS BIGINT) AS tile_y,
+           COUNT(*) AS n_matched,
+           COUNT(DISTINCT s_suppkey) AS n_offices,
+           CAST(SUM(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS tile_balance,
+           MIN(dist2) AS best_dist2
+    FROM nearest
+    WHERE c_acctbal > 0
+    GROUP BY 1, 2
+    """,
+)
+def q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite spatial dataflow — the round-4 families composed the
+    way a property-analytics dashboard would: derive planar coordinates
+    → match every positive-balance customer to its nearest recorder
+    office within 8 km (grid-bucketed join + ranking window) → roll the
+    matches up into 10 km heatmap tiles (match count, distinct offices,
+    exact-decimal balance, best distance). Plan: one broadcast cell
+    join + one window shuffle on c_custkey + one tile aggregation —
+    three exchanges end to end; money summed through the decimal lane
+    (plans/_sql.py policy)."""
+    cust = _customers_xy(spark, sf_dir)
+    supp = _suppliers_xy(spark, sf_dir)
+    nearest = geo.nearest_within(
+        cust, supp, "c_custkey", "s_suppkey", ("cx", "cy"), ("sx", "sy"), _RADIUS
+    ).filter(F.col("c_acctbal") > 0)
+    return (
+        nearest.groupBy(
+            F.floor(F.col("cx") / 10_000).alias("tile_x"),
+            F.floor(F.col("cy") / 10_000).alias("tile_y"),
+        )
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.countDistinct("s_suppkey").alias("n_offices"),
+            F.sum(F.round("c_acctbal", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("tile_balance"),
+            F.min("dist2").alias("best_dist2"),
+        )
+    )

@@ -298,3 +298,83 @@ def q_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pair_support"))
         .filter(F.col("pair_support") >= 2)
     )
+
+
+@query(
+    "q_share_of_total",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS seg_rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT segment, seg_rev,
+           ROUND(seg_rev / SUM(seg_rev) OVER (), 6) AS share
+    FROM seg
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (the dashboard ratio): segment revenue over grand
+    total via an unpartitioned window over the ALREADY-AGGREGATED
+    5-row segment table — the window never touches raw orders, so the
+    "global window" costs nothing. Revenue goes through the exact
+    decimal lane; the final division divides identical operands on both
+    engines."""
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("seg_rev")
+        )
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "segment",
+        "seg_rev",
+        F.round(F.col("seg_rev") / F.sum("seg_rev").over(w), 6).alias("share"),
+    )
+
+
+@query(
+    "q_topn_plus_other",
+    oracle="""
+    WITH pc AS (
+      SELECT p_brand, COUNT(*) AS n
+      FROM part GROUP BY p_brand
+    ), ranked AS (
+      SELECT p_brand, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, p_brand) AS rk
+      FROM pc
+    )
+    SELECT CASE WHEN rk <= 3 THEN p_brand ELSE 'OTHER' END AS brand,
+           CAST(SUM(n) AS BIGINT) AS n_parts
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 brands with everything else collapsed to an OTHER bucket —
+    the long-tail fold every pie chart needs. Rank on the aggregated
+    brand table (small), not on raw parts; deterministic tie-break on
+    the brand name."""
+    p = catalog.load(spark, sf_dir, "part")
+    pc = p.groupBy("p_brand").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "p_brand")
+    ranked = pc.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rk") <= 3, F.col("p_brand"))
+            .otherwise("OTHER")
+            .alias("brand"),
+            "n",
+        )
+        .groupBy("brand")
+        .agg(F.sum("n").alias("n_parts"))
+    )
