@@ -35,6 +35,8 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_sqlx,
     queries_sketches,
     queries_formats,
+    queries_stats,
+    queries_timeseries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

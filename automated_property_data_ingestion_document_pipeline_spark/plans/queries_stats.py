@@ -1,0 +1,243 @@
+"""Distributed statistics: OLS regression, chi-square independence,
+correlation matrix — via EXACT integer sufficient statistics.
+
+Why not Spark's native ``regr_slope``/``corr``/``stddev``: those stream
+doubles through Welford-style update/merge, so the result depends on
+partition boundaries and merge order — re-running the same query on a
+repartitioned table flips low bits, which breaks both the driver's
+hash-compare and any bit-reproducibility contract a 100 TB pipeline
+wants. Instead we aggregate the sufficient statistics (n, Σx, Σy, Σxy,
+Σx², Σy²) as BIGINTs over integer-scaled columns — integer addition is
+associative, so ANY partitioning yields identical sums — and derive
+slope/r/χ² with a fixed double-arithmetic expression tree evaluated
+identically on both engines (IEEE +,-,*,/,sqrt are exactly rounded ⇒
+deterministic; only libm transcendentals are not).
+
+Scale: one partial-aggregate shuffle per query carrying a handful of
+longs per group — map-side combine reduces each partition to one row
+before the exchange. This is the textbook "algebraic aggregate" shape
+that survives 100 TB unchanged.
+
+Integer scaling: quantities are already integral; prices use whole
+dollars (FLOOR), discount/tax use integer percent (ROUND(x*100)) — all
+exact in int64 with Σx² < 2^53 headroom at sf ≥ 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+# Shared integer-scaled projection of lineitem (identical on both engines).
+_LI_INTS = """
+    SELECT l_returnflag,
+           CAST(FLOOR(l_quantity) AS BIGINT)           AS qty,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)      AS price_usd,
+           CAST(ROUND(l_discount * 100) AS BIGINT)     AS disc_pct,
+           CAST(ROUND(l_tax * 100) AS BIGINT)          AS tax_pct
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+"""
+
+
+def _li_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load(spark, sf_dir, "lineitem")
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        li = li.filter(F.col(c).isNotNull())
+    return li.select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("bigint").alias("qty"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_usd"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("tax_pct"),
+    )
+
+
+@query(
+    "q_regr_ols",
+    oracle=f"""
+    WITH li AS ({_LI_INTS}),
+    s AS (
+        SELECT l_returnflag,
+               COUNT(*)                             AS n,
+               CAST(SUM(qty) AS BIGINT)             AS sx,
+               CAST(SUM(price_usd) AS BIGINT)       AS sy,
+               CAST(SUM(qty * price_usd) AS BIGINT) AS sxy,
+               CAST(SUM(qty * qty) AS BIGINT)       AS sxx,
+               CAST(SUM(price_usd * price_usd) AS BIGINT) AS syy
+        FROM li GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def q_regr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of price on quantity from exact sufficient
+    statistics: one shuffle, six longs per group over the wire, then a
+    deterministic closed-form slope/intercept/r² (no Welford drift —
+    the bit-reproducible form you want feeding a 100 TB model report).
+    """
+    li = _li_ints(spark, sf_dir)
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("qty").alias("sx"),
+        F.sum("price_usd").alias("sy"),
+        F.sum(F.col("qty") * F.col("price_usd")).alias("sxy"),
+        F.sum(F.col("qty") * F.col("qty")).alias("sxx"),
+        F.sum(F.col("price_usd") * F.col("price_usd")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    cov_n = n_d * F.col("sxy") - sx_d * F.col("sy")
+    varx_n = n_d * F.col("sxx") - sx_d * F.col("sx")
+    vary_n = n_d * F.col("syy") - sy_d * F.col("sy")
+    slope = cov_n / varx_n
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy_d - slope * F.col("sx")) / n_d, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS n_obs
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    tot AS (
+        SELECT status, priority, n_obs,
+               SUM(n_obs) OVER (PARTITION BY status)   AS row_tot,
+               SUM(n_obs) OVER (PARTITION BY priority) AS col_tot,
+               SUM(n_obs) OVER ()                      AS n_all
+        FROM obs
+    )
+    SELECT status, priority, n_obs,
+           ROUND(CAST(row_tot AS DOUBLE) * col_tot / n_all, 6) AS expected,
+           ROUND((n_obs - CAST(row_tot AS DOUBLE) * col_tot / n_all)
+                 * (n_obs - CAST(row_tot AS DOUBLE) * col_tot / n_all)
+                 / (CAST(row_tot AS DOUBLE) * col_tot / n_all), 6) AS contribution
+    FROM tot
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for orderstatus × orderpriority:
+    observed/expected/χ²-contribution per cell. The contingency table is
+    tiny after the first aggregate (|status|×|priority| rows), so the
+    window sums for the margins run on an already-reduced table — the
+    raw scan is one partial-agg shuffle regardless of input size.
+    """
+    from pyspark.sql import Window
+
+    o = catalog.load(spark, sf_dir, "orders")
+    obs = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).agg(F.count("*").alias("n_obs"))
+    )
+    row_tot = F.sum("n_obs").over(Window.partitionBy("status"))
+    col_tot = F.sum("n_obs").over(Window.partitionBy("priority"))
+    n_all = F.sum("n_obs").over(Window.partitionBy())
+    exp = row_tot.cast("double") * col_tot / n_all
+    return obs.select(
+        "status",
+        "priority",
+        "n_obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6).alias(
+            "contribution"
+        ),
+    )
+
+
+# The six unordered column pairs of the correlation matrix.
+_PAIRS = [
+    ("qty", "price_usd"),
+    ("qty", "disc_pct"),
+    ("qty", "tax_pct"),
+    ("price_usd", "disc_pct"),
+    ("price_usd", "tax_pct"),
+    ("disc_pct", "tax_pct"),
+]
+
+_CORR_SUMS = ",\n".join(
+    [f"SUM({c}) AS s_{c}, SUM({c} * {c}) AS ss_{c}" for c in ("qty", "price_usd", "disc_pct", "tax_pct")]
+    + [f"SUM({a} * {b}) AS sp_{a}_{b}" for a, b in _PAIRS]
+)
+
+_CORR_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+        ROUND((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
+              / (SQRT(CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a})
+                 * SQRT(CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b})), 6) AS r
+    FROM s"""
+    for a, b in _PAIRS
+)
+
+
+@query(
+    "q_corr_matrix",
+    oracle=f"""
+    WITH li AS ({_LI_INTS}),
+    s AS (SELECT COUNT(*) AS n, {_CORR_SUMS} FROM li)
+    {_CORR_ROWS}
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for all 6 pairs of 4 integer-scaled lineitem
+    measures in ONE scan: a single global aggregate collects every
+    sufficient statistic (4 sums + 4 sum-of-squares + 6 cross products
+    = 15 longs total), then the 6 matrix entries unfold from that one
+    row — no per-pair passes, no shuffle of raw data beyond the single
+    partial agg. sqrt is IEEE-exact, so r matches the oracle bitwise
+    before the defensive round.
+    """
+    li = _li_ints(spark, sf_dir)
+    cols = ("qty", "price_usd", "disc_pct", "tax_pct")
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for a, b in _PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    s = li.agg(*aggs)
+
+    # One aggregate row → 6 matrix entries via explode(array(struct…)):
+    # the scan+agg run ONCE (a unionAll of per-pair selects would
+    # re-aggregate lineitem six times).
+    def corr_struct(a: str, b: str):
+        n_d = F.col("n").cast("double")
+        sa_d = F.col(f"s_{a}").cast("double")
+        sb_d = F.col(f"s_{b}").cast("double")
+        num = n_d * F.col(f"sp_{a}_{b}") - sa_d * F.col(f"s_{b}")
+        dena = F.sqrt(n_d * F.col(f"ss_{a}") - sa_d * F.col(f"s_{a}"))
+        denb = F.sqrt(n_d * F.col(f"ss_{b}") - sb_d * F.col(f"s_{b}"))
+        return F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.round(num / (dena * denb), 6).alias("r"),
+        )
+
+    cell = F.explode(F.array(*[corr_struct(a, b) for a, b in _PAIRS])).alias("cell")
+    return s.select(cell).select("cell.col_x", "cell.col_y", "cell.r")

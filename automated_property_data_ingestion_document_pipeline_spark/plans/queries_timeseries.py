@@ -1,0 +1,212 @@
+"""Time-series smoothing + robust outlier detection.
+
+Two operators a telemetry/training-data pipeline runs constantly and
+that naive SQL gets wrong at scale:
+
+- **EWMA** is a sequential linear recurrence (y_i = αx_i + (1-α)y_{i-1})
+  — not window-expressible without per-row pow(). With the dyadic
+  α = 1/2 every step is `(acc + x) / 2.0`, an IEEE-exact-rounded op, so
+  a left-to-right fold produces IDENTICAL doubles on any engine that
+  evaluates the same chain — which is exactly what the oracle's
+  recursive CTE does. Spark side: per-key sorted `collect_list` +
+  `aggregate()` fold (JVM HOF, no Python). Per-entity series are
+  bounded (the sessionize contract); unbounded keys belong to the
+  streaming EWMA in streaming/.
+
+- **MAD outliers** (median absolute deviation, the robust z-score):
+  median and MAD computed positionally over integer cents, carrying
+  2×median and 4×MAD so every quantity stays an exact integer and the
+  flag `|x - med| > 3·MAD` becomes the integer predicate
+  `2·dev2 > 3·mad4` — no interpolation floats to disagree on.
+
+Scale: both are one shuffle on the entity key; the MAD windows (rank →
+margin sums → rank) all share the `user_id` partitioning so Catalyst
+plans a single Exchange feeding three Window operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+# Integer cents projection shared by both keys (ties broken by event_id).
+_EV_CENTS = """
+    SELECT user_id, event_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+      AND value > -1e12 AND value < 1e12
+"""
+# The ±1e12 domain bound keeps cents exact in int64 AND excludes
+# NaN/±Inf — both engines order NaN above every finite double, so
+# ``value < 1e12`` rejects it identically.
+
+
+def _ev_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("value") > -1e12)
+            & (F.col("value") < 1e12)
+        ).select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM ({_EV_CENTS})
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_events FROM ev GROUP BY user_id),
+    r AS (
+        SELECT user_id, rn, CAST(cents AS DOUBLE) AS y
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT ev.user_id, ev.rn, (r.y + ev.cents) / 2.0
+        FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+    )
+    SELECT r.user_id, last.n_events, r.y AS ewma_cents
+    FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.n_events
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (α = 1/2) of event value per user, time-ordered.
+
+    One shuffle on user_id; the fold is a JVM `aggregate()` HOF over the
+    sorted array — left-to-right `(acc + x) / 2.0`, the same chain the
+    oracle's recursive CTE evaluates, so the doubles agree BITWISE (no
+    defensive rounding needed). Ties broken by event_id inside the
+    sorted struct, matching the ORDER BY.
+    """
+    ev = _ev_cents(spark, sf_dir)
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "cents")))
+    g = ev.groupBy("user_id").agg(arr.alias("evs"))
+    return g.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.expr(
+            "aggregate("
+            "  slice(evs, 2, greatest(size(evs) - 1, 0)),"
+            "  cast(element_at(evs, 1).cents AS double),"
+            "  (acc, e) -> (acc + e.cents) / 2.0D"
+            ")"
+        ).alias("ewma_cents"),
+    )
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH ev AS ({_EV_CENTS}),
+    ranked AS (
+        SELECT user_id, event_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM ev
+    ),
+    med AS (
+        SELECT user_id, event_id, cents,
+               SUM(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+                   OVER (PARTITION BY user_id)
+             + SUM(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END)
+                   OVER (PARTITION BY user_id) AS med2
+        FROM ranked
+    ),
+    dev AS (
+        SELECT user_id, event_id, cents, med2,
+               ABS(2 * cents - med2) AS dev2,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ABS(2 * cents - med2), event_id) AS dn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM med
+    ),
+    mad AS (
+        SELECT user_id, event_id, cents, med2, dev2,
+               SUM(CASE WHEN dn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                   OVER (PARTITION BY user_id)
+             + SUM(CASE WHEN dn = n // 2 + 1 THEN dev2 ELSE 0 END)
+                   OVER (PARTITION BY user_id) AS mad4
+        FROM dev
+    )
+    SELECT user_id, event_id, cents,
+           med2 / 2.0 AS median_cents,
+           mad4 / 4.0 AS mad_cents
+    FROM mad
+    WHERE 2 * dev2 > 3 * mad4
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates from their user's median by more
+    than 3× the median absolute deviation — the robust outlier flag
+    (immune to the outliers polluting a mean/stddev z-score).
+
+    Positional medians over integer cents: rank → two-middle-rows
+    margin sum → rank of deviations → margin sum again. All four
+    windows partition by user_id, so the plan is ONE Exchange feeding a
+    Window chain; the 3·MAD test is the integer predicate
+    ``2·dev2 > 3·mad4`` (med2 = 2·median, mad4 = 4·MAD — halves and
+    quarters never materialize until the exact-binary output division).
+    """
+    ev = _ev_cents(spark, sf_dir)
+    by_user = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.row_number().over(by_user.orderBy("cents", "event_id")).alias("rn"),
+        F.count("*").over(by_user).alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    med = ranked.select(
+        "user_id",
+        "event_id",
+        "cents",
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("cents")).otherwise(0)).over(by_user)
+            + F.sum(F.when(F.col("rn") == hi, F.col("cents")).otherwise(0)).over(by_user)
+        ).alias("med2"),
+    )
+    dev = med.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+        F.row_number()
+        .over(by_user.orderBy(F.abs(2 * F.col("cents") - F.col("med2")), "event_id"))
+        .alias("dn"),
+        F.count("*").over(by_user).alias("n"),
+    )
+    mad = dev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "med2",
+        "dev2",
+        (
+            F.sum(F.when(F.col("dn") == lo, F.col("dev2")).otherwise(0)).over(by_user)
+            + F.sum(F.when(F.col("dn") == hi, F.col("dev2")).otherwise(0)).over(by_user)
+        ).alias("mad4"),
+    )
+    return mad.filter(2 * F.col("dev2") > 3 * F.col("mad4")).select(
+        "user_id",
+        "event_id",
+        "cents",
+        (F.col("med2") / 2.0).alias("median_cents"),
+        (F.col("mad4") / 4.0).alias("mad_cents"),
+    )
