@@ -37,6 +37,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_formats,
     queries_stats,
     queries_timeseries,
+    queries_search,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

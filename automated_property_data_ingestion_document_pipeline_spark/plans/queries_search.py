@@ -1,0 +1,205 @@
+"""Full-text retrieval primitives: inverted index build + BM25 ranking
++ bounded k-hop graph expansion.
+
+The index build is the batch side of every search/RAG pipeline: one
+explode → one grouped aggregate per term, postings held as a bounded
+sorted prefix (real systems shard long postings; the prefix proves the
+ordering/dedup contract without shipping megabyte lists through the
+driver compare). BM25 extends q_tfidf's engine-portable scoring: the
+only non-algebraic term, idf, uses the integer floor-log2 trick
+(length(bin(n)) - 1 — no libm), and the k1/b saturation arithmetic is a
+fixed IEEE expression tree evaluated identically on both engines.
+
+k-hop expansion (friends-of-friends over the deterministic order graph
+from queries_graph) is the bounded-iteration BFS shape: each hop is one
+equi-join + min-aggregate. Spark unrolls the 3 hops (frontier shrinks
+to nothing rapidly on a banded graph); the oracle runs the equivalent
+recursive CTE. At 100 TB each hop is a shuffle on the node key and the
+frontier stays a fraction of the edge set — the same plan GraphFrames'
+BFS lowers to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans.queries_graph import (
+    _CANON_SQL,
+    _edges,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import (
+    _TOKS_SQL,
+)
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+_POSTINGS_CAP = 8  # sorted-prefix length emitted per term
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS_SQL.format(col='text')}) AS tok
+      FROM documents
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, {_POSTINGS_CAP}),
+                           ',') AS postings_head
+    FROM t
+    GROUP BY tok
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → postings-list index over documents: distinct (doc, term)
+    pairs (postings never repeat a doc), document frequency, and the
+    sorted head of the postings list as a comma string (arrays don't
+    canon identically across engine→pandas bridges; the joined prefix
+    pins ordering and content). Two shuffles total — explode+distinct,
+    then the term aggregate; df >= 3 bounds the long tail of hapax
+    terms out of the output."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    t = d.select("doc_id", F.explode(toks).alias("tok")).distinct()
+    return (
+        t.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP),
+                ",",
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 3)
+    )
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL.format(col='text')}) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY doc_id, tok),
+    stats AS (
+      SELECT doc_id, tok, tf,
+             CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+             CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
+      FROM tf),
+    corpus AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS total_toks
+      FROM t)
+    SELECT s.doc_id, s.tok, s.tf, s.df,
+           ROUND(CAST((length(bin(c.n_docs)) - 1) - (length(bin(s.df)) - 1) AS DOUBLE)
+                 * (s.tf * 2.2)
+                 / (s.tf + 1.2 * (0.25 + (0.75 * s.doc_len)
+                                  / (CAST(c.total_toks AS DOUBLE) / c.n_docs))),
+                 6) AS bm25
+    FROM stats s, corpus c
+    WHERE s.tf >= 2
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) per repeated term: q_tfidf's one-scan plan
+    (tf grouped once, df/doc_len as unordered windows over the grouped
+    rows, corpus stats broadcast from one row) with the full
+    length-normalized saturation formula. idf stays pure-integer
+    (floor-log2); the saturation denominator is the same IEEE tree on
+    both engines, rounded at 6 defensively."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    t = d.select("doc_id", F.explode(toks).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    stats = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok"))
+    ).withColumn("doc_len", F.sum("tf").over(Window.partitionBy("doc_id")))
+    corpus = t.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_toks"),
+    )
+    log2 = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
+    idf = (log2(F.col("n_docs")) - log2(F.col("df"))).cast("double")
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    sat = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + (F.lit(0.75) * F.col("doc_len")) / avgdl
+    )
+    return (
+        stats.join(F.broadcast(corpus))
+        .filter(F.col("tf") >= 2)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(idf * (F.col("tf") * 2.2) / sat, 6).alias("bm25"),
+        )
+    )
+
+
+_KHOP_MAX = 3
+_SEED_SQL = "SELECT DISTINCT u AS node FROM ce WHERE u % 1000 = 0"
+
+
+@query(
+    "q_khop",
+    oracle=f"""
+    WITH RECURSIVE ce AS ({_CANON_SQL}),
+    und AS (
+        SELECT u AS src, v AS dst FROM ce
+        UNION ALL
+        SELECT v AS src, u AS dst FROM ce
+    ),
+    seeds AS ({_SEED_SQL}),
+    walk AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION ALL
+        SELECT und.dst AS node, walk.hops + 1 AS hops
+        FROM walk JOIN und ON und.src = walk.node
+        WHERE walk.hops < {_KHOP_MAX}
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS dist
+    FROM walk
+    GROUP BY node
+    """,
+)
+def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (≤ 3) from the seed set over the undirected
+    order graph — friends-of-friends expansion. Spark unrolls the
+    bounded BFS: per hop, join the frontier to the adjacency list and
+    keep the new minimum; each hop is one equi-join shuffled on the
+    node key. The recursive-CTE oracle walks every path and MIN-folds —
+    agreement proves the unrolled frontier reaches the identical
+    closure."""
+    e = _edges(spark, sf_dir)
+    ce = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .distinct()
+    )
+    und = ce.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        ce.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = ce.filter(F.col("u") % 1000 == 0).select(F.col("u").alias("node")).distinct()
+
+    reached = seeds.select("node", F.lit(0).alias("dist"))
+    frontier = reached
+    for hop in range(1, _KHOP_MAX + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        reached = reached.unionAll(nxt)
+        frontier = nxt
+    return reached.groupBy("node").agg(F.min("dist").cast("bigint").alias("dist"))
