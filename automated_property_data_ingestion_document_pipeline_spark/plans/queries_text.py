@@ -756,3 +756,75 @@ def q_name_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(F.broadcast(names), "canonical_id").select(
         "c_custkey", "c_name", "canonical_id", "canonical_name"
     )
+
+
+# -- substring-granular duplication metric ------------------------------------
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL.format(col='text')} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+                                   i -> array_to_string(tk[i:i+7], ' '))) AS shingle
+      FROM toks),
+    grouped AS (
+      SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM sh GROUP BY doc_id, shingle),
+    flagged AS (
+      SELECT doc_id, tf,
+             COUNT(*) OVER (PARTITION BY shingle) AS n_docs_with
+      FROM grouped)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN n_docs_with >= 2 THEN tf ELSE 0 END) AS DOUBLE)
+                 / SUM(tf), 6) AS dup_frac
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular duplication signal (the Lee et al. "Dedup-
+    lic­ating Training Data" metric class): the fraction of a document's
+    8-token shingle positions whose shingle also appears in ANOTHER
+    document. Catches boilerplate/quote-level duplication that whole-
+    document hashing (q_doc_dedup) and MinHash (q_minhash_neardup) both
+    miss.
+
+    One-scan shape after the explode: shingles group to (doc, shingle,
+    tf) once; cross-document incidence is an unordered COUNT window
+    over the grouped rows (each (doc,shingle) row is unique, so the
+    partition count IS the number of docs containing the shingle — no
+    join-back); the per-doc rollup rides the same rows. At 100 TB the
+    explode dominates (~|tokens| rows) — the same cost class as every
+    shingling dedup — and both aggregates are partial-agg shuffles on
+    uniform keys.
+    """
+    d = catalog.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tk = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 7),
+        lambda i: F.array_join(F.slice(tk, i, 8), " "),
+    )
+    # Spark's sequence(1, n) DESCENDS for n < 1 ([1, 0]) instead of
+    # yielding empty — short docs must be gated explicitly.
+    shingles = F.when(F.size(tk) >= 8, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    grouped = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
+    flagged = grouped.withColumn(
+        "n_docs_with", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    dup_tf = F.when(F.col("n_docs_with") >= 2, F.col("tf")).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_shingles"),
+        F.sum(dup_tf).alias("n_dup"),
+        F.round(F.sum(dup_tf).cast("double") / F.sum("tf"), 6).alias("dup_frac"),
+    )

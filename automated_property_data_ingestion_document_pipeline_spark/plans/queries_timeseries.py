@@ -210,3 +210,35 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("med2") / 2.0).alias("median_cents"),
         (F.col("mad4") / 4.0).alias("mad_cents"),
     )
+
+
+# -- streaming twin (rows-only) -----------------------------------------------
+
+
+@query("q_stream_ewma")  # rows-only: Structured Streaming keyed state
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run of the EWMA recurrence: file
+    source → applyInPandasWithState keyed on user_id (two scalars of
+    state per key) → memory sink via availableNow. Single-batch runs
+    are bit-identical to q_ewma (differential-pinned); multi-batch runs
+    continue the fold from state across micro-batches."""
+    from automated_property_data_ingestion_document_pipeline_spark.streaming import (
+        sessions as streaming_sessions,
+    )
+
+    stream = streaming_sessions.read_events_stream(spark, sf_dir)
+    prepared = (
+        stream.filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("value") > -1e12)
+            & (F.col("value") < 1e12)
+        )
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+        .select("user_id", "event_id", "ts", "cents")
+    )
+    result = streaming_sessions.ewma_stream(prepared)
+    return streaming_sessions.run_available_now(
+        result, "stream_ewma", output_mode="update"
+    )

@@ -175,3 +175,65 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def ewma_fold(batch_pdf, y: float | None, n: int) -> tuple[float | None, int]:
+    """Continue the α=1/2 EWMA fold over one micro-batch: sort by
+    (ts, event_id), then left-to-right ``(acc + x) / 2.0``. Shared by
+    the streaming operator and its differential test so the tested
+    chain IS the deployed chain."""
+    batch_pdf = batch_pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    for x in batch_pdf["cents"].to_numpy():
+        xf = float(x)
+        y = xf if y is None else (y + xf) / 2.0
+        n += 1
+    return y, n
+
+
+def ewma_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming EWMA (α = 1/2) per user — the unbounded-key form of
+    plans/queries_timeseries.q_ewma. Per-key GroupState carries
+    (ewma, n); each micro-batch sorts its rows by (ts, event_id) and
+    continues the same left-to-right ``(acc + x) / 2.0`` fold, so a
+    single-batch availableNow run is BIT-IDENTICAL to the batch twin
+    (pinned by tests/test_differential_r4b.py). State is two scalars
+    per key — bounded regardless of stream length, the shape that
+    survives an unbounded 100 TB firehose.
+
+    ``cents`` must be computed Spark-side before this operator (numpy
+    would half-even-round where Spark half-up-rounds).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_struct = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("ewma_cents", DoubleType()),
+        ]
+    )
+    state_struct = StructType(
+        [StructField("y", DoubleType()), StructField("n", LongType())]
+    )
+
+    def process(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        y, n = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(batch) == 0:
+            return
+        y, n = ewma_fold(batch, y, n)
+        state.update((y, n))
+        yield pd.DataFrame([(uid, n, y)], columns=["user_id", "n_events", "ewma_cents"])
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            process, out_struct, state_struct, "update", GroupStateTimeout.NoTimeout
+        )
+    )
