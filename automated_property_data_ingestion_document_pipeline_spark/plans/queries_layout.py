@@ -123,3 +123,39 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.read_state_version(spark, state, 1).select(
         "user_id", "n_events", F.col("cents").cast("bigint").alias("cents")
     )
+
+
+# -- retention vacuum over the version history --------------------------------
+
+
+@query(
+    "q_vacuum_retention",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(TRY_CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM over the upsert sink's snapshot history: build four
+    micro-batch versions, vacuum to the last two, then prove (a) the
+    published current snapshot still reads back as the FULL aggregate
+    of every batch (the oracle recomputes it from source), and (b) the
+    vacuumed versions are gone while the retained window remains
+    (asserted inline — a failure surfaces as a driver ERROR row).
+    Storage drops to keep_last × |keys| rows; the retention contract of
+    every real table format, on plain parquet."""
+    state = _scratch(sf_dir, "vacuum_state")
+    shutil.rmtree(state, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    ev = catalog.load(spark, sf_dir, "events")
+    for b in range(4):
+        sinks.upsert_aggregate_batch(ev.filter(F.col("event_id") % 4 == b), state, b)
+    removed = sinks.vacuum_state(state, keep_last=2)
+    assert removed == [0, 1], f"vacuum removed {removed}, expected [0, 1]"
+    kept = sinks._state_versions(state)
+    assert kept == [2, 3], f"retained {kept}, expected [2, 3]"
+    return sinks.read_state_version(spark, state).select(
+        "user_id", "n_events", F.col("cents").cast("bigint").alias("cents")
+    )

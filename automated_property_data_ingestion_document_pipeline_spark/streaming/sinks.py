@@ -153,3 +153,42 @@ def read_state_version(spark, state_dir: str, batch_id: int | None = None) -> Da
     else:
         name = f"v{batch_id}"
     return spark.read.parquet(os.path.join(state_dir, name))
+
+
+def vacuum_state(state_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention cleanup over the upsert sink's version history — the
+    VACUUM to read_state_version's time travel. Removes complete
+    snapshots older than the newest ``keep_last``, with two safety
+    rails:
+
+    - the snapshot named by the published ``_CURRENT`` manifest is
+      NEVER removed, even if it falls outside the window (a reader
+      resolving the manifest must always find its data);
+    - incomplete directories (no ``_SUCCESS``) are left alone — they
+      belong to an in-flight or crashed writer whose retry will
+      overwrite them.
+
+    Returns the batch ids actually removed. Deleting old snapshots
+    bounds storage at ``keep_last × |keys|`` rows; time travel beyond
+    the window intentionally raises (the Delta/Iceberg retention
+    contract).
+    """
+    import shutil
+
+    versions = _state_versions(state_dir)
+    if len(versions) <= keep_last:
+        return []
+    current = None
+    cur_path = os.path.join(state_dir, "_CURRENT")
+    if os.path.exists(cur_path):
+        with open(cur_path) as f:
+            name = f.read().strip()
+        if name.startswith("v"):
+            current = int(name[1:])
+    removed = []
+    for v in versions[:-keep_last]:
+        if v == current:
+            continue
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+        removed.append(v)
+    return removed

@@ -155,3 +155,34 @@ def test_z_value_three_columns_clusters_all_dims(spark, tmp_path):
     for col in ("x", "y", "w"):
         spans = [hi - lo for (lo, hi) in (r[col] for r in ranges)]
         assert sum(spans) / len(spans) <= 15 * 0.75, (col, spans)
+
+
+def test_vacuum_never_removes_published_or_incomplete(spark, tmp_path):
+    """Safety rails: the _CURRENT target survives outside the window;
+    incomplete dirs (no _SUCCESS) are untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark.streaming import sinks
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    df = spark.range(5).select(
+        F.col("id").alias("user_id"), (F.col("id") * 1.0).alias("value")
+    )
+    for b in range(4):
+        sinks.upsert_aggregate_batch(df, state, b)
+    # roll the manifest BACK to v0 (reader pinned to an old snapshot)
+    with open(os.path.join(state, "_CURRENT.tmp"), "w") as f:
+        f.write("v0\n")
+    os.replace(os.path.join(state, "_CURRENT.tmp"), os.path.join(state, "_CURRENT"))
+    # and plant an incomplete (crashed-writer) dir older than everything
+    os.makedirs(os.path.join(state, "v9"))  # no _SUCCESS → not a snapshot
+
+    removed = sinks.vacuum_state(state, keep_last=1)
+    assert removed == [1, 2]  # v0 pinned by manifest, v3 in window
+    assert os.path.exists(os.path.join(state, "v0", "_SUCCESS"))
+    assert os.path.isdir(os.path.join(state, "v9"))
+    # pinned reader still resolves
+    assert sinks.read_state_version(spark, state).count() == 5
