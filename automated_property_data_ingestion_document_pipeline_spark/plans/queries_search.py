@@ -108,22 +108,26 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1=1.2, b=0.75) per repeated term: q_tfidf's one-scan plan
-    (tf grouped once, df/doc_len as unordered windows over the grouped
-    rows, corpus stats broadcast from one row) with the full
-    length-normalized saturation formula. idf stays pure-integer
-    (floor-log2); the saturation denominator is the same IEEE tree on
-    both engines, rounded at 6 defensively."""
+    """BM25 (k1=1.2, b=0.75) per repeated term. Unlike the oracle's
+    window formulation, doc_len is ROW-LOCAL (size of the token array
+    before the explode, ridden through the tf group keys — functionally
+    dependent on doc_id, so the key cardinality is unchanged) and the
+    corpus stats aggregate the un-exploded documents table; that drops
+    the doc_id window and the exploded-table corpus agg — 6 exchanges
+    → 4 (tf group, df window, single-row agg + its broadcast). idf stays
+    pure-integer (floor-log2); the saturation denominator is the same
+    IEEE tree on both engines, rounded at 6 defensively."""
     d = catalog.load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
-    t = d.select("doc_id", F.explode(toks).alias("tok"))
-    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    stats = tf.withColumn(
-        "df", F.count("*").over(Window.partitionBy("tok"))
-    ).withColumn("doc_len", F.sum("tf").over(Window.partitionBy("doc_id")))
-    corpus = t.agg(
-        F.count_distinct("doc_id").alias("n_docs"),
-        F.count("*").alias("total_toks"),
+    docs = d.select("doc_id", toks.alias("tk")).withColumn(
+        "doc_len", F.size("tk").cast("bigint")
+    ).filter(F.col("doc_len") > 0)
+    t = docs.select("doc_id", "doc_len", F.explode("tk").alias("tok"))
+    tf = t.groupBy("doc_id", "doc_len", "tok").agg(F.count("*").alias("tf"))
+    stats = tf.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+    corpus = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_len").alias("total_toks"),
     )
     log2 = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
     idf = (log2(F.col("n_docs")) - log2(F.col("df"))).cast("double")
@@ -190,6 +194,10 @@ def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = ce.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         ce.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
+    # The adjacency feeds one join PER HOP: materialize it once
+    # (MEMORY_AND_DISK spills gracefully when the edge list outgrows
+    # executor memory) instead of re-deriving distinct(orders) 3×.
+    und = und.persist()
     seeds = ce.filter(F.col("u") % 1000 == 0).select(F.col("u").alias("node")).distinct()
 
     reached = seeds.select("node", F.lit(0).alias("dist"))

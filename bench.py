@@ -84,6 +84,11 @@ HEADLINE = [
     "q_triangle_count",
     "q_geo_radius_join",
     "q_interval_coverage",
+    # round-4 wave 2: stats / time-series / retrieval heavies
+    "q_dup_spans",
+    "q_bm25",
+    "q_mad_outliers",
+    "q_corr_matrix",
 ]
 
 
