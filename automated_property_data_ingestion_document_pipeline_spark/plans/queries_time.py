@@ -522,3 +522,17 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessions.run_available_now(
         joined, "stream_purchase_views", output_mode="append"
     )
+
+
+@query("q_stream_dedup")  # rows-only: watermarked streaming dedup state
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming dropDuplicatesWithinWatermark run on
+    the event id (the A3 abort-stale/duplicate-discard surface, until
+    now exercised only by local tests): file source → watermark →
+    dedup-within-watermark → per-type counts → memory sink. State per
+    key is evicted once the watermark passes — the bounded-state dedup
+    you run in front of an at-least-once bus at 100 TB."""
+    stream = streaming_sessions.read_events_stream(spark, sf_dir)
+    deduped = streaming_sessions.dedup_within_watermark(stream.filter(F.col("ts").isNotNull()))
+    counts = deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return streaming_sessions.run_available_now(counts, "stream_dedup", output_mode="complete")

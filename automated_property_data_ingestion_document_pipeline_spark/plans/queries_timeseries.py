@@ -242,3 +242,71 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessions.run_available_now(
         result, "stream_ewma", output_mode="update"
     )
+
+
+# -- CUSUM drift detection ----------------------------------------------------
+
+_DRIFT_CENTS = 5000  # alarm when cumulative positive drift exceeds $50
+
+
+@query(
+    "q_cusum",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM ({_EV_CENTS})
+    ),
+    base AS (SELECT user_id, cents AS x1 FROM ev WHERE rn = 1),
+    last AS (SELECT user_id, MAX(rn) AS n_events FROM ev GROUP BY user_id),
+    r AS (
+        SELECT user_id, 1 AS rn, CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS m
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT ev.user_id, ev.rn,
+               GREATEST(CAST(0 AS BIGINT), r.s + ev.cents - b.x1),
+               GREATEST(r.m, GREATEST(CAST(0 AS BIGINT), r.s + ev.cents - b.x1))
+        FROM r
+        JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+        JOIN base b ON b.user_id = ev.user_id
+    )
+    SELECT r.user_id, last.n_events, r.s AS cusum_final, r.m AS cusum_max,
+           r.m > {_DRIFT_CENTS} AS drifted
+    FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.n_events
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per user: against the user's
+    first value as baseline, accumulate s_i = max(0, s_{i-1} + (x_i −
+    x_1)) and track its running max — the standard changepoint alarm
+    for 'this entity's metric has drifted up'. Pure-integer recurrence
+    (cents), so the JVM fold and the oracle's recursive CTE agree
+    exactly; same one-shuffle sorted-array shape as q_ewma. The struct
+    accumulator carries (s, max) through a single pass.
+    """
+    ev = _ev_cents(spark, sf_dir)
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "cents")))
+    g = ev.groupBy("user_id").agg(arr.alias("evs"))
+    folded = g.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.expr(
+            "aggregate("
+            "  slice(evs, 2, greatest(size(evs) - 1, 0)),"
+            "  named_struct('s', cast(0 as bigint), 'm', cast(0 as bigint)),"
+            "  (acc, e) -> named_struct("
+            "    's', greatest(cast(0 as bigint),"
+            "                  acc.s + e.cents - element_at(evs, 1).cents),"
+            "    'm', greatest(acc.m,"
+            "                  greatest(cast(0 as bigint),"
+            "                           acc.s + e.cents - element_at(evs, 1).cents)))"
+            ")"
+        ).alias("acc"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("acc.s").alias("cusum_final"),
+        F.col("acc.m").alias("cusum_max"),
+        (F.col("acc.m") > _DRIFT_CENTS).alias("drifted"),
+    )

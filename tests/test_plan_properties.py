@@ -268,3 +268,48 @@ def test_calendar_fill_no_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_calendar_fill")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stats_family_single_partial_agg_exchange(spark, sf_dir):
+    """Sufficient-statistics aggregates must be ONE partial-agg shuffle
+    (map-side combine), never a raw-row exchange."""
+    for key in ("q_regr_ols", "q_corr_matrix"):
+        plan = plan_of(spark, sf_dir, key)
+        assert plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange SinglePartition"
+        ) <= 1, key
+        assert "partial" in plan.lower(), key  # map-side combine present
+
+
+def test_mad_window_chain_rides_one_exchange(spark, sf_dir):
+    """Four windows, all partitioned by user_id → exactly one shuffle."""
+    plan = plan_of(spark, sf_dir, "q_mad_outliers")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_and_cusum_single_shuffle_no_python(spark, sf_dir):
+    """Sequential folds stay JVM-side (aggregate HOF): no Python/Arrow
+    eval nodes, one exchange for the groupBy."""
+    for key in ("q_ewma", "q_cusum"):
+        plan = plan_of(spark, sf_dir, key)
+        assert plan.count("Exchange hashpartitioning") == 1, key
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, key
+
+
+def test_bm25_exchange_budget_and_rowlocal_doclen(spark, sf_dir):
+    """doc_len must ride the group keys, not a second window: ≤3 hash
+    exchanges (tf group, df window, single-row corpus agg)."""
+    plan = plan_of(spark, sf_dir, "q_bm25")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Broadcast" in plan  # corpus stats broadcast, not joined
+
+
+def test_dup_spans_exchange_budget(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_dup_spans")
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_khop_frontier_joins_never_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_khop")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
