@@ -86,3 +86,30 @@ def apply_changes(
             for c in value_cols
         ],
     )
+
+
+def delta_join(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: str | list[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view: given insert-only
+    deltas ΔA, ΔB on top of previously-joined A₀, B₀, the new result
+    rows are exactly
+
+        Δ(A ⋈ B) = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (the textbook delta-rule; Materialize/DBSP compute joins this way
+    continuously). The caller unions this onto the previously
+    materialized A₀ ⋈ B₀ — at 100 TB that turns an |A|×|B| recompute
+    into three joins whose cost tracks |Δ|, and the three delta joins
+    share one partitioning on the join key so AQE coalesces them into
+    a single stage pipeline.
+    """
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

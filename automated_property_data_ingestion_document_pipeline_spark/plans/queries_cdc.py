@@ -331,3 +331,44 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scans.unionAll(orphans)
+
+
+# -- incremental join-view maintenance ----------------------------------------
+
+
+@query(
+    "q_incremental_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_orderstatus
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join: both sides arrive in two
+    insert-only batches (split by key parity); the maintained view is
+    the initial join PLUS the delta-rule terms ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+    (operators/cdc.py delta_join). The oracle recomputes the join from
+    scratch — equality proves the delta algebra loses/duplicates
+    nothing, the contract that lets a 100 TB pipeline maintain join
+    views at |Δ| cost instead of |A|×|B| recompute (q_incremental_agg's
+    sibling for joins)."""
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "o_orderstatus",
+    )
+    c = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    a_old = o.filter(F.col("o_orderkey") % 2 == 0)
+    a_delta = o.filter(F.col("o_orderkey") % 2 != 0)
+    b_old = c.filter(F.col("custkey") % 2 == 0)
+    b_delta = c.filter(F.col("custkey") % 2 != 0)
+    base = a_old.join(b_old, "custkey")
+    view = base.unionByName(cdc.delta_join(a_old, a_delta, b_old, b_delta, "custkey"))
+    return view.select(
+        "o_orderkey",
+        F.col("custkey").alias("c_custkey"),
+        "c_name",
+        "o_orderstatus",
+    )

@@ -828,3 +828,58 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup_tf).alias("n_dup"),
         F.round(F.sum(dup_tf).cast("double") / F.sum("tf"), 6).alias("dup_frac"),
     )
+
+
+# -- BPE merge-candidate pair counts ------------------------------------------
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_RX}') AS pieces
+      FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(pieces)),
+                                   i -> {{'l': pieces[i], 'r': pieces[i + 1]}})) AS pr
+      FROM p WHERE len(pieces) >= 2)
+    SELECT pr.l AS left_piece, pr.r AS right_piece,
+           CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM pairs
+    GROUP BY pr.l, pr.r
+    ORDER BY n_pair DESC, left_piece, right_piece
+    LIMIT 50
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training iteration, distributed: count every
+    ADJACENT pre-token pair across the corpus and take the top merge
+    candidates (ties broken lexicographically for determinism). This is
+    the map-reduce core of tokenizer induction — at 100 TB each
+    iteration is exactly this one explode + partial-agg shuffle +
+    TakeOrdered, and successive merges re-run it on re-paired pieces.
+    Pairs are emitted as two columns (pieces may contain any
+    delimiter); the sequence(1, n-1) descending-for-short-docs footgun
+    is gated like q_dup_spans."""
+    d = catalog.load(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_RX), F.lit(0))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(pieces) - 1),
+        lambda i: F.struct(
+            F.element_at(pieces, i).alias("l"),
+            F.element_at(pieces, i + 1).alias("r"),
+        ),
+    )
+    pairs = F.when(F.size(pieces) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<l:string,r:string>>")
+    )
+    return (
+        d.select(F.explode(pairs).alias("pr"))
+        .groupBy(
+            F.col("pr.l").alias("left_piece"),
+            F.col("pr.r").alias("right_piece"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "left_piece", "right_piece")
+        .limit(50)
+    )

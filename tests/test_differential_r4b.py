@@ -307,3 +307,34 @@ def test_dup_spans_shingle_count_boundary(spark, n_toks):
         assert rows == []
     else:
         assert rows[0].n_shingles == n_toks - 7
+
+
+# -- delta join IVM -----------------------------------------------------------
+
+
+def test_delta_join_equals_full_recompute_on_random_splits(spark):
+    """Δ(A⋈B) algebra: for random insert-only splits of both sides, the
+    maintained view must equal the from-scratch join exactly
+    (multiset semantics — duplicates included)."""
+    from collections import Counter
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators.cdc import (
+        delta_join,
+    )
+
+    rng = random.Random(21)
+    a_rows = [(rng.randrange(0, 20), i) for i in range(200)]
+    b_rows = [(rng.randrange(0, 20), 1000 + i) for i in range(60)]
+    # duplicate join keys on both sides → fan-out; some keys one-sided
+    a = spark.createDataFrame(a_rows, "k long, av long")
+    b = spark.createDataFrame(b_rows, "k long, bv long")
+    a_old = a.filter(F.col("av") % 3 != 0)
+    a_delta = a.filter(F.col("av") % 3 == 0)
+    b_old = b.filter(F.col("bv") % 2 != 0)
+    b_delta = b.filter(F.col("bv") % 2 == 0)
+    view = a_old.join(b_old, "k").unionByName(
+        delta_join(a_old, a_delta, b_old, b_delta, "k")
+    )
+    got = Counter((r.k, r.av, r.bv) for r in view.collect())
+    want = Counter((r.k, r.av, r.bv) for r in a.join(b, "k").collect())
+    assert got == want
