@@ -38,6 +38,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_stats,
     queries_timeseries,
     queries_search,
+    queries_quality,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]
