@@ -378,3 +378,72 @@ def q_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand")
         .agg(F.sum("n").alias("n_parts"))
     )
+
+
+@query(
+    "q_item_similarity",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM baskets
+      GROUP BY l_partkey HAVING COUNT(*) >= 3
+    ), fb AS (
+      SELECT b.l_orderkey, b.l_partkey FROM baskets b
+      JOIN freq f ON b.l_partkey = f.l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS co_count
+      FROM fb a JOIN fb b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.co_count,
+           ROUND(p.co_count / (SQRT(CAST(fa.cnt AS DOUBLE)) * SQRT(CAST(fb2.cnt AS DOUBLE))), 6)
+               AS cosine
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.item_a
+    JOIN freq fb2 ON fb2.l_partkey = p.item_b
+    """,
+)
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over co-purchase baskets — the
+    classic collaborative-filtering neighborhood model (Amazon
+    item-to-item): cosine(a,b) = co(a,b)/√(n_a·n_b) on binary basket
+    vectors. Rides q_item_pairs' A-Priori pruning (only ≥3-support
+    items enter the self-join, co ≥ 2 emitted), then two BROADCAST
+    joins attach the item supports (the frequent-item table is tiny by
+    construction). sqrt is IEEE-exact so the scores hash-match."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+    )
+    fb = baskets.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    a = fb.select(F.col("l_orderkey"), F.col("l_partkey").alias("item_a"))
+    b = fb.select(F.col("l_orderkey"), F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("co_count"))
+        .filter(F.col("co_count") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    fb2 = freq.select(F.col("l_partkey").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb2), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co_count",
+            F.round(
+                F.col("co_count")
+                / (F.sqrt(F.col("cnt_a").cast("double")) * F.sqrt(F.col("cnt_b").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -310,3 +310,142 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acc.m").alias("cusum_max"),
         (F.col("acc.m") > _DRIFT_CENTS).alias("drifted"),
     )
+
+
+# -- time-weighted average (TWAP) ---------------------------------------------
+
+# Each observation holds until the next one, capped at 1 hour (stale
+# quotes don't extend forever — and the cap bounds cents×micros products
+# far inside int64).
+_HOLD_CAP_US = 3_600 * 1_000_000
+_TWAP_SRC = """
+    SELECT user_id, event_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+      AND value > -1e6 AND value < 1e6
+"""
+
+
+@query(
+    "q_twap",
+    oracle=f"""
+    WITH ev AS ({_TWAP_SRC}),
+    held AS (
+        SELECT user_id, cents,
+               LEAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts),
+                     {_HOLD_CAP_US}) AS dur_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(dur_us) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS held_us,
+           ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us), 6)
+               AS twap_cents
+    FROM held
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dur_us) > 0
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per user: each value holds from its
+    timestamp to the next observation (capped at 1 h), TWAP =
+    Σ(value·held)/Σ(held). The integral is EXACT integer arithmetic
+    (cents × capped micros stays far inside int64 under the ±1e6 value
+    domain), so partial-agg order can't drift the sum; the single
+    division is deterministic. One window + one aggregate, both
+    partitioned by user_id → one Exchange. Zero-duration runs (all
+    events simultaneous) drop out via the HAVING guard identically on
+    both engines."""
+    ev = catalog.load(spark, sf_dir, "events")
+    ev = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("value") > -1e6)
+            & (F.col("value") < 1e6)
+        ).select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    nxt_us = F.unix_micros(F.lead(F.col("ts")).over(w).cast("timestamp"))
+    held = ev.select(
+        "user_id",
+        "cents",
+        F.least(nxt_us - us, F.lit(_HOLD_CAP_US)).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count("dur_us").alias("n_intervals"),
+            F.sum("dur_us").alias("held_us"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us"),
+                6,
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("held_us") > 0)
+    )
+
+
+# -- OHLC bars ----------------------------------------------------------------
+
+
+@query(
+    "q_ohlc_bars",
+    oracle=f"""
+    WITH ev AS ({_EV_CENTS}),
+    ranked AS (
+        SELECT user_id, date_trunc('hour', ts) AS bar_hour, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM ev
+    )
+    SELECT user_id, bar_hour,
+           CAST(SUM(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(SUM(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM ranked
+    GROUP BY user_id, bar_hour
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlesticks per user: open/close elected by rank
+    position (first/last by (ts, event_id) — deterministic under
+    simultaneous ticks, where naive first_value windows are not),
+    high/low as plain MIN/MAX. Both ranking windows and the final
+    aggregate share the (user, hour) partitioning → one Exchange. The
+    standard market-data / telemetry downsample, exact in integer
+    cents."""
+    ev = _ev_cents(spark, sf_dir)
+    ev = ev.withColumn("bar_hour", F.date_trunc("hour", "ts"))
+    by_bar = Window.partitionBy("user_id", "bar_hour")
+    ranked = ev.select(
+        "user_id",
+        "bar_hour",
+        "cents",
+        F.row_number().over(by_bar.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(by_bar.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_d"),
+    )
+    return ranked.groupBy("user_id", "bar_hour").agg(
+        F.sum(F.when(F.col("rn_a") == 1, F.col("cents"))).cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.sum(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("bigint").alias("close_cents"),
+        F.count("*").alias("n_ticks"),
+    )
