@@ -108,18 +108,71 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_mad_outliers",
-    oracle=f"""
-    WITH ev AS ({_EV_CENTS}),
+def _mad_flagged(ev: DataFrame) -> DataFrame:
+    """The MAD window chain (rank → median margin-sum → deviation rank
+    → MAD margin-sum), carrying (user_id, event_id, ts, cents, med2,
+    dev2, mad4) — med2 = 2·median, dev2 = 2·|x−median|, mad4 = 4·MAD,
+    all exact integers. Shared by q_mad_outliers and the telemetry
+    scrub pipeline; all four windows partition by user_id so the chain
+    rides ONE Exchange."""
+    by_user = Window.partitionBy("user_id")
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.row_number().over(by_user.orderBy("cents", "event_id")).alias("rn"),
+        F.count("*").over(by_user).alias("n"),
+    )
+    med = ranked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("cents")).otherwise(0)).over(by_user)
+            + F.sum(F.when(F.col("rn") == hi, F.col("cents")).otherwise(0)).over(by_user)
+        ).alias("med2"),
+    )
+    dev = med.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+        F.row_number()
+        .over(by_user.orderBy(F.abs(2 * F.col("cents") - F.col("med2")), "event_id"))
+        .alias("dn"),
+        F.count("*").over(by_user).alias("n"),
+    )
+    return dev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        "med2",
+        "dev2",
+        (
+            F.sum(F.when(F.col("dn") == lo, F.col("dev2")).otherwise(0)).over(by_user)
+            + F.sum(F.when(F.col("dn") == hi, F.col("dev2")).otherwise(0)).over(by_user)
+        ).alias("mad4"),
+    )
+
+
+# The MAD CTE chain (DuckDB twin of _mad_flagged); expects an `ev` CTE
+# with (user_id, event_id, ts, cents) in scope.
+_MAD_SQL = """
     ranked AS (
-        SELECT user_id, event_id, cents,
+        SELECT user_id, event_id, ts, cents,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY user_id) AS n
         FROM ev
     ),
     med AS (
-        SELECT user_id, event_id, cents,
+        SELECT user_id, event_id, ts, cents,
                SUM(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
                    OVER (PARTITION BY user_id)
              + SUM(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END)
@@ -127,7 +180,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     ),
     dev AS (
-        SELECT user_id, event_id, cents, med2,
+        SELECT user_id, event_id, ts, cents, med2,
                ABS(2 * cents - med2) AS dev2,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ABS(2 * cents - med2), event_id) AS dn,
@@ -135,13 +188,21 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM med
     ),
     mad AS (
-        SELECT user_id, event_id, cents, med2, dev2,
+        SELECT user_id, event_id, ts, cents, med2, dev2,
                SUM(CASE WHEN dn = (n + 1) // 2 THEN dev2 ELSE 0 END)
                    OVER (PARTITION BY user_id)
              + SUM(CASE WHEN dn = n // 2 + 1 THEN dev2 ELSE 0 END)
                    OVER (PARTITION BY user_id) AS mad4
         FROM dev
     )
+"""
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH ev AS ({_EV_CENTS}),
+    {_MAD_SQL}
     SELECT user_id, event_id, cents,
            med2 / 2.0 AS median_cents,
            mad4 / 4.0 AS mad_cents
@@ -161,48 +222,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``2·dev2 > 3·mad4`` (med2 = 2·median, mad4 = 4·MAD — halves and
     quarters never materialize until the exact-binary output division).
     """
-    ev = _ev_cents(spark, sf_dir)
-    by_user = Window.partitionBy("user_id")
-    ranked = ev.select(
-        "user_id",
-        "event_id",
-        "cents",
-        F.row_number().over(by_user.orderBy("cents", "event_id")).alias("rn"),
-        F.count("*").over(by_user).alias("n"),
-    )
-    lo = F.expr("(n + 1) div 2")
-    hi = F.expr("n div 2 + 1")
-    med = ranked.select(
-        "user_id",
-        "event_id",
-        "cents",
-        (
-            F.sum(F.when(F.col("rn") == lo, F.col("cents")).otherwise(0)).over(by_user)
-            + F.sum(F.when(F.col("rn") == hi, F.col("cents")).otherwise(0)).over(by_user)
-        ).alias("med2"),
-    )
-    dev = med.select(
-        "user_id",
-        "event_id",
-        "cents",
-        "med2",
-        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
-        F.row_number()
-        .over(by_user.orderBy(F.abs(2 * F.col("cents") - F.col("med2")), "event_id"))
-        .alias("dn"),
-        F.count("*").over(by_user).alias("n"),
-    )
-    mad = dev.select(
-        "user_id",
-        "event_id",
-        "cents",
-        "med2",
-        "dev2",
-        (
-            F.sum(F.when(F.col("dn") == lo, F.col("dev2")).otherwise(0)).over(by_user)
-            + F.sum(F.when(F.col("dn") == hi, F.col("dev2")).otherwise(0)).over(by_user)
-        ).alias("mad4"),
-    )
+    mad = _mad_flagged(_ev_cents(spark, sf_dir))
     return mad.filter(2 * F.col("dev2") > 3 * F.col("mad4")).select(
         "user_id",
         "event_id",
@@ -448,4 +468,148 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("bigint").alias("low_cents"),
         F.sum(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("bigint").alias("close_cents"),
         F.count("*").alias("n_ticks"),
+    )
+
+# -- winsorization ------------------------------------------------------------
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH ev AS ({_EV_CENTS}),
+    ranked AS (
+        SELECT user_id, event_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM ev
+    ),
+    bounds AS (
+        SELECT user_id, event_id, cents,
+               CAST(SUM(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END)
+                    OVER (PARTITION BY user_id) AS BIGINT) AS lo_cents,
+               CAST(SUM(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END)
+                    OVER (PARTITION BY user_id) AS BIGINT) AS hi_cents
+        FROM ranked
+    )
+    SELECT user_id, event_id, cents,
+           LEAST(GREATEST(cents, lo_cents), hi_cents) AS cents_wins,
+           lo_cents, hi_cents
+    FROM bounds
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5/95 winsorization — the ML-preprocessing clip that
+    tames heavy tails without dropping rows. Percentiles are
+    nearest-rank POSITIONAL (rank ⌈p·n⌉ elected by a margin-sum over
+    the rank window — integer-exact, no interpolation to disagree on),
+    then a pure LEAST/GREATEST clip. Rank window + margin window share
+    the user_id partitioning: one Exchange."""
+    ev = _ev_cents(spark, sf_dir)
+    by_user = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.row_number().over(by_user.orderBy("cents", "event_id")).alias("rn"),
+        F.count("*").over(by_user).alias("n"),
+    )
+    lo_k = F.expr("(5 * n + 99) div 100")
+    hi_k = F.expr("(95 * n + 99) div 100")
+    bounds = ranked.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.sum(F.when(F.col("rn") == lo_k, F.col("cents"))).over(by_user).alias("lo_cents"),
+        F.sum(F.when(F.col("rn") == hi_k, F.col("cents"))).over(by_user).alias("hi_cents"),
+    )
+    return bounds.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")).alias(
+            "cents_wins"
+        ),
+        "lo_cents",
+        "hi_cents",
+    )
+
+
+# -- composite: scrub → time-weighted aggregate -------------------------------
+
+
+@query(
+    "q_telemetry_pipeline",
+    oracle=f"""
+    WITH ev AS ({_EV_CENTS}),
+    {_MAD_SQL},
+    scrubbed AS (
+        SELECT user_id, event_id, ts, cents,
+               CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END AS is_outlier
+        FROM mad
+    ),
+    held AS (
+        SELECT user_id, cents,
+               LEAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts),
+                     {_HOLD_CAP_US}) AS dur_us
+        FROM scrubbed WHERE is_outlier = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    twap AS (
+        SELECT user_id,
+               CAST(SUM(dur_us) AS BIGINT) AS held_us,
+               ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us), 6)
+                   AS twap_cents
+        FROM held WHERE dur_us IS NOT NULL
+        GROUP BY user_id HAVING SUM(dur_us) > 0
+    ),
+    counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(is_outlier) AS BIGINT) AS n_outliers
+        FROM scrubbed GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_raw, c.n_outliers, t.held_us, t.twap_cents
+    FROM counts c JOIN twap t ON c.user_id = t.user_id
+    """,
+)
+def q_telemetry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite telemetry dataflow: MAD-scrub each user's series, then
+    compute the time-weighted average over the SURVIVING observations
+    (hold-until-next re-derived after the scrub — removing a spike also
+    removes its hold interval, which a naive pre-computed-duration join
+    would corrupt). Demonstrates cross-family composition: the
+    _mad_flagged window chain feeds the TWAP integral, counts ride the
+    same scan. Every stage is user_id-partitioned, so the whole
+    pipeline is Exchange-light and the 100 TB shape is the sum of its
+    pinned parts."""
+    mad = _mad_flagged(_ev_cents(spark, sf_dir)).withColumn(
+        "is_outlier",
+        F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0),
+    )
+    counts = mad.groupBy("user_id").agg(
+        F.count("*").alias("n_raw"),
+        F.sum("is_outlier").alias("n_outliers"),
+    )
+    clean = mad.filter(F.col("is_outlier") == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    nxt_us = F.unix_micros(F.lead(F.col("ts")).over(w).cast("timestamp"))
+    held = clean.select(
+        "user_id",
+        "cents",
+        F.least(nxt_us - us, F.lit(_HOLD_CAP_US)).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    twap = (
+        held.groupBy("user_id")
+        .agg(
+            F.sum("dur_us").alias("held_us"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us"),
+                6,
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("held_us") > 0)
+    )
+    return counts.join(twap, "user_id").select(
+        "user_id", "n_raw", "n_outliers", "held_us", "twap_cents"
     )
