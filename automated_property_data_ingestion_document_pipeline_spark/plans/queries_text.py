@@ -883,3 +883,95 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "left_piece", "right_piece")
         .limit(50)
     )
+
+
+# -- PMI collocations ---------------------------------------------------------
+
+
+@query(
+    "q_skipgram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL.format(col='text')} AS tk FROM documents),
+    pairs AS (
+      SELECT unnest(
+               list_concat(
+                 list_transform(range(1, greatest(len(tk), 1)),
+                                i -> {{'a': least(tk[i], tk[i+1]),
+                                       'b': greatest(tk[i], tk[i+1])}}),
+                 list_transform(range(1, greatest(len(tk) - 1, 1)),
+                                i -> {{'a': least(tk[i], tk[i+2]),
+                                       'b': greatest(tk[i], tk[i+2])}})
+               )) AS pr
+      FROM toks WHERE len(tk) >= 2),
+    pc AS (
+      SELECT pr.a AS tok_a, pr.b AS tok_b, CAST(COUNT(*) AS BIGINT) AS co
+      FROM pairs GROUP BY pr.a, pr.b HAVING COUNT(*) >= 5),
+    uni AS (
+      SELECT unnest(tk) AS tok FROM toks),
+    uc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM uni GROUP BY tok),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM uni) AS BIGINT) AS n_tok,
+             CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pair)
+    SELECT p.tok_a, p.tok_b, p.co,
+           ROUND((CAST(p.co AS DOUBLE) * t.n_tok * t.n_tok)
+                 / (CAST(t.n_pair AS DOUBLE) * ua.cnt * ub.cnt), 6) AS pmi_ratio
+    FROM pc p
+    JOIN uc ua ON ua.tok = p.tok_a
+    JOIN uc ub ON ub.tok = p.tok_b
+    CROSS JOIN tot t
+    """,
+)
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: skip-gram co-occurrence (forward window ±2,
+    canonical unordered pairs) scored by the PMI ratio
+    p(a,b)/(p(a)p(b)) — >1 means the pair attracts. The word2vec /
+    phrase-detection counting core, distributed: pair explode →
+    partial-agg count (≥5 support), unigram counts joined on the token
+    keys, corpus totals broadcast from one row. The ratio is computed
+    in a fixed double tree (numerators cast before multiply — int64
+    would overflow at sf ≥ 1), rounded at 6."""
+    d = catalog.load(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+
+    def skip_pairs(dist: int):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(tk) - dist),
+            lambda i: F.struct(
+                F.least(
+                    F.element_at(tk, i), F.element_at(tk, i + dist)
+                ).alias("a"),
+                F.greatest(
+                    F.element_at(tk, i), F.element_at(tk, i + dist)
+                ).alias("b"),
+            ),
+        )
+        return F.when(F.size(tk) >= dist + 1, pairs).otherwise(
+            F.array().cast("array<struct<a:string,b:string>>")
+        )
+
+    pairs = d.select(
+        F.explode(F.concat(skip_pairs(1), skip_pairs(2))).alias("pr")
+    )
+    pc = (
+        pairs.groupBy(F.col("pr.a").alias("tok_a"), F.col("pr.b").alias("tok_b"))
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    uni = d.select(F.explode(tk).alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = uni.agg(F.count("*").alias("n_tok")).crossJoin(
+        pairs.agg(F.count("*").alias("n_pair"))
+    )
+    ua = uc.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+    ub = uc.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    ratio = (
+        F.col("co").cast("double") * F.col("n_tok") * F.col("n_tok")
+    ) / (F.col("n_pair").cast("double") * F.col("cnt_a") * F.col("cnt_b"))
+    return (
+        pc.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .join(F.broadcast(tot))
+        .select("tok_a", "tok_b", "co", F.round(ratio, 6).alias("pmi_ratio"))
+    )
