@@ -105,13 +105,20 @@ def paragraph_dedup(
 
     Per-doc state (span list) is bounded by document length, not corpus
     size."""
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array before the HOF: a lambda body that
+    # references the raw split(text) expression re-evaluates the split
+    # per span — O(len²/window) per doc (the expression-blowup class,
+    # PERFORMANCE.md §39).
+    toked = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     n_spans = F.ceil(F.size(toks) / F.lit(float(window_tokens))).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - F.lit(1)),
         lambda g: F.array_join(F.slice(toks, g * window_tokens + 1, window_tokens), " "),
     )
-    exploded = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    exploded = toked.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
     first = exploded.groupBy("span").agg(
         F.min(F.struct(id_col, "pos")).alias("_first")
     )

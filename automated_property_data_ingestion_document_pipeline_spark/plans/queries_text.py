@@ -807,7 +807,13 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = catalog.load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    tk = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    # Materialize the token array once — a HOF lambda over the raw
+    # filter(split(text)) expression re-evaluates it per element
+    # (O(len²) per doc; same fix as q_skipgram_pmi).
+    toks_df = d.select(
+        "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("tk")
+    )
+    tk = F.col("tk")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(tk) - 7),
         lambda i: F.array_join(F.slice(tk, i, 8), " "),
@@ -817,7 +823,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = F.when(F.size(tk) >= 8, shingles).otherwise(
         F.array().cast("array<string>")
     )
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sh = toks_df.select("doc_id", F.explode(shingles).alias("shingle"))
     grouped = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
     flagged = grouped.withColumn(
         "n_docs_with", F.count("*").over(Window.partitionBy("shingle"))
@@ -862,7 +868,12 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     delimiter); the sequence(1, n-1) descending-for-short-docs footgun
     is gated like q_dup_spans."""
     d = catalog.load(spark, sf_dir, "documents")
-    pieces = F.regexp_extract_all("text", F.lit(_BPE_RX), F.lit(0))
+    # Materialize the regex pieces once (per-element re-extraction is
+    # O(len²) per doc — the HOF expression-blowup).
+    pieces_df = d.select(
+        F.regexp_extract_all("text", F.lit(_BPE_RX), F.lit(0)).alias("pieces")
+    )
+    pieces = F.col("pieces")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(pieces) - 1),
         lambda i: F.struct(
@@ -874,7 +885,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array().cast("array<struct<l:string,r:string>>")
     )
     return (
-        d.select(F.explode(pairs).alias("pr"))
+        pieces_df.select(F.explode(pairs).alias("pr"))
         .groupBy(
             F.col("pr.l").alias("left_piece"),
             F.col("pr.r").alias("right_piece"),
@@ -933,7 +944,14 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a fixed double tree (numerators cast before multiply — int64
     would overflow at sf ≥ 1), rounded at 6."""
     d = catalog.load(spark, sf_dir, "documents")
-    tk = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    # Materialize the token array ONCE: HOF lambdas that reference the
+    # raw filter(split(text)) expression re-evaluate it per element —
+    # O(len²) per doc (the classic expression-blowup; 19.5 s → ~3 s at
+    # sf0.1 from this select alone).
+    toks_df = d.select(
+        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("tk")
+    )
+    tk = F.col("tk")
 
     def skip_pairs(dist: int):
         pairs = F.transform(
@@ -951,7 +969,7 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<struct<a:string,b:string>>")
         )
 
-    pairs = d.select(
+    pairs = toks_df.select(
         F.explode(F.concat(skip_pairs(1), skip_pairs(2))).alias("pr")
     )
     pc = (
@@ -959,7 +977,7 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("co"))
         .filter(F.col("co") >= 5)
     )
-    uni = d.select(F.explode(tk).alias("tok"))
+    uni = toks_df.select(F.explode(tk).alias("tok"))
     uc = uni.groupBy("tok").agg(F.count("*").alias("cnt"))
     tot = uni.agg(F.count("*").alias("n_tok")).crossJoin(
         pairs.agg(F.count("*").alias("n_pair"))
