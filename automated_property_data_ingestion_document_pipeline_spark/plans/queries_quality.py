@@ -261,3 +261,115 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_frac.alias("exp_frac"),
         F.round(obs_frac - exp_frac, 6).alias("deviation"),
     )
+
+
+@query(
+    "q_quota_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang, source
+    ),
+    scaled AS (
+      SELECT lang, source, n_docs,
+             SUM(n_docs) OVER () AS n_total,
+             ({_ALLOC_TOTAL} * n_docs) // SUM(n_docs) OVER () AS base,
+             ({_ALLOC_TOTAL} * n_docs) % SUM(n_docs) OVER () AS rem
+      FROM counts
+    ),
+    alloc AS (
+      SELECT lang, source,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang NULLS FIRST,
+                                                 source NULLS FIRST)
+                              <= {_ALLOC_TOTAL} - SUM(base) OVER () THEN 1 ELSE 0 END
+                 AS quota
+      FROM scaled
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.source, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN alloc a
+      ON r.lang IS NOT DISTINCT FROM a.lang
+     AND r.source IS NOT DISTINCT FROM a.source
+    WHERE r.rk <= a.quota
+    """,
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proportional corpus sampling: Hamilton quotas per
+    (lang, source) stratum (q_largest_remainder's algebra) drive a
+    deterministic hash-ordered take of exactly that many docs from each
+    stratum — Σ|sample| == budget EXACTLY whenever the population covers
+    the budget (a stratum smaller than its quota yields all its docs),
+    reproducible on any cluster (md5 order is data-derived, not
+    partition-derived). The quota table
+    is strata-sized and broadcast; the per-stratum rank is one window
+    on the (lang, source) key. Null-safe stratum join (strata keys can
+    be NULL — the edge-corpus lesson from q_largest_remainder)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    everything = Window.partitionBy()
+    n_total = F.sum("n_docs").over(everything)
+    scaled = counts.select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.lit(_ALLOC_TOTAL) * F.col("n_docs")).alias("_scaled"),
+        n_total.alias("n_total"),
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr("_scaled div n_total").alias("base"),
+        (F.col("_scaled") % F.col("n_total")).alias("rem"),
+    )
+    alloc = scaled.select(
+        "lang",
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(
+                    Window.orderBy(
+                        F.desc("rem"),
+                        F.asc_nulls_first("lang"),
+                        F.asc_nulls_first("source"),
+                    )
+                )
+                <= F.lit(_ALLOC_TOTAL) - F.sum("base").over(everything),
+                1,
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang", "source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(alloc),
+            [
+                ranked["lang"].eqNullSafe(alloc["lang"]),
+                ranked["source"].eqNullSafe(alloc["source"]),
+            ],
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            ranked["lang"].alias("lang"),
+            ranked["source"].alias("source"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

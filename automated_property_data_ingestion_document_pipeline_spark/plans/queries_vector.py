@@ -212,3 +212,54 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(e, "label", 0.3).select(
         "vec_id", F.col("label").cast("int").alias("label")
     )
+
+
+# -- per-cluster centroids (k-means M-step) -----------------------------------
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id % 8 AS cluster_id,
+             unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> CAST(ROUND(x * 1000000) AS BIGINT))) AS qv,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings
+    )
+    SELECT cluster_id, CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(qv) AS DOUBLE) / (1000000.0 * COUNT(*)) AS centroid
+    FROM q
+    GROUP BY cluster_id, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding centroids — the k-means M-step as a
+    distributed aggregate. Float element sums are partition-order
+    dependent, so elements are quantized to exact 1e-6 integers FIRST
+    (the q_quantize_embeddings contract), summed associatively in
+    int64, and divided once — bit-reproducible on any partitioning,
+    which is what you need for the IVF codebook refresh at 100 TB.
+    The centroid is emitted UNROUNDED: both engines divide identical
+    integers so the doubles agree bitwise, while ROUND(x, 6) would
+    double-round differently within an ulp of a .5 boundary (observed
+    on 1 of 512 cells at sf0.01).
+    posexplode → one partial-agg shuffle on (cluster, dim); output is
+    k×dim rows."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.select(
+        (F.col("vec_id") % 8).alias("cluster_id"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1_000_000).cast("bigint"),
+            )
+        ).alias("pos", "qv"),
+    ).select("cluster_id", (F.col("pos") + 1).alias("dim"), "qv")
+    return q.groupBy("cluster_id", F.col("dim").cast("int").alias("dim")).agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.sum("qv").cast("double") / (F.lit(1_000_000.0) * F.count("*"))
+        ).alias("centroid"),
+    )

@@ -89,6 +89,8 @@ HEADLINE = [
     "q_bm25",
     "q_mad_outliers",
     "q_corr_matrix",
+    "q_skipgram_pmi",
+    "q_telemetry_pipeline",
 ]
 
 
