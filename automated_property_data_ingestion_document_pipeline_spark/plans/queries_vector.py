@@ -263,3 +263,107 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qv").cast("double") / (F.lit(1_000_000.0) * F.count("*"))
         ).alias("centroid"),
     )
+
+
+# -- one full k-means iteration (E-step over quantized centroids) -------------
+
+
+@query(
+    "q_kmeans_step",
+    oracle="""
+    WITH qe AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT cluster_id, dim, CAST(ROUND(CAST(SUM(qvd) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+      FROM (
+        SELECT vec_id % 8 AS cluster_id,
+               unnest(qv) AS qvd,
+               unnest(range(1, len(qv) + 1)) AS dim
+        FROM qe
+      ) GROUP BY cluster_id, dim
+    ),
+    carr AS (
+      SELECT cluster_id, list(cd ORDER BY dim) AS cv FROM cent GROUP BY cluster_id
+    ),
+    dists AS (
+      SELECT q.vec_id, c.cluster_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+                                     i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                 AS d2
+      FROM qe q CROSS JOIN carr c
+    ),
+    assigned AS (
+      SELECT vec_id, cluster_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk
+      FROM dists
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM assigned WHERE rk = 1
+    GROUP BY cluster_id
+    """,
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration, exactly: M-step centroids from the
+    seed partition (vec_id % 8), quantized to integer 1e-6 units, then
+    the E-step reassigns every vector to its nearest centroid by EXACT
+    int64 squared distance (ties → lowest cluster id) and reports the
+    new cluster sizes + integer inertia. Everything after quantization
+    is associative integer arithmetic — the iteration is
+    bit-reproducible under any partitioning, which is how you make a
+    distributed k-means run auditable. Spark plan: centroid table is
+    8×64 — computed in one partial-agg shuffle, collapsed to arrays,
+    BROADCAST; the E-step is a broadcast nested-loop over k=8 rows per
+    vector with a JVM zip_with fold (no Python), then one
+    TakeOrdered-free ranking window on vec_id. Inertia sums exactly in
+    int64 (quantized units² × dims × rows ≪ 2^63)."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1_000_000).cast("bigint"),
+        ).alias("qv"),
+    )
+    cent = (
+        qe.select(
+            (F.col("vec_id") % 8).alias("cluster_id"),
+            F.posexplode("qv").alias("pos", "qvd"),
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.round(F.sum("qvd").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cd"),
+        )
+    )
+    carr = cent.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
+        ).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dists = qe.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "cluster_id", d2.alias("d2")
+    )
+    from pyspark.sql import Window
+
+    assigned = dists.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+        ),
+    ).filter(F.col("rk") == 1)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.sum("d2").alias("inertia"),
+    )

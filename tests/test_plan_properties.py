@@ -313,3 +313,41 @@ def test_khop_frontier_joins_never_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_khop")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quota_sample_broadcasts_quota_table(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_quota_sample")
+    assert "Broadcast" in plan  # strata-sized quota side never shuffles docs twice
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_step_broadcasts_centroids(spark, sf_dir):
+    """The E-step must be a broadcast over the k-row centroid table —
+    a shuffled join here would move the corpus once per iteration."""
+    plan = plan_of(spark, sf_dir, "q_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroids_single_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_embedding_centroids")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+
+
+def test_twap_and_ohlc_single_exchange(spark, sf_dir):
+    for key in ("q_twap", "q_ohlc_bars"):
+        plan = plan_of(spark, sf_dir, key)
+        assert plan.count("Exchange hashpartitioning") == 1, key
+
+
+def test_pmi_explode_consumes_bound_token_column(spark, sf_dir):
+    """The HOF-blowup guard (PERFORMANCE.md §39): the pair-building
+    lambdas must close over the materialized token column `tk`, not the
+    raw filter(split(text)) expression — visible in the plan as
+    element_at(lambda …, tk#N) references rather than inlined
+    element_at(filter(split(...)))."""
+    plan = plan_of(spark, sf_dir, "q_skipgram_pmi")
+    assert "CartesianProduct" not in plan
+    assert "element_at(tk#" in plan
+    assert "element_at(filter(split" not in plan
