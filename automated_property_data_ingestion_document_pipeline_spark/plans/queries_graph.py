@@ -87,3 +87,76 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering by degree) are pinned in tests/test_cdc_graph.py."""
     ranks = graph.pagerank(_edges(spark, sf_dir), "a", "b")
     return ranks.select("node", F.round("rank", 4).alias("rank"))
+
+
+@query(
+    "q_link_prediction",
+    oracle=f"""
+    WITH ce AS ({_CANON_SQL}),
+    und AS (
+        SELECT u AS a, v AS b FROM ce
+        UNION ALL
+        SELECT v AS a, u AS b FROM ce
+    ),
+    deg AS (
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM und GROUP BY a
+    ),
+    mids AS (
+        SELECT node FROM deg WHERE degree <= 1000
+    ),
+    wedges AS (
+        SELECT e1.b AS mid, LEAST(e1.a, e2.b) AS u, GREATEST(e1.a, e2.b) AS v
+        FROM und e1
+        JOIN mids m ON m.node = e1.b
+        JOIN und e2 ON e2.a = e1.b AND e1.a < e2.b
+    ),
+    cn AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM wedges GROUP BY u, v
+    )
+    SELECT cn.u, cn.v, cn.common_neighbors
+    FROM cn
+    LEFT JOIN ce ON ce.u = cn.u AND ce.v = cn.v
+    WHERE ce.u IS NULL AND cn.common_neighbors >= 3
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction: NON-adjacent pairs sharing ≥3
+    neighbors — the baseline recommender score on the entity graph
+    (who should be connected but isn't). Wedge join through the middle
+    vertex with a degree cap (hub middles ≤1000 — a celebrity middle
+    contributes quadratic wedges and near-zero signal; the cap is the
+    standard scale valve and is part of the operator's CONTRACT, so
+    the oracle applies it identically). Then one anti join removes
+    existing edges. Same wedge machinery as triangle counting, open
+    instead of closed."""
+    e = _edges(spark, sf_dir)
+    ce = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    und = ce.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        ce.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
+    mids = deg.filter(F.col("degree") <= 1000).select("node")
+    e1 = und.join(F.broadcast(mids), und["b"] == mids["node"]).select(
+        F.col("a").alias("w_a"), F.col("b").alias("mid")
+    )
+    e2 = und.select(F.col("a").alias("mid2"), F.col("b").alias("w_b"))
+    wedges = (
+        e1.join(e2, e1["mid"] == e2["mid2"])
+        .filter(F.col("w_a") < F.col("w_b"))
+        .select(
+            F.least("w_a", "w_b").alias("u"),
+            F.greatest("w_a", "w_b").alias("v"),
+        )
+    )
+    cn = wedges.groupBy("u", "v").agg(F.count("*").alias("common_neighbors"))
+    return (
+        cn.join(ce, ["u", "v"], "left_anti")
+        .filter(F.col("common_neighbors") >= 3)
+        .select("u", "v", "common_neighbors")
+    )

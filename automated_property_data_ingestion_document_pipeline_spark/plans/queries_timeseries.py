@@ -613,3 +613,133 @@ def q_telemetry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(twap, "user_id").select(
         "user_id", "n_raw", "n_outliers", "held_us", "twap_cents"
     )
+
+# -- rolling regression slope -------------------------------------------------
+
+
+@query(
+    "q_rolling_slope",
+    oracle=f"""
+    WITH ev AS ({_EV_CENTS}),
+    seq AS (
+        SELECT user_id, event_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+        FROM ev
+    ),
+    roll AS (
+        SELECT user_id, event_id, cents, x,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx,
+               SUM(cents) OVER w AS sy,
+               SUM(x * cents) OVER w AS sxy,
+               SUM(x * x) OVER w AS sxx
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+               AS slope
+    FROM roll WHERE n >= 3
+    """,
+)
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend per user: the regression slope of value
+    against event index over the trailing 20 observations — the
+    windowed sibling of q_regr_ols and the standard drift/trend
+    feature. The four sufficient statistics ride ONE rows-frame window
+    each (O(1) per row via Spark's running frame), all exact integers;
+    the closed form divides identical doubles. Windows share the
+    user_id partitioning → one Exchange."""
+    ev = _ev_cents(spark, sf_dir)
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    roll = seq.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    slope = (n_d * F.col("sxy") - sx_d * F.col("sy")) / (
+        n_d * F.col("sxx") - sx_d * F.col("sx")
+    )
+    return roll.filter(F.col("n") >= 3).select(
+        "user_id",
+        "event_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+    )
+
+
+# -- seasonal residual --------------------------------------------------------
+
+
+@query(
+    "q_seasonal_residual",
+    oracle=f"""
+    WITH ev AS ({_EV_CENTS}),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM(cents) AS BIGINT) AS csum,
+               CAST(COUNT(*) AS BIGINT) AS cn
+        FROM ev GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT cur.user_id, cur.h,
+           CAST(cur.csum AS DOUBLE) / cur.cn AS cur_avg,
+           CAST(prev.csum AS DOUBLE) / prev.cn AS prev_avg,
+           CAST(cur.csum AS DOUBLE) / cur.cn
+             - CAST(prev.csum AS DOUBLE) / prev.cn AS residual
+    FROM hourly cur
+    JOIN hourly prev
+      ON prev.user_id = cur.user_id
+     AND prev.h = cur.h - INTERVAL 24 HOURS
+    """,
+)
+def q_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly signal: each user-hour's mean value minus
+    the SAME hour yesterday — the day-period baseline that flags
+    'unusual for 3 pm' instead of 'unusual overall'. Hourly means are
+    exact rationals (int sum / int count → identical doubles, emitted
+    unrounded per the §41 ROUND finding); the lag-by-time is a
+    self-join on the shifted hour key (co-partitioned on user_id —
+    never a windows-over-gaps hack that breaks on missing hours)."""
+    ev = _ev_cents(spark, sf_dir)
+    hourly = (
+        ev.withColumn("h", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "h")
+        .agg(F.sum("cents").alias("csum"), F.count("*").alias("cn"))
+    )
+    cur = hourly.select(
+        "user_id",
+        "h",
+        (F.col("csum").cast("double") / F.col("cn")).alias("cur_avg"),
+    )
+    prev = hourly.select(
+        "user_id",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        (F.col("csum").cast("double") / F.col("cn")).alias("prev_avg"),
+    )
+    return cur.join(prev, ["user_id", "h"]).select(
+        "user_id",
+        "h",
+        "cur_avg",
+        "prev_avg",
+        (F.col("cur_avg") - F.col("prev_avg")).alias("residual"),
+    )
