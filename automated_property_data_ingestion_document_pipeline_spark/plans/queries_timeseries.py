@@ -743,3 +743,131 @@ def q_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_avg",
         (F.col("cur_avg") - F.col("prev_avg")).alias("residual"),
     )
+
+# -- feature-store materialization --------------------------------------------
+
+
+@query(
+    "q_user_features",
+    oracle=f"""
+    WITH ev AS ({_EV_CENTS}),
+    {_MAD_SQL},
+    base AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM ev GROUP BY user_id
+    ),
+    gaps AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions
+        FROM gaps GROUP BY user_id
+    ),
+    outl AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM mad GROUP BY user_id
+    ),
+    held AS (
+        SELECT user_id, cents,
+               LEAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts),
+                     {_HOLD_CAP_US}) AS dur_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    twap AS (
+        SELECT user_id,
+               ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us), 6)
+                   AS twap_cents
+        FROM held WHERE dur_us IS NOT NULL
+        GROUP BY user_id HAVING SUM(dur_us) > 0
+    )
+    SELECT b.user_id, b.n_events, b.active_days,
+           CAST(b.sum_cents AS DOUBLE) / b.n_events AS mean_cents,
+           s.n_sessions, o.n_outliers, t.twap_cents
+    FROM base b
+    JOIN sess s ON s.user_id = b.user_id
+    JOIN outl o ON o.user_id = b.user_id
+    LEFT JOIN twap t ON t.user_id = b.user_id
+    """,
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: the per-entity feature matrix a
+    training pipeline snapshots daily — event volume, active days,
+    exact-rational mean, 30-min session count, robust outlier count,
+    and time-weighted average, assembled from this package's verified
+    fragments (sessionize gap rule, _mad_flagged, the TWAP integral).
+    Every branch aggregates on user_id, so the joins are co-partitioned
+    — AQE reuses one Exchange partitioning across the whole assembly;
+    TWAP left-joins (single-event users have no hold interval, feature
+    stays NULL rather than fabricated)."""
+    ev = _ev_cents(spark, sf_dir)
+    base = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.to_date("ts")).alias("active_days"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts")).over(w).cast("timestamp")
+    )
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us >= 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"))
+    )
+    outl = (
+        _mad_flagged(ev)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    nxt_us = F.unix_micros(F.lead(F.col("ts")).over(w).cast("timestamp"))
+    cur_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    held = ev.select(
+        "user_id",
+        "cents",
+        F.least(nxt_us - cur_us, F.lit(_HOLD_CAP_US)).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    twap = (
+        held.groupBy("user_id")
+        .agg(
+            F.sum("dur_us").alias("_held"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us"),
+                6,
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("_held") > 0)
+        .select("user_id", "twap_cents")
+    )
+    return (
+        base.join(sess, "user_id")
+        .join(outl, "user_id")
+        .join(twap, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "active_days",
+            (F.col("sum_cents").cast("double") / F.col("n_events")).alias("mean_cents"),
+            "n_sessions",
+            "n_outliers",
+            "twap_cents",
+        )
+    )
