@@ -103,3 +103,59 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     _projection(spark, sf_dir).write.orc(out)
     return spark.read.orc(out)
+
+
+# -- denormalized nested serving table ----------------------------------------
+
+
+@query(
+    "q_denormalize_roundtrip",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+           CAST(COALESCE(SUM(COALESCE(TRY_CAST(FLOOR(l.l_quantity) AS BIGINT), 0)), 0)
+                AS BIGINT) AS qty_sum,
+           CAST(MIN(l.l_linenumber) AS INTEGER) AS first_line
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_denormalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denormalize-for-serving pattern: collapse each order's line
+    items into a SORTED array-of-structs column (the nested-parquet
+    document shape row stores serve from), then compute the per-order
+    metrics FROM THE NESTED FORM via JVM array HOFs — no re-explode.
+    The oracle computes the same metrics from the flat join, so
+    agreement proves the nesting lost nothing (orders with zero items
+    keep an empty array, not a dropped row). One shuffle to group line
+    items + one co-partitioned left join."""
+    o = catalog.load(spark, sf_dir, "orders").select("o_orderkey")
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(
+            F.expr("try_cast(floor(l_quantity) as bigint)"), F.lit(0)
+        ).alias("qty"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "qty"))
+        ).alias("items")
+    )
+    doc = o.join(
+        nested, o["o_orderkey"] == nested["l_orderkey"], "left"
+    ).select(
+        "o_orderkey",
+        F.coalesce("items", F.array().cast("array<struct<l_linenumber:int,qty:bigint>>")).alias(
+            "items"
+        ),
+    )
+    return doc.select(
+        "o_orderkey",
+        F.size("items").cast("bigint").alias("n_items"),
+        F.aggregate(
+            "items", F.lit(0).cast("bigint"), lambda acc, it: acc + it["qty"]
+        ).alias("qty_sum"),
+        F.try_element_at("items", F.lit(1))["l_linenumber"].alias("first_line"),
+    )

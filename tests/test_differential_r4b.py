@@ -338,3 +338,112 @@ def test_delta_join_equals_full_recompute_on_random_splits(spark):
     got = Counter((r.k, r.av, r.bv) for r in view.collect())
     want = Counter((r.k, r.av, r.bv) for r in a.join(b, "k").collect())
     assert got == want
+
+
+# -- rolling slope ------------------------------------------------------------
+
+
+def test_rolling_slope_matches_python_model(spark):
+    rng = random.Random(31)
+    rows = []
+    for uid in range(4):
+        for i in range(rng.randrange(3, 60)):
+            rows.append((uid, i, i, rng.randrange(-500, 500)))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts long, cents long")
+
+    by_user = {}
+    for uid, eid, _, c in rows:
+        by_user.setdefault(uid, []).append(c)
+    expect = {}
+    for uid, ys in by_user.items():
+        for i in range(len(ys)):
+            w = ys[max(0, i - 19) : i + 1]
+            xs = list(range(max(0, i - 19) + 1, i + 2))  # 1-based index
+            n = len(w)
+            if n < 3:
+                continue
+            sx, sy = sum(xs), sum(w)
+            sxy = sum(a * b for a, b in zip(xs, w))
+            sxx = sum(a * a for a in xs)
+            expect[(uid, i)] = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+
+    from pyspark.sql import Window
+
+    seq = df.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("x").rowsBetween(-19, Window.currentRow)
+    roll = seq.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    ).filter(F.col("n") >= 3)
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    got = {
+        (r.user_id, r.event_id): r.slope
+        for r in roll.select(
+            "user_id",
+            "event_id",
+            F.round(
+                (n_d * F.col("sxy") - sx_d * F.col("sy"))
+                / (n_d * F.col("sxx") - sx_d * F.col("sx")),
+                6,
+            ).alias("slope"),
+        ).collect()
+    }
+    assert got == expect
+
+
+# -- link prediction ----------------------------------------------------------
+
+
+def test_link_prediction_matches_brute_force(spark):
+    rng = random.Random(55)
+    edges = set()
+    for _ in range(250):
+        a, b = rng.randrange(0, 60), rng.randrange(0, 60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in edges:
+                continue
+            cn = len(adj[u] & adj[v])
+            if cn >= 3:
+                expect[(u, v)] = cn
+
+    ce = spark.createDataFrame(sorted(edges), "u long, v long")
+    und = ce.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        ce.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    e1 = und.select(F.col("a").alias("w_a"), F.col("b").alias("mid"))
+    e2 = und.select(F.col("a").alias("mid2"), F.col("b").alias("w_b"))
+    wedges = (
+        e1.join(e2, e1["mid"] == e2["mid2"])
+        .filter(F.col("w_a") < F.col("w_b"))
+        .select(F.col("w_a").alias("u"), F.col("w_b").alias("v"))
+    )
+    cn_df = wedges.groupBy("u", "v").agg(F.count("*").alias("cn"))
+    got = {
+        (r.u, r.v): r.cn
+        for r in cn_df.join(ce, ["u", "v"], "left_anti")
+        .filter(F.col("cn") >= 3)
+        .collect()
+    }
+    assert got == expect
