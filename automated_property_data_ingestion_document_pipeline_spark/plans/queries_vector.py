@@ -367,3 +367,82 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assigned"),
         F.sum("d2").alias("inertia"),
     )
+
+
+@query("q_kmeans_converged")  # rows-only: iterative (driver loop, exact ints)
+def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's algorithm run to convergence (≤6 iterations): alternate
+    the exact-integer E/M steps of q_kmeans_step until no vector
+    changes cluster. Per iteration: one partial-agg shuffle for the
+    centroid refresh (k×dim rows collected — the bounded-codebook
+    pattern) + one broadcast E-step over the corpus; lineage is cut
+    per round with localCheckpoint like connected components. Output:
+    one row per cluster with final size + integer inertia, plus the
+    iteration count and converged flag as data — the invariants
+    (inertia monotone nonincreasing, sizes sum to |corpus|) are pinned
+    by tests/test_differential_r4b.py."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1_000_000).cast("bigint"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+
+    assign = qe.select("vec_id", (F.col("vec_id") % 8).alias("cluster_id"))
+    iters = 0
+    converged = False
+    for _ in range(6):
+        iters += 1
+        cent = (
+            qe.join(assign, "vec_id")
+            .select("cluster_id", F.posexplode("qv").alias("pos", "qvd"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.round(F.sum("qvd").cast("double") / F.count("*"))
+                .cast("bigint")
+                .alias("cd")
+            )
+        )
+        carr = cent.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cd"))),
+                lambda s: s["cd"],
+            ).alias("cv")
+        )
+        d2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        from pyspark.sql import Window
+
+        scored = (
+            qe.crossJoin(F.broadcast(carr))
+            .select("vec_id", F.col("cluster_id").alias("new_cluster"), d2.alias("d2"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("d2", "new_cluster")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "new_cluster", "d2")
+            .localCheckpoint(eager=False)
+        )
+        moved = (
+            scored.join(assign, "vec_id")
+            .filter(F.col("new_cluster") != F.col("cluster_id"))
+            .count()
+        )
+        assign = scored.select("vec_id", F.col("new_cluster").alias("cluster_id"))
+        if moved == 0:
+            converged = True
+            break
+    return (
+        scored.groupBy(F.col("new_cluster").alias("cluster_id"))
+        .agg(F.count("*").alias("n_assigned"), F.sum("d2").alias("inertia"))
+        .withColumn("n_iterations", F.lit(iters))
+        .withColumn("converged", F.lit(converged))
+    )

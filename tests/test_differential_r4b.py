@@ -447,3 +447,22 @@ def test_link_prediction_matches_brute_force(spark):
         .collect()
     }
     assert got == expect
+
+
+# -- k-means convergence invariants -------------------------------------------
+
+
+def test_kmeans_converged_invariants(spark):
+    """Lloyd invariants on the real corpus: sizes partition the vector
+    set, inertia of the converged run ≤ inertia of the single step
+    (monotone improvement), and the iteration count is honest."""
+    step = {r.cluster_id: r for r in QUERIES["q_kmeans_step"](spark, SF_DIR).collect()}
+    conv = QUERIES["q_kmeans_converged"](spark, SF_DIR).collect()
+    n_vecs = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    )
+    assert sum(r.n_assigned for r in conv) == n_vecs
+    assert sum(r.n_assigned for r in step.values()) == n_vecs
+    assert sum(r.inertia for r in conv) <= sum(r.inertia for r in step.values())
+    iters = {r.n_iterations for r in conv}
+    assert len(iters) == 1 and 1 <= iters.pop() <= 6
