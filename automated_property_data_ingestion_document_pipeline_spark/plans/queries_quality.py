@@ -373,3 +373,47 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH quasi AS (
+      SELECT lang, source,
+             CAST(n_chars // 1000 AS BIGINT) AS size_band,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM documents
+      WHERE n_chars IS NOT NULL
+      GROUP BY lang, source, n_chars // 1000
+    )
+    SELECT lang, source, size_band, group_size,
+           group_size < {_K_ANON} AS violates_k
+    FROM quasi
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, size band): any equivalence class smaller than k=5
+    is a re-identification risk — the privacy screen a training-data
+    release pipeline runs before publishing metadata. One partial-agg
+    shuffle on the quasi-id key; the flag is an integer comparison.
+    Emits every class with its size so downstream can suppress or
+    generalize the violating ones (the two standard remediations)."""
+    d = catalog.load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    quasi = d.groupBy(
+        "lang",
+        "source",
+        F.expr("n_chars div 1000").alias("size_band"),
+    ).agg(F.count("*").alias("group_size"))
+    return quasi.select(
+        "lang",
+        "source",
+        F.col("size_band").cast("bigint").alias("size_band"),
+        "group_size",
+        (F.col("group_size") < _K_ANON).alias("violates_k"),
+    )

@@ -993,3 +993,63 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select("tok_a", "tok_b", "co", F.round(ratio, 6).alias("pmi_ratio"))
     )
+
+
+# -- readability --------------------------------------------------------------
+
+
+@query(
+    "q_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL.format(col='text')}) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+                 AS sentences,
+             CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+                 AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CAST('206.835' AS DOUBLE)
+             - CAST('1.015' AS DOUBLE) * (CAST(words AS DOUBLE) / sentences)
+             - CAST('84.6' AS DOUBLE) * (CAST(syllables AS DOUBLE) / words)
+               AS flesch
+    FROM m WHERE words > 0
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three row-local regex
+    counts (words, sentence terminators, vowel-group syllable
+    estimate) — the curation signal for 'too simple / too dense'
+    quality bands. No shuffle at all: scan → project → filter. The
+    formula's constants parse via string→double casts (the DECIMAL
+    literal lesson) and the score is emitted unrounded — identical
+    operands on both engines (§41)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("sentences"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[aeiouyAEIOUY]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("syllables"),
+    )
+    return toked.filter(F.col("words") > 0).select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+        ).alias("flesch"),
+    )
