@@ -871,3 +871,68 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap_cents",
         )
     )
+
+# -- multi-touch attribution --------------------------------------------------
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    v AS (
+        SELECT user_id, event_id AS view_id, ts AS v_ts
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.user_id, v.view_id, v.v_ts
+        FROM p JOIN v
+          ON v.user_id = p.user_id
+         AND v.v_ts <= p.p_ts
+         AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(MAX(view_id) FILTER (WHERE v_ts = mx) AS BIGINT) AS last_touch_view,
+           1.0 / COUNT(*) AS linear_credit_each
+    FROM (SELECT *, MAX(v_ts) OVER (PARTITION BY purchase_id) AS mx FROM touches)
+    GROUP BY purchase_id, user_id
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: for every purchase, the views by the
+    same user in the preceding hour are its touches; emit the touch
+    count, the last-touch view (deterministic: max view_id among the
+    latest-timestamp touches), and the linear-model credit each touch
+    receives (1/n — exact dyadic-or-not, identical division both
+    engines). The time-bound join is the batch twin of the
+    stream-stream attribution join (q_stream_join): an equi-join on
+    user_id with the interval predicate riding it — never a cross
+    join; the per-purchase window runs on the already-joined touch
+    table."""
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    touches = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    mx = F.max("v_ts").over(Window.partitionBy("purchase_id"))
+    flagged = touches.withColumn("mx", mx)
+    return flagged.groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_touches"),
+        F.max(F.when(F.col("v_ts") == F.col("mx"), F.col("view_id")))
+        .cast("bigint")
+        .alias("last_touch_view"),
+        (F.lit(1.0) / F.count("*")).alias("linear_credit_each"),
+    )
