@@ -211,3 +211,57 @@ def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         reached = reached.unionAll(nxt)
         frontier = nxt
     return reached.groupBy("node").agg(F.min("dist").cast("bigint").alias("dist"))
+
+
+_QUERY_TERMS = ("data", "scan")  # the conjunctive search query
+
+
+@query(
+    "q_boolean_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL.format(col='text')}) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t WHERE tok IN ('{_QUERY_TERMS[0]}', '{_QUERY_TERMS[1]}')
+      GROUP BY doc_id, tok),
+    hits AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT) AS total_tf,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM tf GROUP BY doc_id
+      HAVING COUNT(*) = 2
+    )
+    SELECT h.doc_id, h.total_tf, d.n_chars
+    FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    ORDER BY h.total_tf DESC, h.doc_id
+    LIMIT 20
+    """,
+)
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval over the inverted-index shape: docs
+    containing EVERY query term, ranked by combined term frequency with
+    a deterministic id tiebreak, top-20. The term filter pushes into
+    the explode (only query-term postings survive the first aggregate —
+    at 100 TB this is the posting-list intersection, not a corpus
+    scan), the AND is ``COUNT(term) == |query|`` on the grouped rows,
+    and the join back to documents fetches display fields for the page
+    of results only."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    t = d.select("doc_id", F.explode(toks).alias("tok")).filter(
+        F.col("tok").isin(*_QUERY_TERMS)
+    )
+    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    hits = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("total_tf"), F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == len(_QUERY_TERMS))
+    )
+    return (
+        hits.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "total_tf", "n_chars")
+        .orderBy(F.desc("total_tf"), "doc_id")
+        .limit(20)
+    )
