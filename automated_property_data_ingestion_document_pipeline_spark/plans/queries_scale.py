@@ -360,3 +360,42 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("recall_at_5").alias("recall_at_5"),
     )
     return per_q.unionByName(overall)
+
+
+@query("q_sq8_recall")  # rows-only: measures our own approximation
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of SQ8 scalar-quantization ANN (1 byte/dim + exact
+    rerank of 4k candidates) against exact brute force over 50 queries
+    — the fourth point on the ANN curve beside LSH / IVF / PQ. One row
+    per query plus an OVERALL row (query_id = -1); the ≥ 0.9 gate is
+    enforced in tests/test_operators.py (SQ8 keeps per-dimension
+    resolution, so it must beat PQ's 0.8 gate)."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import similarity
+
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    approx = similarity.sq8_topk(e, q, k=5, rerank=4).select(
+        "query_id", F.col("neighbor_id").alias("n_approx")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (F.col("n_exact") == F.col("n_approx")),
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_true")).alias("recall_at_5"),
+        )
+    )
+    overall = per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.avg("recall_at_5").alias("recall_at_5"),
+    )
+    return per_q.unionByName(overall)

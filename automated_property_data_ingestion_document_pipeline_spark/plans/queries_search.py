@@ -265,3 +265,56 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_tf"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_phrase_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, tok, pos
+      FROM (
+        SELECT doc_id,
+               unnest({_TOKS_SQL.format(col='text')}) AS tok,
+               unnest(range(1, len({_TOKS_SQL.format(col='text')}) + 1)) AS pos
+        FROM documents)
+      WHERE tok IN ('{_QUERY_TERMS[0]}', '{_QUERY_TERMS[1]}')
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_phrase_hits,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM t a JOIN t b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = '{_QUERY_TERMS[0]}' AND b.tok = '{_QUERY_TERMS[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ("data scan" as ADJACENT tokens) over a
+    positional index: posexplode keeps token positions, the term filter
+    prunes the postings before any shuffle, and adjacency is an
+    equi-join on (doc, pos+1) — the positional-index intersection every
+    phrase query compiles to. Documents that match both terms but never
+    adjacently (q_boolean_search hits) drop out here."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("tk")
+    )
+    t = (
+        toked.select("doc_id", F.posexplode("tk").alias("pos0", "tok"))
+        .filter(F.col("tok").isin(*_QUERY_TERMS))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    a = t.filter(F.col("tok") == _QUERY_TERMS[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = t.filter(F.col("tok") == _QUERY_TERMS[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    hits = a.join(
+        b,
+        (F.col("doc_b") == F.col("doc_id")) & (F.col("pos_b") == F.col("pos_a") + 1),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_phrase_hits"),
+        F.min("pos_a").cast("bigint").alias("first_pos"),
+    )

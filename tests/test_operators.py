@@ -649,3 +649,14 @@ def test_sessionize_capped_state_survives_tiny_arrow_batches(spark):
     # 45s steps never hit the 60s gap; the 300s span splits every 7th
     # event (ceil(300/45)=7): session numbers must climb accordingly
     assert max(v for (u, e), v in big.items() if u == 0) == (999 % 500 * 45) // 315 + 1
+
+
+def test_sq8_recall_gate(spark, sf_dir):
+    """SQ8 keeps per-dimension resolution (unlike PQ's subspace
+    clustering), so its gate is stricter: overall recall@5 ≥ 0.9 with
+    the default 4k exact rerank. Measured 1.0 at sf0.01."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["q_sq8_recall"](spark, sf_dir).collect()
+    overall = [r for r in rows if r.query_id == -1][0]
+    assert overall["recall_at_5"] >= 0.9
