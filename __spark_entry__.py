@@ -122,6 +122,13 @@ _PRIORITY = [
     # highest-value rows-only keys, for rows/err driver visibility
     "q_neardup_clusters", "q_png_resize", "q_letter_sink_ref_template",
     "q_pq_recall", "q_ivf_recall", "q_lsh_recall",
+    # r04 session-2 keys (oracle-backed; head of next round's backlog)
+    "q_rfm_segments", "q_ab_test", "q_bigram_probs", "q_json_rescue",
+    "q_lag_features", "q_target_encode", "q_minmax_scale",
+    "q_shortest_path", "q_union_by_name", "q_profile_summary",
+    "q_auc_exact", "q_decile_lift", "q_threshold_metrics",
+    "q_equidepth_histogram", "q_stream_tumbling", "q_scd2_merge",
+    "q_string_agg",
 ]
 
 

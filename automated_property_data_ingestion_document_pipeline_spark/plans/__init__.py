@@ -39,6 +39,9 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_timeseries,
     queries_search,
     queries_quality,
+    queries_features,
+    queries_product,
+    queries_mleval,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

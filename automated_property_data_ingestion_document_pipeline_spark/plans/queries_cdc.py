@@ -372,3 +372,86 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "o_orderstatus",
     )
+
+
+@query(
+    "q_scd2_merge",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               '1990-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+               TRUE AS is_current
+        FROM customer
+        WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    ),
+    changes AS (
+        SELECT c_custkey, 'SEGMENT-' || CAST(c_custkey % 3 AS VARCHAR) AS new_seg
+        FROM customer
+        WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+          AND c_custkey % 7 = 0
+    ),
+    eff AS (  -- only real changes mutate history (idempotent no-op drop)
+        SELECT b.c_custkey, b.c_mktsegment AS old_seg, c.new_seg
+        FROM base b JOIN changes c ON b.c_custkey = c.c_custkey
+        WHERE b.c_mktsegment <> c.new_seg
+    )
+    SELECT b.c_custkey, b.c_mktsegment, b.valid_from,
+           CASE WHEN e.c_custkey IS NOT NULL THEN '1996-06-01' END AS valid_to,
+           e.c_custkey IS NULL AS is_current
+    FROM base b LEFT JOIN eff e ON b.c_custkey = e.c_custkey
+    UNION ALL
+    SELECT c_custkey, new_seg AS c_mktsegment, '1996-06-01' AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+    FROM eff
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 MERGE: apply a change batch to a slowly-changing
+    dimension — close the current version (valid_to = effective date,
+    is_current=false) and append the new open version, with NO-OP
+    changes (new value == current value) dropped so replaying the same
+    batch is idempotent. One broadcast-able join against the change
+    batch decides close-vs-keep; the appended versions are the same
+    joined rows re-projected — two scans of the dim, zero extra
+    shuffles beyond the join. The interval-derivation twin
+    (q_scd2_intervals) builds history FROM events; this key MAINTAINS
+    history under upserts — together they're the dimension-table
+    lifecycle. Reference: the parcel-detail overwrite
+    (propertyDataService upsert semantics) generalized to versioned
+    history."""
+    c = catalog.load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").alias("valid_from"),
+    )
+    changes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.lit("SEGMENT-"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "new_seg"
+        ),
+    )
+    eff = (
+        base.join(F.broadcast(changes), base["c_custkey"] == changes["k"])
+        .filter(F.col("c_mktsegment") != F.col("new_seg"))
+        .select("k", "new_seg")
+    )
+    closed_or_kept = base.join(
+        F.broadcast(eff), base["c_custkey"] == eff["k"], "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        F.when(F.col("k").isNotNull(), F.lit("1996-06-01")).alias("valid_to"),
+        F.col("k").isNull().alias("is_current"),
+    )
+    appended = eff.select(
+        F.col("k").alias("c_custkey"),
+        F.col("new_seg").alias("c_mktsegment"),
+        F.lit("1996-06-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_kept.unionByName(appended)

@@ -159,3 +159,34 @@ def q_denormalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_sum"),
         F.try_element_at("items", F.lit(1))["l_linenumber"].alias("first_line"),
     )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus, NULL AS o_orderpriority,
+           'fees' AS src
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderpriority, o_totalprice, 'pri' AS src,
+           NULL AS o_orderstatus
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union: two extracts of the same feed with
+    different column ORDER and SETS combine by column NAME
+    (``unionByName(allowMissingColumns=True)`` — the Spark twin of
+    DuckDB's ``UNION ALL BY NAME``), absent columns padded with NULL
+    rather than silently mis-zipped by position. This is the append
+    path every multi-vintage bronze table needs; positional UNION on
+    drifted schemas is the classic silent-corruption bug this operator
+    exists to prevent. Narrow op — no shuffle at all."""
+    o = catalog.load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", F.lit("fees").alias("src")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", F.lit("pri").alias("src")
+    )
+    return a.unionByName(b, allowMissingColumns=True)

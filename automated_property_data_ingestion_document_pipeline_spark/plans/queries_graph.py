@@ -160,3 +160,70 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("common_neighbors") >= 3)
         .select("u", "v", "common_neighbors")
     )
+
+
+_SP_MAX_HOPS = 3
+_SP_SEED_SQL = "SELECT DISTINCT u AS node FROM ce WHERE u % 1000 = 0"
+
+
+@query(
+    "q_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE ce AS ({_CANON_SQL}),
+    und AS (
+        SELECT u AS src, v AS dst, 1 + ((u + v) % 9) AS w FROM ce
+        UNION ALL
+        SELECT v AS src, u AS dst, 1 + ((u + v) % 9) AS w FROM ce
+    ),
+    seeds AS ({_SP_SEED_SQL}),
+    walk AS (
+        SELECT node, 0 AS cost, 0 AS hops FROM seeds
+        UNION ALL
+        SELECT und.dst AS node, walk.cost + und.w AS cost, walk.hops + 1 AS hops
+        FROM walk JOIN und ON und.src = walk.node
+        WHERE walk.hops < {_SP_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(cost) AS BIGINT) AS min_cost
+    FROM walk
+    GROUP BY node
+    """,
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest path (Bellman-Ford unrolled to
+    3 relaxation rounds) from the seed set, integer edge weights
+    1+((u+v)%9). The scale-critical step is the per-round MIN-fold:
+    best_h(v) = min(best_h-1(u) + w(u,v)) aggregates the frontier per
+    node BEFORE the next join, so the frontier stays O(|V|) instead of
+    enumerating O(degree^h) walks — the recursive-CTE oracle DOES
+    enumerate every walk and MIN-folds once at the end; agreement
+    proves the per-round fold loses nothing. Each round is one
+    equi-join + one partial-agg shuffle on the node key; the adjacency
+    persists across rounds exactly like q_khop."""
+    e = _edges(spark, sf_dir)
+    ce = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    wexpr = (F.lit(1) + (F.col("u") + F.col("v")) % 9).alias("w")
+    und = ce.select(F.col("u").alias("src"), F.col("v").alias("dst"), wexpr).unionAll(
+        ce.select(F.col("v").alias("src"), F.col("u").alias("dst"), wexpr)
+    )
+    und = und.persist()
+    seeds = ce.filter(F.col("u") % 1000 == 0).select(F.col("u").alias("node")).distinct()
+
+    best = seeds.select("node", F.lit(0).cast("bigint").alias("cost"))
+    frontier = best
+    for _ in range(_SP_MAX_HOPS):
+        relaxed = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).cast("bigint").alias("cost"),
+            )
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        best = best.unionAll(relaxed)
+        frontier = relaxed
+    return best.groupBy("node").agg(F.min("cost").cast("bigint").alias("min_cost"))

@@ -1,0 +1,350 @@
+"""Product-analytics composites: RFM segmentation, A/B significance,
+bigram language-model probabilities, and corrupt-JSON quarantine.
+
+These are the dataflows a product/growth team runs daily on the event
+stream (reference analogy: the engagement-fee dataflow of App.js §3,
+generalized to the population level). House exactness rules apply:
+integer sufficient statistics over associative sums, at most one fixed
+IEEE expression tree of double ops per output value, deterministic
+tiebreakers on every ranked surface.
+
+Scale shapes:
+- ``q_rfm_segments`` quantile-buckets the per-user aggregate table with
+  the range-repartition + broadcast-offset rank (operators/ranking.py)
+  — NO single-task NTILE window anywhere in the plan, unlike the
+  oracle's textbook formulation (the oracle is the semantics, not the
+  plan).
+- ``q_ab_test`` reduces 100 TB of events to ONE row of integer counts
+  before any floating point happens: two partial-agg shuffles, then a
+  fixed z-statistic tree on the driver-sized aggregate.
+- ``q_bigram_probs`` is the conditional-LM normalization: adjacent-pair
+  counts (one explode + one agg) with the per-prefix total as an
+  unordered window over the PAIR table (|vocab²| rows, not |corpus|).
+- ``q_json_rescue`` is the bronze-boundary quarantine pattern: parse
+  failures become rows in a dead-letter column instead of dropped
+  records or failed jobs — ``from_json`` returns a NULL struct exactly
+  when DuckDB's ``json_valid`` is false, and that equivalence is what
+  the oracle pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                              (SELECT CAST(MAX(ts) AS DATE) FROM events
+                               WHERE event_type = 'purchase' AND ts IS NOT NULL))
+                    AS BIGINT)                                AS recency_days,
+               COUNT(*)                                       AS freq,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+          AND value > -1e12 AND value < 1e12
+        GROUP BY user_id
+    )
+    SELECT user_id, recency_days, freq, cents,
+           NTILE(5) OVER (ORDER BY recency_days, user_id)     AS r_bucket,
+           NTILE(5) OVER (ORDER BY freq DESC, user_id)        AS f_bucket,
+           NTILE(5) OVER (ORDER BY cents DESC, user_id)       AS m_bucket
+    FROM p
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (days since last
+    purchase vs corpus end), frequency, and monetary cents, each
+    quantile-bucketed into quintiles with deterministic user_id
+    tiebreaks. Spark plan: one agg shuffle to the per-user table, then
+    THREE scalable rank passes (range-repartition + broadcast offsets
+    + exact integer NTILE arithmetic) — the oracle's three single-task
+    NTILE windows express the same semantics, but this plan keeps every
+    stage parallel at 100 TB because the ranked table is |users| and
+    each pass is a range exchange, not a 1-task sort."""
+    e = catalog.load(spark, sf_dir, "events")
+    p = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            # ±1e12 domain bound: keeps cents exact in int64 and rejects
+            # NaN/±Inf identically on both engines (queries_timeseries.py).
+            & (F.col("value") > -1e12)
+            & (F.col("value") < 1e12)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").cast("date").alias("_last_day"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"),
+        )
+    )
+    end_day = (
+        e.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .agg(F.max("ts").cast("date").alias("_end_day"))
+    )
+    p = p.join(F.broadcast(end_day)).select(
+        "user_id",
+        F.datediff("_end_day", "_last_day").cast("bigint").alias("recency_days"),
+        "freq",
+        "cents",
+    )
+    n_row = p.agg(F.count("*").cast("bigint").alias("_n"))
+    out = p.join(F.broadcast(n_row))  # single-row broadcast, not a cartesian
+    orders = {
+        "r_bucket": [F.col("recency_days").asc(), F.col("user_id").asc()],
+        "f_bucket": [F.col("freq").desc(), F.col("user_id").asc()],
+        "m_bucket": [F.col("cents").desc(), F.col("user_id").asc()],
+    }
+    for bucket, cols in orders.items():
+        out = ranking.global_rank(out, cols, rank_col="_rn")
+        out = out.withColumn(
+            bucket, ranking.ntile_expr(F.col("_rn"), F.col("_n"), 5)
+        ).drop("_rn")
+    return out.drop("_n")
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_conv
+        FROM u GROUP BY variant
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+               MAX(CASE WHEN variant = 0 THEN n_conv END)  AS x0,
+               MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+               MAX(CASE WHEN variant = 1 THEN n_conv END)  AS x1
+        FROM v
+    )
+    SELECT n0, x0, n1, x1,
+           ROUND(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+           ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+           CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+             ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
+           END AS z_stat
+    FROM w
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic experiment arms
+    (user_id parity): per-arm user and converter counts reduce to ONE
+    integer row before any floating point, then the pooled-variance z
+    statistic is a fixed IEEE tree (+,-,*,/,sqrt are exactly rounded ⇒
+    bit-identical on both engines; rounded to 6 anyway). Plan: agg on
+    user → agg on variant → 1-row pivot; no window, no join — the
+    entire statistical test costs two partial-agg exchanges at 100 TB."""
+    e = catalog.load(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150.0), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("bigint").alias("variant"), "converted"
+        )
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("converted").cast("bigint").alias("n_conv")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("x1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p0 = d("x0") / d("n0")
+    p1 = d("x1") / d("n1")
+    pp = (d("x0") + d("x1")) / (d("n0") + d("n1"))
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / d("n0") + F.lit(1.0) / d("n1")))
+    return w.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.when(
+            (F.col("x0") + F.col("x1") > 0)
+            & (F.col("x0") + F.col("x1") < F.col("n0") + F.col("n1")),
+            F.round((p1 - p0) / se, 6),
+        ).alias("z_stat"),
+    )
+
+
+_BG_MIN_COUNT = 5
+
+
+@query(
+    "q_bigram_probs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS arr
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT u.x[1] AS w1, u.x[2] AS w2
+        FROM toks,
+        LATERAL (
+            SELECT unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS x
+        ) u
+    ),
+    bg AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ),
+    tot AS (
+        SELECT w1, w2, c12, CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        FROM bg
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, c1,
+           ROUND(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS cond_p
+    FROM tot WHERE c12 >= {_BG_MIN_COUNT}
+    """,
+)
+def q_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional probabilities P(w2|w1) = c(w1,w2)/c(w1,·) —
+    the counting core of n-gram language models and next-word scorers.
+    Tokens materialize ONCE before any lambda (the §32 HOF-blowup rule);
+    adjacent pairs come from zipping the token array with its tail
+    row-locally (no positional self-join — the oracle's LATERAL join is
+    the semantics, not the plan), then one agg to pair counts and one
+    unordered window over the PAIR table (vocab-sized, not corpus-sized)
+    for the prefix totals. Exactly one IEEE division per row."""
+    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("arr"),
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))),
+                F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    c1 = F.sum("c12").over(Window.partitionBy("w1")).cast("bigint")
+    return (
+        bg.withColumn("c1", c1)
+        .filter(F.col("c12") >= _BG_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(F.col("c12").cast("double") / F.col("c1").cast("double"), 6).alias(
+                "cond_p"
+            ),
+        )
+    )
+
+
+@query(
+    "q_json_rescue",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 4) ELSE props END AS s
+        FROM events WHERE props IS NOT NULL
+    ),
+    j AS (
+        SELECT event_id, s,
+               COALESCE(CASE WHEN json_valid(s)
+                             THEN json_type(json(s)) = 'OBJECT' END, FALSE)
+                   AS is_obj,
+               CASE WHEN json_valid(s) THEN json_type(json(s), '$.k') END AS ktype,
+               CASE WHEN json_valid(s)
+                    THEN TRY_CAST(json_extract_string(s, '$.k') AS BIGINT) END AS kraw
+        FROM raw
+    ),
+    v AS (
+        SELECT event_id, s,
+               is_obj AND COALESCE(
+                   ktype IS NULL OR ktype = 'NULL'
+                   OR (ktype IN ('BIGINT', 'UBIGINT')
+                       AND kraw BETWEEN -2147483648 AND 2147483647),
+                   FALSE) AS parse_ok,
+               CASE WHEN ktype IN ('BIGINT', 'UBIGINT')
+                         AND kraw BETWEEN -2147483648 AND 2147483647
+                    THEN CAST(kraw AS INT) END AS k
+        FROM j
+    )
+    SELECT event_id,
+           CASE WHEN parse_ok THEN k END AS k,
+           NOT parse_ok AS quarantined,
+           CASE WHEN NOT parse_ok THEN s END AS dead_letter
+    FROM v
+    """,
+)
+def q_json_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze-boundary JSON quarantine: malformed payloads (every 13th
+    event's props deterministically truncated to simulate upstream
+    corruption) land in a dead-letter column instead of killing the job
+    or silently vanishing. PERMISSIVE ``from_json`` with a
+    ``columnNameOfCorruptRecord`` field captures the raw text of
+    exactly the rows DuckDB's ``json_valid`` rejects (a VALID object
+    merely missing the key parses to a NULL field and is NOT
+    quarantined — the two cases stay distinguishable), and that
+    equivalence is what the oracle pins. Row-local, zero shuffles; the
+    dead-letter rows stay in-band so a downstream filter can route
+    them to the quarantine sink."""
+    e = catalog.load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    s = F.when(F.col("event_id") % 13 == 0, F.substring("props", 1, 4)).otherwise(
+        F.col("props")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        s, schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    )
+    # Spark returns a NULL struct (not a corrupt record) for the empty
+    # string; the operator contract treats an empty payload as a dead
+    # letter too, so both engines quarantine it identically.
+    quarantined = F.col("_p._corrupt").isNotNull() | (F.col("_s") == "")
+    return e.select("event_id", s.alias("_s"), parsed.alias("_p")).select(
+        "event_id",
+        F.col("_p.k").alias("k"),
+        quarantined.alias("quarantined"),
+        F.when(quarantined, F.coalesce(F.col("_p._corrupt"), F.col("_s"))).alias(
+            "dead_letter"
+        ),
+    )

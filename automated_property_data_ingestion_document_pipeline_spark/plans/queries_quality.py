@@ -55,37 +55,19 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's single-task global window is the semantics, not the plan.
     Complements FastSS (bounded distance, any order) with the classic
     sort-order blocker that also catches prefix typos."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
     c = (
         catalog.load(spark, sf_dir, "customer")
         .filter(F.col("c_name").isNotNull())
         .select("c_custkey", "c_name")
     )
-    parts = (
-        c.repartitionByRange(8, "c_name", "c_custkey")
-        .sortWithinPartitions("c_name", "c_custkey")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local = parts.withColumn(
-        "_rn",
-        F.row_number().over(Window.partitionBy("_pid").orderBy("c_name", "c_custkey")),
-    )
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_offset")
-    )
-    ranked = local.join(F.broadcast(offsets), "_pid").select(
-        "c_custkey", "c_name", (F.col("_rn") + F.col("_offset")).alias("rn")
-    )
+    # ranking.global_rank pins one sampled range-partitioning (lazy
+    # localCheckpoint) — the inline version this replaced could
+    # re-sample boundaries per consumer subtree and corrupt ranks.
+    ranked = ranking.global_rank(
+        c, [F.col("c_name").asc(), F.col("c_custkey").asc()], rank_col="rn"
+    ).select("c_custkey", "c_name", "rn")
     a = ranked.select(
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
@@ -416,4 +398,114 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size_band").cast("bigint").alias("size_band"),
         "group_size",
         (F.col("group_size") < _K_ANON).alias("violates_k"),
+    )
+
+
+@query(
+    "q_profile_summary",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_orderkey)  AS nn_key,  COUNT(DISTINCT o_orderkey)  AS nd_key,
+               COUNT(o_custkey)   AS nn_cust, COUNT(DISTINCT o_custkey)   AS nd_cust,
+               COUNT(o_totalprice) AS nn_price,
+               COUNT(DISTINCT o_totalprice)   AS nd_price,
+               COUNT(o_orderdate) AS nn_date, COUNT(DISTINCT o_orderdate) AS nd_date,
+               COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,
+               COUNT(o_orderpriority) AS nn_pri,
+               COUNT(DISTINCT o_orderpriority) AS nd_pri,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS lo_key,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS hi_key,
+               CAST(MIN(o_custkey) AS VARCHAR)  AS lo_cust,
+               CAST(MAX(o_custkey) AS VARCHAR)  AS hi_cust,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS lo_price,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS hi_price,
+               CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS lo_date,
+               CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS hi_date,
+               MIN(o_orderstatus) AS lo_st,  MAX(o_orderstatus) AS hi_st,
+               MIN(o_orderpriority) AS lo_pri, MAX(o_orderpriority) AS hi_pri
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, n_rows,
+           CAST(n_rows - nn_key AS BIGINT) AS n_null,
+           CAST(nd_key AS BIGINT) AS n_distinct, lo_key AS min_repr, hi_key AS max_repr
+    FROM s
+    UNION ALL SELECT 'o_custkey', n_rows, CAST(n_rows - nn_cust AS BIGINT),
+           CAST(nd_cust AS BIGINT), lo_cust, hi_cust FROM s
+    UNION ALL SELECT 'o_totalprice_cents', n_rows, CAST(n_rows - nn_price AS BIGINT),
+           CAST(nd_price AS BIGINT), lo_price, hi_price FROM s
+    UNION ALL SELECT 'o_orderdate', n_rows, CAST(n_rows - nn_date AS BIGINT),
+           CAST(nd_date AS BIGINT), lo_date, hi_date FROM s
+    UNION ALL SELECT 'o_orderstatus', n_rows, CAST(n_rows - nn_st AS BIGINT),
+           CAST(nd_st AS BIGINT), lo_st, hi_st FROM s
+    UNION ALL SELECT 'o_orderpriority', n_rows, CAST(n_rows - nn_pri AS BIGINT),
+           CAST(nd_pri AS BIGINT), lo_pri, hi_pri FROM s
+    """,
+)
+def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (the ``SUMMARIZE`` / expectations-
+    bootstrap operator): per column — row count, null count, EXACT
+    distinct count, and exact-safe min/max reprs, all in ONE scan.
+    Min/max reprs are canonicalized per type so the hash can't trip on
+    engine formatting: ints/strings as-is, money as integer cents,
+    timestamps truncated to their date. The multi-COUNT(DISTINCT) is
+    Spark's Expand (one scan fans each row into 6 tagged copies, then
+    one partial-agg shuffle); at 100 TB swap in approx_count_distinct
+    per the documented profiling contract — the shape is otherwise
+    identical. The 1-row aggregate pivots to the 6-row report via a
+    driver-free explode of literal structs."""
+    o = catalog.load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    s = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.count("o_orderpriority").alias("nn_pri"),
+        F.countDistinct("o_orderpriority").alias("nd_pri"),
+        F.min("o_orderkey").cast("string").alias("lo_key"),
+        F.max("o_orderkey").cast("string").alias("hi_key"),
+        F.min("o_custkey").cast("string").alias("lo_cust"),
+        F.max("o_custkey").cast("string").alias("hi_cust"),
+        F.min(cents).cast("string").alias("lo_price"),
+        F.max(cents).cast("string").alias("hi_price"),
+        F.min("o_orderdate").cast("date").cast("string").alias("lo_date"),
+        F.max("o_orderdate").cast("date").cast("string").alias("hi_date"),
+        F.min("o_orderstatus").alias("lo_st"),
+        F.max("o_orderstatus").alias("hi_st"),
+        F.min("o_orderpriority").alias("lo_pri"),
+        F.max("o_orderpriority").alias("hi_pri"),
+    )
+
+    def row(name: str, nn: str, nd: str, lo: str, hi: str):
+        return F.struct(
+            F.lit(name).alias("column_name"),
+            (F.col("n_rows") - F.col(nn)).cast("bigint").alias("n_null"),
+            F.col(nd).cast("bigint").alias("n_distinct"),
+            F.col(lo).alias("min_repr"),
+            F.col(hi).alias("max_repr"),
+        )
+
+    rows = F.array(
+        row("o_orderkey", "nn_key", "nd_key", "lo_key", "hi_key"),
+        row("o_custkey", "nn_cust", "nd_cust", "lo_cust", "hi_cust"),
+        row("o_totalprice_cents", "nn_price", "nd_price", "lo_price", "hi_price"),
+        row("o_orderdate", "nn_date", "nd_date", "lo_date", "hi_date"),
+        row("o_orderstatus", "nn_st", "nd_st", "lo_st", "hi_st"),
+        row("o_orderpriority", "nn_pri", "nd_pri", "lo_pri", "hi_pri"),
+    )
+    return s.select("n_rows", F.explode(rows).alias("p")).select(
+        F.col("p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("p.n_null").alias("n_null"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_repr").alias("min_repr"),
+        F.col("p.max_repr").alias("max_repr"),
     )

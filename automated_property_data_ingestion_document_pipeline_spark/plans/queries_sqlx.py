@@ -219,38 +219,17 @@ def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     land because offsets come from actual partition counts — so the
     plan parallelizes across all executors while the naive
     ``ROW_NUMBER() OVER (ORDER BY ...)`` oracle pins one task at scale.
-    Requires a unique sort key (o_orderkey) for determinism."""
+    Requires a unique sort key (o_orderkey) for determinism. Now
+    delegates to operators/ranking.global_rank, which also pins ONE
+    sampled range-partitioning via lazy localCheckpoint (the offsets
+    aggregate and the final join would otherwise re-sample boundaries
+    independently and corrupt ranks — found by q_equidepth_histogram)."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
     o = catalog.load(spark, sf_dir, "orders").select("o_orderkey")
-    parts = (
-        o.repartitionByRange(8, "o_orderkey")
-        .sortWithinPartitions("o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local = parts.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy("o_orderkey")
-        ),
-    )
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_offset")
-    )
-    return local.join(F.broadcast(offsets), "_pid").select(
-        "o_orderkey", (F.col("_rn") + F.col("_offset")).alias("global_rn")
-    )
+    return ranking.global_rank(
+        o, [F.col("o_orderkey").asc()], rank_col="global_rn"
+    ).select("o_orderkey", "global_rn")
 
 
 @query(
@@ -446,4 +425,32 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cosine"),
         )
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED string aggregation (LISTAGG/STRING_AGG WITHIN GROUP) —
+    the report-building fold SQL warehouses ship natively and Spark
+    does not: collect_list gives a nondeterministic partition order, so
+    the deterministic form is collect → array_sort → array_join, all
+    JVM-side. The sort is per-GROUP (bounded by the group's cardinality
+    — here nations per region), never a global sort; at 100 TB the
+    contract is 'ordered within key', which is exactly what a grouped
+    array_sort provides."""
+    n = catalog.load(spark, sf_dir, "nation")
+    r = catalog.load(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return j.groupBy("r_name").agg(
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
     )

@@ -536,3 +536,23 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_sessions.dedup_within_watermark(stream.filter(F.col("ts").isNotNull()))
     counts = deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
     return streaming_sessions.run_available_now(counts, "stream_dedup", output_mode="complete")
+
+
+@query("q_stream_tumbling")  # rows-only: streaming windowed agg state
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming tumbling-window aggregation run
+    end-to-end (the T3 surface as a STREAM, completing the streaming
+    driver set beside sessionize/dedup/join/ewma): file source →
+    2 h watermark → 1 h window × event_type counts → complete-mode
+    memory sink, availableNow trigger. Window state is evicted once
+    the watermark passes the window end — the bounded-state rollup
+    that runs unbounded at 100 TB. Batch twin: q_tumbling_window
+    (oracle-backed); rows-only here because late-data eviction under
+    multi-file triggers is processing-order-dependent by design."""
+    stream = streaming_sessions.read_events_stream(spark, sf_dir)
+    counts = streaming_sessions.tumbling_counts(
+        stream.filter(F.col("ts").isNotNull())
+    )
+    return streaming_sessions.run_available_now(
+        counts, "stream_tumbling", output_mode="complete"
+    )

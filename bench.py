@@ -91,6 +91,11 @@ HEADLINE = [
     "q_corr_matrix",
     "q_skipgram_pmi",
     "q_telemetry_pipeline",
+    # round-4 session 2: ML eval / feature / graph heavies
+    "q_auc_exact",
+    "q_rfm_segments",
+    "q_bigram_probs",
+    "q_shortest_path",
 ]
 
 

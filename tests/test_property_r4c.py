@@ -1,0 +1,169 @@
+"""Property tests for the session-2 wave: exact NTILE arithmetic on the
+scalable global rank (operators/ranking.py) and the hop-bounded
+Bellman-Ford MIN-fold (q_shortest_path's per-round pruning).
+
+The NTILE model is checked two ways: hypothesis drives the pure integer
+formula against the SQL NTILE definition for adversarial (n, k), and
+one Spark run pins ranking.global_rank + ntile_expr bit-identical to
+``F.ntile`` over a single-task window on shuffled input — proving the
+parallel formulation IS the single-task semantics. The Bellman-Ford
+model proves per-round per-node MIN pruning equals full walk
+enumeration on random weighted graphs (the claim the DuckDB
+recursive-CTE oracle checks on one fixed graph, here on many)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
+
+def _ntile_model(n: int, k: int) -> list[int]:
+    """SQL NTILE(k) over n rows: first n%k buckets get n//k + 1 rows."""
+    q, r = divmod(n, k)
+    out = []
+    for b in range(1, k + 1):
+        out.extend([b] * (q + 1 if b <= r else q))
+    return out
+
+
+@given(st.integers(min_value=1, max_value=500), st.integers(min_value=1, max_value=20))
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ntile_formula_matches_sql_definition(n, k):
+    q, r = divmod(n, k)
+    cut = r * (q + 1)
+    model = _ntile_model(n, k)
+    for rn in range(1, n + 1):
+        if rn <= cut:
+            b = (rn - 1) // (q + 1) + 1
+        else:
+            b = r + (rn - cut - 1) // max(q, 1) + 1
+        assert b == model[rn - 1], (n, k, rn)
+
+
+def test_global_rank_ntile_matches_window_ntile(spark):
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(50)) for i in range(257)]  # heavy value ties
+    df = spark.createDataFrame(rows, "id long, v long")
+    ranked = ranking.global_rank(df, [F.col("v").asc(), F.col("id").asc()])
+    n = F.lit(len(rows)).cast("bigint")
+    got = {
+        r.id: r.b
+        for r in ranked.select(
+            "id", ranking.ntile_expr(F.col("rn"), n, 7).alias("b")
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r.id: r.b for r in df.select("id", F.ntile(7).over(w).alias("b")).collect()}
+    assert got == want
+
+
+def test_global_rank_invariant_to_partition_count(spark):
+    rnd = random.Random(11)
+    rows = [(i, rnd.randrange(9)) for i in range(101)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    base = None
+    for parts in (1, 3, 8):
+        ranked = ranking.global_rank(
+            df, [F.col("v").asc(), F.col("id").asc()], num_partitions=parts
+        )
+        got = sorted((r.id, r.rn) for r in ranked.collect())
+        assert sorted(rn for _, rn in got) == list(range(1, 102))
+        if base is None:
+            base = got
+        else:
+            assert got == base, f"ranks changed at num_partitions={parts}"
+
+
+def _sp_model(edges, seeds, max_hops):
+    """Walk-enumeration model: min cost over ALL paths of ≤ max_hops
+    edges (what the recursive-CTE oracle computes)."""
+    best = {s: 0 for s in seeds}
+    frontier = dict(best)
+    for _ in range(max_hops):
+        nxt = {}
+        for node, cost in frontier.items():
+            for (a, b), w in edges.items():
+                if a == node:
+                    c = cost + w
+                    if c < nxt.get(b, 1 << 60):
+                        nxt[b] = c
+        for node, cost in nxt.items():
+            if cost < best.get(node, 1 << 60):
+                best[node] = cost
+        frontier = nxt
+    return best
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bellman_ford_minfold_equals_walk_enumeration(data):
+    rnd = random.Random(data.draw(st.integers(0, 10_000)))
+    nodes = list(range(data.draw(st.integers(min_value=2, max_value=9))))
+    edges = {}
+    for a, b in itertools.permutations(nodes, 2):
+        if rnd.random() < 0.4:
+            edges[(a, b)] = rnd.randrange(1, 10)
+    seeds = [n for n in nodes if n % 2 == 0][:2] or [nodes[0]]
+    max_hops = 3
+
+    # brute enumeration of every distinct walk ≤ max_hops
+    brute = {s: 0 for s in seeds}
+    walks = [(s, 0) for s in seeds]
+    for _ in range(max_hops):
+        nxt = []
+        for node, cost in walks:
+            for (a, b), w in edges.items():
+                if a == node:
+                    nxt.append((b, cost + w))
+        for node, cost in nxt:
+            if cost < brute.get(node, 1 << 60):
+                brute[node] = cost
+        walks = nxt
+
+    assert _sp_model(edges, seeds, max_hops) == brute
+
+
+def test_global_rank_unique_with_join_upstream(spark):
+    """Regression: a broadcast join upstream of global_rank defeats
+    exchange reuse, so the offsets aggregate and the final join used to
+    re-sample repartitionByRange boundaries INDEPENDENTLY — _pid
+    disagreement corrupted ranks (duplicates + gaps, found by
+    q_equidepth_histogram at sf0.01). The lazy localCheckpoint inside
+    global_rank pins one partitioning; this test fails without it."""
+    rnd = random.Random(3)
+    rows = [(i, rnd.randrange(40)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    n_row = df.groupBy().agg(F.count("*").alias("_n"))
+    ranked = ranking.global_rank(
+        df.join(F.broadcast(n_row)), [F.col("v").asc(), F.col("id").asc()]
+    )
+    rns = [r.rn for r in ranked.select("rn").collect()]
+    assert sorted(rns) == list(range(1, 5001))
+
+
+def test_global_prefix_sum_matches_ordered_window(spark):
+    rnd = random.Random(5)
+    rows = [(i, rnd.randrange(100), rnd.randrange(-50, 50)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, k long, x long")
+    n_row = df.groupBy().agg(F.count("*").alias("_n"))
+    got = {
+        r.id: r.ps
+        for r in ranking.global_prefix_sum(
+            df.join(F.broadcast(n_row)),
+            [F.col("k").asc(), F.col("id").asc()],
+            "x",
+            out_col="ps",
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("k").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {r.id: r.ps for r in df.select("id", F.sum("x").over(w).alias("ps")).collect()}
+    assert got == want
