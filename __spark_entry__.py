@@ -128,7 +128,7 @@ _PRIORITY = [
     "q_shortest_path", "q_union_by_name", "q_profile_summary",
     "q_auc_exact", "q_decile_lift", "q_threshold_metrics",
     "q_equidepth_histogram", "q_stream_tumbling", "q_scd2_merge",
-    "q_string_agg",
+    "q_string_agg", "q_holt_linear", "q_autocorr", "q_gini_skew",
 ]
 
 

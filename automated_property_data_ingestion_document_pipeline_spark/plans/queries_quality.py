@@ -509,3 +509,49 @@ def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.min_repr").alias("min_repr"),
         F.col("p.max_repr").alias("max_repr"),
     )
+
+
+@query(
+    "q_gini_skew",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, COUNT(*) AS x
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    r AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS total_events,
+           CAST(MAX(x) AS BIGINT) AS max_events,
+           ROUND(CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS gini
+    FROM r
+    """,
+)
+def q_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew audit as ONE number: the Gini coefficient of the
+    per-user event-count distribution — 0 = perfectly uniform keys,
+    →1 = one celebrity key owns the table. This is the measurement a
+    100 TB operator runs BEFORE choosing salting / AQE skew-join
+    mitigations (the q_salted_* keys); the rank-sum identity
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) makes it exact: ranks come from
+    the scalable global rank (operators/ranking.py — no single-task
+    window), every accumulation is BIGINT, one final IEEE division."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
+    e = catalog.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(F.count("*").alias("x"))
+    r = ranking.global_rank(u, [F.col("x").asc(), F.col("user_id").asc()], rank_col="i")
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("total_events"),
+        F.max("x").cast("bigint").alias("max_events"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x")) - (F.count("*") + 1) * F.sum("x"))
+            .cast("double")
+            / (F.count("*") * F.sum("x")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

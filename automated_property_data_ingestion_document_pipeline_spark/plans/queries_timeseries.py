@@ -936,3 +936,142 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_touch_view"),
         (F.lit(1.0) / F.count("*")).alias("linear_credit_each"),
     )
+
+
+@query(
+    "q_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM ({_EV_CENTS})
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_events FROM ev GROUP BY user_id),
+    r AS (
+        SELECT user_id, rn, CAST(cents AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT ev.user_id, ev.rn,
+               (ev.cents + r.l + r.b) / 2.0,
+               (((ev.cents + r.l + r.b) / 2.0 - r.l) + r.b) / 2.0
+        FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+    )
+    SELECT r.user_id, last.n_events, r.l AS level_cents, r.b AS trend_cents,
+           r.l + r.b AS forecast_next
+    FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.n_events
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double) exponential smoothing, α = β = 1/2: the
+    trend-aware sibling of q_ewma, ending in a one-step forecast
+    l + b. The recurrence folds a TWO-field struct accumulator
+    (level, trend) left-to-right over the time-sorted array — same JVM
+    ``aggregate()`` shape as the EWMA/CUSUM folds, one shuffle on
+    user_id. Dyadic coefficients keep every step an add + exact
+    halving, so Spark's fold and the oracle's recursive CTE agree
+    BITWISE with no defensive rounding. The inherently sequential
+    operator class (PERFORMANCE.md §25): parallel across keys,
+    sequential within — exactly how a forecaster runs at 100 TB."""
+    ev = _ev_cents(spark, sf_dir)
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "cents")))
+    g = ev.groupBy("user_id").agg(arr.alias("evs"))
+    return g.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.expr(
+            "aggregate("
+            "  slice(evs, 2, greatest(size(evs) - 1, 0)),"
+            "  named_struct('l', cast(element_at(evs, 1).cents AS double),"
+            "               'b', cast(0 AS double)),"
+            "  (acc, e) -> named_struct("
+            "    'l', (e.cents + acc.l + acc.b) / 2.0D,"
+            "    'b', (((e.cents + acc.l + acc.b) / 2.0D - acc.l) + acc.b) / 2.0D)"
+            ").l"
+        ).alias("level_cents"),
+        F.expr(
+            "aggregate("
+            "  slice(evs, 2, greatest(size(evs) - 1, 0)),"
+            "  named_struct('l', cast(element_at(evs, 1).cents AS double),"
+            "               'b', cast(0 AS double)),"
+            "  (acc, e) -> named_struct("
+            "    'l', (e.cents + acc.l + acc.b) / 2.0D,"
+            "    'b', (((e.cents + acc.l + acc.b) / 2.0D - acc.l) + acc.b) / 2.0D)"
+            ").b"
+        ).alias("trend_cents"),
+    ).withColumn("forecast_next", F.col("level_cents") + F.col("trend_cents"))
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    WITH ac AS (
+        SELECT ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND value > -1e7 AND value < 1e7
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(cents) AS BIGINT) AS x
+        FROM ac GROUP BY 1
+    ),
+    pairs AS (
+        SELECT x, LEAD(x) OVER (ORDER BY hr) AS y FROM hourly
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT n, sx, sy,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+               AS r_lag1
+    FROM s
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly revenue series — the
+    seasonality screen run before choosing a forecast model. The corpus
+    reduces to the HOUR table (one partial-agg shuffle; time-span
+    bounded regardless of event count), the lead-pairing window runs
+    over that bounded table, and Pearson r comes from exact BIGINT
+    sufficient statistics with one fixed IEEE tree (×,−,/,sqrt are
+    exactly rounded). Same no-Welford-drift argument as q_corr_matrix.
+    Domain contract: event values bounded to ±$100k (tighter than the
+    ±1e12 house bound — Σx² must fit int64 with headroom; the edge
+    corpus's ±$21M row overflowed the square under the loose bound).
+    Beyond that domain, lift the accumulators to DECIMAL(38,0) — the
+    plan shape is unchanged."""
+    e = catalog.load(spark, sf_dir, "events")
+    ev = e.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > -1e7)
+        & (F.col("value") < 1e7)
+    ).select("ts", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum("cents").cast("bigint").alias("x")
+    )
+    w = Window.orderBy("hr")
+    pairs = hourly.select("x", F.lead("x").over(w).alias("y")).filter(
+        F.col("y").isNotNull()
+    )
+    s = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * F.col("sxy") - d("sx") * F.col("sy")
+    den = F.sqrt(d("n") * F.col("sxx") - d("sx") * F.col("sx")) * F.sqrt(
+        d("n") * F.col("syy") - d("sy") * F.col("sy")
+    )
+    return s.select("n", "sx", "sy", F.round(num / den, 6).alias("r_lag1"))
