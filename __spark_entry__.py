@@ -129,6 +129,7 @@ _PRIORITY = [
     "q_auc_exact", "q_decile_lift", "q_threshold_metrics",
     "q_equidepth_histogram", "q_stream_tumbling", "q_scd2_merge",
     "q_string_agg", "q_holt_linear", "q_autocorr", "q_gini_skew",
+    "q_markov_transitions", "q_session_paths", "q_iqr_outliers",
 ]
 
 

@@ -42,6 +42,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_features,
     queries_product,
     queries_mleval,
+    queries_paths,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1075,3 +1075,68 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         d("n") * F.col("syy") - d("sy") * F.col("sy")
     )
     return s.select("n", "sx", "sy", F.round(num / den, 6).alias("r_lag1"))
+
+
+@query(
+    "q_iqr_outliers",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
+               COUNT(*)    OVER (PARTITION BY user_id) AS n
+        FROM ({_EV_CENTS})
+    ),
+    q AS (
+        SELECT user_id, event_id, cents,
+               MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END)
+                   OVER (PARTITION BY user_id) AS q1,
+               MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+                   OVER (PARTITION BY user_id) AS q3
+        FROM ev
+    )
+    SELECT user_id, event_id, cents,
+           CAST(q1 AS BIGINT) AS q1, CAST(q3 AS BIGINT) AS q3,
+           2 * cents < 2 * q1 - 3 * (q3 - q1)
+             OR 2 * cents > 2 * q3 + 3 * (q3 - q1) AS is_outlier
+    FROM q
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outliers (1.5×IQR beyond the quartiles) — the
+    third robust-outlier detector beside q_anomaly_zscore (moment-based)
+    and q_mad_outliers (median-based). Quartiles are NEAREST-RANK
+    positional picks (rank ⌈n/4⌉ / ⌈3n/4⌉) elected by windowed MAX over
+    the rank match — all integer, no interpolation — and the 1.5×
+    fences are tested in doubled integers (2·x vs 2·q ± 3·IQR), so the
+    flag predicate is exact on both engines. One Exchange on user_id
+    carries the rank window, the two quartile elections, and the flag."""
+    ev = _ev_cents(spark, sf_dir)
+    by_user = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.row_number().over(by_user.orderBy("cents", "event_id")).alias("rn"),
+        F.count("*").over(by_user).alias("n"),
+    )
+    q1_pos = F.expr("(n + 3) div 4")
+    q3_pos = F.expr("(3 * n + 3) div 4")
+    q = ranked.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.max(F.when(F.col("rn") == q1_pos, F.col("cents"))).over(by_user).alias("q1"),
+        F.max(F.when(F.col("rn") == q3_pos, F.col("cents"))).over(by_user).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return q.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.col("q1").cast("bigint").alias("q1"),
+        F.col("q3").cast("bigint").alias("q3"),
+        (
+            (2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr)
+            | (2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr)
+        ).alias("is_outlier"),
+    )

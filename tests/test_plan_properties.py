@@ -351,3 +351,50 @@ def test_pmi_explode_consumes_bound_token_column(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "element_at(tk#" in plan
     assert "element_at(filter(split" not in plan
+
+
+def test_ab_test_no_joins_no_windows(spark, sf_dir):
+    """q_ab_test must stay a pure aggregation chain: 100 TB of events
+    reduce through two partial-agg exchanges to one integer row before
+    any float — a join or window appearing here means the plan regressed
+    into something that carries rows it doesn't need."""
+    plan = plan_of(spark, sf_dir, "q_ab_test")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_scd2_merge_broadcasts_change_batch(spark, sf_dir):
+    """The change batch decides close-vs-keep via broadcast joins; a
+    SortMergeJoin would shuffle the full dimension twice."""
+    plan = plan_of(spark, sf_dir, "q_scd2_merge")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_probs_no_positional_self_join(spark, sf_dir):
+    """Adjacent pairs come from a row-local zip of the token array with
+    its tail; the oracle's LATERAL positional self-join must never leak
+    into the physical plan (it would shuffle |tokens| rows twice)."""
+    plan = plan_of(spark, sf_dir, "q_bigram_probs")
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shortest_path_frontier_joins_never_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_shortest_path")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auc_exact_windows_only_partitioned_by_pid(spark, sf_dir):
+    """The AUC plan's only ordered windows are the per-partition local
+    prefix sums inside global_prefix_sum (partitionBy _pid) and the
+    partition-count offsets table; a global unpartitioned window over
+    the score domain would serialize at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q_auc_exact")
+    import re
+    # every window spec either partitions by _pid or runs on the tiny
+    # offsets table (windowspecdefinition without _pid only allowed
+    # after a groupBy on _pid — detected by its sort on _pid)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_pid" in spec, f"unpartitioned global window in AUC plan: {spec}"
