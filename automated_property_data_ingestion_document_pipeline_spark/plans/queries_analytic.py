@@ -724,3 +724,74 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.unix_micros(F.col("signup_ts").cast("timestamp"))
     ).cast("bigint")
     return out.select("user_id", "signup_ts", "first_purchase_ts", lat.alias("latency_us"))
+
+
+@query(
+    "q_window_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS v_ts
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.s_ts
+        AND e.ts <= s.s_ts + INTERVAL 24 HOUR GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN v USING (user_id)
+      JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        AND e.ts <= s.s_ts + INTERVAL 24 HOUR GROUP BY 1)
+    SELECT s.user_id,
+           CAST(1 + CAST(v.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage,
+           s.s_ts, v.v_ts, p.p_ts
+    FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED ordered funnel (the windowFunnel flavor): every
+    later stage must land within 24 h of the user's FIRST signup, not
+    merely after the previous stage — the conversion-deadline semantics
+    growth teams actually report. Same one-partitioning-per-stage plan
+    as q_funnel (every join keyed on user_id, exchange reuse collapses
+    the stage subsets); the deadline is one extra pushed predicate, so
+    the window costs nothing at 100 TB."""
+    ev = catalog.load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    deadline = F.col("s_ts") + F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("s_ts")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("v_ts").isNotNull().cast("int")
+                + F.col("p_ts").isNotNull().cast("int")
+            ).cast("int").alias("stage"),
+            "s_ts",
+            "v_ts",
+            "p_ts",
+        )
+    )

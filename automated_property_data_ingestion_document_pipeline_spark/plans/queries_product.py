@@ -348,3 +348,69 @@ def q_json_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dead_letter"
         ),
     )
+
+
+_VOCAB_K = 500
+
+
+@query(
+    "q_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, u.tok
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents WHERE text IS NOT NULL
+        ),
+        LATERAL (SELECT unnest(arr) AS tok) u
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+            FROM toks GROUP BY tok
+        ) WHERE rk <= {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: per-document out-of-vocabulary rate
+    against the corpus's own top-500 tokens — the tokenizer-fit
+    measurement run before committing to a vocab (high OOV ⇒ retrain
+    the tokenizer or re-mix the data). The vocab election ranks the
+    DISTINCT-TOKEN table (vocab-bounded, not corpus-bounded) with the
+    scalable global rank, the vocab itself broadcasts (500 rows), and
+    the per-doc rate is one division after an integer conditional sum.
+    Tokens materialize once before any lambda (§32/§39 HOF rule)."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
+    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = (
+        ranking.global_rank(
+            counts, [F.col("n").desc(), F.col("tok").asc()], rank_col="rk"
+        )
+        .filter(F.col("rk") <= _VOCAB_K)
+        .select(F.col("tok").alias("vtok"))
+    )
+    j = toks.join(F.broadcast(vocab), toks["tok"] == F.col("vtok"), "left")
+    oov = F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        F.round(oov.cast("double") / F.count("*").cast("double"), 6).alias("oov_rate"),
+    )

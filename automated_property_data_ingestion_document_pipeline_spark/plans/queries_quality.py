@@ -555,3 +555,56 @@ def q_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+    WITH canon AS (
+        SELECT CAST(('0x' || substr(md5(
+                 COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+                 COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                          '<null>') || '|' ||
+                 COALESCE(o_orderstatus, '<null>') || '|' ||
+                 COALESCE(o_orderpriority, '<null>') || '|' ||
+                 COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '<null>')
+               ), 1, 8)) AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+    FROM canon
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive whole-table checksum — the migration/replica
+    validation primitive (what you run on BOTH sides after a 100 TB
+    copy): each row canonicalizes to an explicit string form (integer
+    cents for money, fixed strftime for timestamps, '<null>' sentinel —
+    never engine-default formatting), hashes to the first 8 md5 hex
+    chars as a 32-bit int, and aggregates by SUM and XOR. Both folds
+    are commutative ⇒ identical on any partitioning; XOR can't
+    overflow, and the SUM stays in int64 up to ~2×10⁹ rows per
+    partition-free total (shard checksums merge by adding). One scan,
+    one 1-row partial aggregate — nothing moves but 16 bytes."""
+    o = catalog.load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("<null>")),
+        F.coalesce(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            F.lit("<null>"),
+        ),
+        F.coalesce(F.col("o_orderstatus"), F.lit("<null>")),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<null>")),
+        F.coalesce(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), F.lit("<null>")
+        ),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return o.select(h.alias("h")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("h").cast("bigint").alias("checksum_sum"),
+        F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
+    )
