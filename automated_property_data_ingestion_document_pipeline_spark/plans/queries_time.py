@@ -556,3 +556,35 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessions.run_available_now(
         counts, "stream_tumbling", output_mode="complete"
     )
+
+
+@query("q_stream_multi")  # rows-only: two stateful operators, one query
+def q_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful operators in ONE streaming query —
+    dropDuplicatesWithinWatermark feeding a tumbling-window aggregation,
+    append mode (the multi-stateful pipeline Structured Streaming
+    supports natively since the watermark-propagation rework; before
+    that this required two queries bridged by a sink). Dedup state
+    evicts per the 2 h watermark, window state closes as the PROPAGATED
+    watermark (input watermark minus nothing here — no event-time
+    delay operator between them) passes each window end, and only
+    CLOSED windows reach the append-mode sink — the exactly-once
+    at-least-once-bus rollup, end to end in one checkpoint at 100 TB.
+    Rows-only: append-mode emission under multi-file availableNow
+    triggers is processing-order-dependent by design; the single-state
+    pieces are covered by q_stream_dedup / q_stream_tumbling and the
+    batch twin q_tumbling_window (oracle)."""
+    stream = streaming_sessions.read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+    )
+    dd = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        dd.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events")
+    )
+    return streaming_sessions.run_available_now(
+        agg, "stream_multi", output_mode="append"
+    )

@@ -1140,3 +1140,79 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr)
         ).alias("is_outlier"),
     )
+
+
+@query(
+    "q_clamped_balance",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+          AND value > -1e12 AND value < 1e12
+          AND event_type IN ('purchase', 'error')
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_moves FROM ev GROUP BY user_id),
+    r AS (
+        SELECT user_id, rn,
+               CAST(GREATEST(0, delta) AS BIGINT) AS bal
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT ev.user_id, ev.rn,
+               CAST(GREATEST(0, r.bal + ev.delta) AS BIGINT)
+        FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+    )
+    SELECT r.user_id, last.n_moves, r.bal AS final_balance_cents
+    FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.n_moves
+    """,
+)
+def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance (inventory/prepaid-credit
+    semantics): bal_t = max(0, bal_{t-1} + Δ_t), credits from purchases,
+    debits from errors. The clamp makes the recurrence NON-associative
+    — no window or prefix-sum can express it — so it folds
+    left-to-right over the time-sorted array exactly like the
+    EWMA/CUSUM/Holt family, except the accumulator here is a pure
+    INT64: zero floating point anywhere, so Spark's fold and the
+    recursive-CTE oracle agree by integer identity, not IEEE argument.
+    One shuffle on user_id; parallel across keys, sequential within —
+    the inherent shape of stateful balance tracking at 100 TB."""
+    e = catalog.load(spark, sf_dir, "events")
+    moves = (
+        e.filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("value") > -1e12)
+            & (F.col("value") < 1e12)
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            )
+            .otherwise(-F.round(F.col("value") * 100).cast("bigint"))
+            .alias("delta"),
+        )
+    )
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "delta")))
+    g = moves.groupBy("user_id").agg(arr.alias("mv"))
+    return g.select(
+        "user_id",
+        F.size("mv").cast("bigint").alias("n_moves"),
+        F.expr(
+            "aggregate("
+            "  slice(mv, 2, greatest(size(mv) - 1, 0)),"
+            "  greatest(0L, element_at(mv, 1).delta),"
+            "  (acc, e) -> greatest(0L, acc + e.delta)"
+            ")"
+        ).cast("bigint").alias("final_balance_cents"),
+    )

@@ -167,3 +167,45 @@ def test_global_prefix_sum_matches_ordered_window(spark):
     )
     want = {r.id: r.ps for r in df.select("id", F.sum("x").over(w).alias("ps")).collect()}
     assert got == want
+
+
+def test_stream_multi_matches_batch_on_closed_windows(spark, sf_dir):
+    """The chained dedup→window streaming query (q_stream_multi) must
+    emit exactly the batch dedup→window counts for every window it
+    closes, and must close every window whose end precedes the final
+    watermark (max event time − 2 h). Append mode may legitimately
+    withhold trailing still-open windows — nothing else."""
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+    from automated_property_data_ingestion_document_pipeline_spark.plans import QUERIES
+
+    got = {
+        (r.bucket_start, r.event_type): r.n_events
+        for r in QUERIES["q_stream_multi"](spark, sf_dir).collect()
+    }
+    ev = catalog.load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    batch = (
+        ev.dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    want = {
+        (r.bucket_start, r.event_type): (r.n_events, r.bucket_end)
+        for r in batch.collect()
+    }
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    final_wm = max_ts - datetime.timedelta(hours=2)
+    for key, n in got.items():
+        assert key in want and want[key][0] == n, f"stream diverges at {key}"
+    for key, (n, end) in want.items():
+        if end <= final_wm:
+            assert key in got, f"closed window {key} never emitted"
