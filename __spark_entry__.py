@@ -131,7 +131,8 @@ _PRIORITY = [
     "q_string_agg", "q_holt_linear", "q_autocorr", "q_gini_skew",
     "q_markov_transitions", "q_session_paths", "q_iqr_outliers",
     "q_table_checksum", "q_oov_rate", "q_window_funnel", "q_stream_multi",
-    "q_clamped_balance",
+    "q_clamped_balance", "q_image_stats", "q_stream_static",
+    "q_hour_bitmap",
 ]
 
 

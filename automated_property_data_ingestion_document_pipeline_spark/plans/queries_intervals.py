@@ -230,3 +230,48 @@ def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "event_id", "ts", "event_type")
     )
+
+
+@query(
+    "q_hour_bitmap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           CAST(bit_or(1::BIGINT << hr) AS BIGINT) AS hour_mask,
+           CAST(bit_count(bit_or(1::BIGINT << hr)) AS BIGINT) AS active_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ev GROUP BY user_id, day
+    """,
+)
+def q_hour_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index aggregation: each (user, day)'s active hours packed
+    into ONE int64 bitmask via bit_or(1 << hour) — the roaring-bitmap
+    primitive that turns presence sets into constant-size, mergeable
+    integers (shard masks OR together; intersection/containment become
+    bitwise ops instead of joins). popcount gives active-hour counts
+    with no distinct aggregation. One partial-agg shuffle carrying 8
+    bytes per group — the cheapest possible presence encoding at
+    100 TB."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    mask = F.expr("bit_or(shiftleft(1L, hr))")
+    return (
+        e.select(
+            "user_id",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            mask.cast("bigint").alias("hour_mask"),
+            F.expr("bit_count(bit_or(shiftleft(1L, hr)))").cast("bigint").alias(
+                "active_hours"
+            ),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )

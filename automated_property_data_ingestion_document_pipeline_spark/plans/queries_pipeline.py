@@ -620,3 +620,68 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tiny synthetic "sample rate" so text-sized payloads span chunks
     return chunk_audio(d, sample_rate=8, bytes_per_sample=1, chunk_seconds=4.0)
+
+
+@query(
+    "q_image_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, c.c AS channel,
+               (d.doc_id * 7 + y.y * 13 + x.x * 29 + c.c * 97) % 256 AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 256) d,
+             range(16) y(y), range(12) x(x), range(3) c(c)
+    )
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, channel
+    """,
+)
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, VALUE-verified: each document's deterministic
+    16×12 RGB image is PNG-encoded (rotating through all five scanline
+    filter types), the stdlib codec (sources/png.py — zlib inflate +
+    per-filter reconstruction) decodes the actual bytes back to pixels,
+    and per-channel integer sum/min/max are aggregated. The oracle
+    NEVER sees a PNG: it recomputes the expected pixels arithmetically
+    ((id·7 + 13y + 29x + 97c) mod 256) over a range() lattice — so a
+    hash match proves the full encode → deflate → inflate → unfilter →
+    stats path is pixel-exact, upgrading the multimodal decode lane
+    from rows-only to oracle-verified. Arrow-batched mapInPandas
+    (dense per-image numpy — the justified pandas-UDF tier); stats
+    reduce executor-side so only 5 ints per (doc, channel) move."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.png import (
+        decode_png,
+        encode_png,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 256)
+        .select("doc_id")
+    )
+
+    def _stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "channel": [], "px_sum": [], "px_min": [], "px_max": []}
+            for did in pdf["doc_id"].to_numpy():
+                y, x, c = np.ogrid[0:16, 0:12, 0:3]
+                px = ((int(did) * 7 + y * 13 + x * 29 + c * 97) % 256).astype(np.uint8)
+                decoded = decode_png(encode_png(px, filter_type=int(did) % 5))
+                for ch in range(3):
+                    plane = decoded[:, :, ch].astype(np.int64)
+                    out["doc_id"].append(int(did))
+                    out["channel"].append(ch)
+                    out["px_sum"].append(int(plane.sum()))
+                    out["px_min"].append(int(plane.min()))
+                    out["px_max"].append(int(plane.max()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _stats, "doc_id bigint, channel int, px_sum bigint, px_min int, px_max int"
+    )

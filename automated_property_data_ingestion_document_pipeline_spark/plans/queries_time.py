@@ -588,3 +588,30 @@ def q_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessions.run_available_now(
         agg, "stream_multi", output_mode="append"
     )
+
+
+@query("q_stream_static")  # rows-only: stream-static broadcast enrichment
+def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the enrichment shape the reference's
+    /fetch_parcel_ui dataflow has in streaming form: the event stream
+    left-joins the static customer dimension (broadcast per
+    micro-batch, re-read each trigger so dimension updates are picked
+    up) and rolls counts per market segment. No join state is kept at
+    all — unlike the stream-stream q_stream_join, a static side needs
+    no watermark — so this is the cheapest streaming enrichment and
+    the default choice at 100 TB when one side is a dimension.
+    Complete-mode availableNow run; rows-only (the batch twin
+    q_broadcast_join is oracle-backed)."""
+    stream = streaming_sessions.read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+    )
+    dim = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    counts = enriched.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("<unknown>")).alias("segment")
+    ).agg(F.count("*").alias("n_events"))
+    return streaming_sessions.run_available_now(
+        counts, "stream_static", output_mode="complete"
+    )

@@ -209,3 +209,26 @@ def test_stream_multi_matches_batch_on_closed_windows(spark, sf_dir):
     for key, (n, end) in want.items():
         if end <= final_wm:
             assert key in got, f"closed window {key} never emitted"
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_clamped_balance_fold_model(deltas):
+    """The clamp makes the balance recurrence non-associative: folding
+    any prefix first then continuing must equal the full left fold
+    (sequential consistency), and the result is always >= 0 and >= the
+    unclamped suffix sum from the last zero-touch."""
+    def fold(ds, init=0):
+        acc = init
+        for d in ds:
+            acc = max(0, acc + d)
+        return acc
+
+    full = fold(deltas)
+    assert full >= 0
+    for cut in range(1, len(deltas)):
+        assert fold(deltas[cut:], fold(deltas[:cut])) == full
+    plain = 0
+    for d in deltas:
+        plain += d
+    assert full >= max(0, plain)
