@@ -132,7 +132,8 @@ _PRIORITY = [
     "q_markov_transitions", "q_session_paths", "q_iqr_outliers",
     "q_table_checksum", "q_oov_rate", "q_window_funnel", "q_stream_multi",
     "q_clamped_balance", "q_image_stats", "q_stream_static",
-    "q_hour_bitmap",
+    "q_hour_bitmap", "q_frame_stats", "q_audio_energy",
+    "q_minhash_portable",
 ]
 
 

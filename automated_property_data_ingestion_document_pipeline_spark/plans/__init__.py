@@ -43,6 +43,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
     queries_product,
     queries_mleval,
     queries_paths,
+    queries_neardup,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,185 @@
+"""Oracle-verified MinHash + LSH banding near-duplicate detection.
+
+The production MinHash lane (operators/dedup.py, `q_minhash_neardup`)
+hashes with Spark's xxhash64 — fast, JVM-side, but engine-specific, so
+its driver check has always been rows-only. This module is the
+PORTABLE twin: every hash is md5 (bit-identical across Spark and
+DuckDB), every signature component is a lexicographic MIN over
+fixed-length hex strings (= numeric min over the 128-bit values), and
+every stage — shingling, 16-way signature, 4×4 banding, candidate
+bucket join, exact-Jaccard verification — is expressed identically in
+both engines. Result: the full LSH pipeline's OUTPUT is value-hashed
+by the driver, upgrading X4 near-dup from rows-only to oracle-backed.
+
+Scale shape (same as the xxhash lane): one explode + one 16-aggregate
+shuffle for signatures; banding is row-local; the bucket join is an
+equi-join on (band, hash) — candidates only, NEVER all pairs; the
+Jaccard verify joins shingle sets only for candidate pairs. md5 costs
+~3× xxhash64 per call — the xxhash lane remains the recommended
+production path; this lane exists to PROVE the algorithm end to end
+(and for cross-engine reproducibility requirements, where a portable
+hash is the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+
+_K = 16          # signature length
+_BANDS = 4       # 4 bands x 4 rows
+_JACC_MIN = 0.3  # verification threshold on exact Jaccard
+
+
+def _sig_cols_sql() -> str:
+    return ",\n               ".join(
+        f"MIN(md5('{s}:' || sh)) AS s{s}" for s in range(_K)
+    )
+
+
+def _band_sql(b: int) -> str:
+    parts = " || ".join(f"s{b * 4 + i}" for i in range(4))
+    return f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig"
+
+
+@query(
+    "q_minhash_portable",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS arr
+        FROM documents WHERE text IS NOT NULL
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, u.x[1] || ' ' || u.x[2] || ' ' || u.x[3] AS sh
+        FROM toks,
+        LATERAL (
+            SELECT unnest(list_zip(arr[1:len(arr)-2], arr[2:len(arr)-1],
+                                   arr[3:len(arr)])) AS x
+        ) u
+        WHERE len(arr) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_sig_cols_sql()}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(_band_sql(b) for b in range(_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.doc_a
+        JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / CAST(za.n_sh + zb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+          / CAST(za.n_sh + zb.n_sh - i.n_common AS DOUBLE) >= {_JACC_MIN}
+    """,
+)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash→LSH→verify near-dup pipeline with portable md5
+    hashing, value-verified by the driver (see module docstring). Word
+    3-gram shingles → 16 lexicographic-MIN hex signatures in ONE
+    grouped aggregate → 4 row-local band hashes → bucket equi-join for
+    candidates → exact Jaccard on candidate shingle sets only."""
+    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("arr"),
+    ).filter(F.size("arr") >= 3)
+    n1 = F.size("arr") - 2
+    grams = F.zip_with(
+        F.slice("arr", 1, n1),
+        F.zip_with(
+            F.slice("arr", 2, n1), F.slice("arr", 3, n1), lambda b, c: F.concat_ws(" ", b, c)
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    shingles = (
+        toks.select("doc_id", F.explode(grams).alias("sh")).distinct()
+    )
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
+            for s in range(_K)
+        ]
+    )
+    bands = None
+    for b in range(_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"s{b * 4 + i}") for i in range(4)])).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("bh").alias("bh_a")
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b")
+    )
+    cand = (
+        a.join(
+            b_,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bh_a") == F.col("bh_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("_db"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_b") == F.col("sh_a")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            >= _JACC_MIN
+        )
+    )
+    return out

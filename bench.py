@@ -96,6 +96,7 @@ HEADLINE = [
     "q_rfm_segments",
     "q_bigram_probs",
     "q_shortest_path",
+    "q_minhash_portable",
 ]
 
 

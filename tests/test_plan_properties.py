@@ -398,3 +398,13 @@ def test_auc_exact_windows_only_partitioned_by_pid(spark, sf_dir):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "_pid" in spec, f"unpartitioned global window in AUC plan: {spec}"
+
+
+def test_minhash_portable_bucket_join_never_cartesian(spark, sf_dir):
+    """The LSH candidate stage must stay an equi-join on (band, hash) —
+    a cartesian/nested-loop appearing here means the near-dup pipeline
+    regressed to all-pairs, the exact scale failure LSH exists to
+    avoid."""
+    plan = plan_of(spark, sf_dir, "q_minhash_portable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
