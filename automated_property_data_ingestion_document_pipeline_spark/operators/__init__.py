@@ -6,6 +6,7 @@ Arrow-batched pandas paths explicitly marked as such."""
 from automated_property_data_ingestion_document_pipeline_spark.operators import (  # noqa: F401
     dedup,
     joins,
+    ranking,
     sessionize,
     similarity,
     validate,

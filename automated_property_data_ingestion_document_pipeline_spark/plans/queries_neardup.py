@@ -183,3 +183,87 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_SH_BITS = 16
+
+
+@query(
+    "q_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, u.tok,
+               CAST(('0x' || substr(md5(u.tok), 1, 4)) AS INT) AS h
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents WHERE text IS NOT NULL
+        ),
+        LATERAL (SELECT unnest(arr) AS tok) u
+    ),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"CAST(SUM(2 * ((h >> {b}) & 1) - 1) AS BIGINT) AS v{b}"
+                   for b in range(_SH_BITS)
+               )}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"(CASE WHEN v{b} > 0 THEN 1 ELSE 0 END << {b})"
+               for b in range(_SH_BITS)
+           )} AS BIGINT) AS simhash,
+           CAST(bit_count(CAST({" + ".join(
+               f"(CASE WHEN v{b} > 0 THEN 1 ELSE 0 END << {b})"
+               for b in range(_SH_BITS)
+           )} AS BIGINT)) AS INT) AS popcount
+    FROM votes
+    """,
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-bit SimHash signatures, VALUE-verified: each token
+    votes ±1 per bit position from its md5-derived 16-bit hash; the
+    signature takes the sign of each position's vote total. Because
+    md5, the hex-prefix slice, and the vote arithmetic are bit-
+    identical across engines, the driver hash-checks the SIGNATURES
+    themselves — the construction the production 63-bit xxhash lane
+    (operators/dedup.py, rows-only) implements at 4× the width. One
+    explode + one grouped aggregate carrying 16 small longs: the
+    map-side-combine shape that survives 100 TB. Token multiplicity
+    COUNTS (standard SimHash weighting by term frequency — no
+    distinct before the vote)."""
+    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    toks = toks.select("doc_id", h.alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.shiftright("h", b).bitwiseAND(1) - 1)
+            .cast("bigint")
+            .alias(f"v{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(_SH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** b)
+        sig = bit if sig is None else sig + bit
+    return votes.select(
+        "doc_id",
+        sig.cast("bigint").alias("simhash"),
+        F.expr(
+            "bit_count(cast("
+            + " + ".join(
+                f"(case when v{b} > 0 then 1 else 0 end * {2 ** b})"
+                for b in range(_SH_BITS)
+            )
+            + " as bigint))"
+        ).cast("int").alias("popcount"),
+    )
