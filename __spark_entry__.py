@@ -133,7 +133,8 @@ _PRIORITY = [
     "q_table_checksum", "q_oov_rate", "q_window_funnel", "q_stream_multi",
     "q_clamped_balance", "q_image_stats", "q_stream_static",
     "q_hour_bitmap", "q_frame_stats", "q_audio_energy",
-    "q_minhash_portable", "q_simhash_portable",
+    "q_minhash_portable", "q_simhash_portable", "q_weighted_median",
+    "q_revenue_bridge", "q_association_rules", "q_abc_classes",
 ]
 
 

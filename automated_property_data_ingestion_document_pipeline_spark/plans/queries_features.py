@@ -184,3 +184,156 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.when(F.col("hi") > F.col("lo"), F.round(scaled, 6)).alias("scaled"),
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH li AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_quantity > 0
+    ),
+    g AS (
+        SELECT l_returnflag, price_cents, CAST(SUM(w) AS BIGINT) AS w
+        FROM li GROUP BY l_returnflag, price_cents
+    ),
+    c AS (
+        SELECT l_returnflag, price_cents, w,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_w,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot_w
+        FROM g
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cum_w >= tot_w THEN price_cents END) AS BIGINT)
+               AS weighted_median_cents,
+           CAST(MAX(tot_w) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per return flag — the weighted
+    quantile every revenue-weighted latency / price analysis needs,
+    exact: the corpus reduces to the (flag, price) weight table (one
+    partial-agg shuffle; domain-bounded like the AUC score table), the
+    cumulative weight runs over that grouped table within each flag
+    partition, and the median is the first price where
+    2·cum_w ≥ tot_w — all BIGINT, no interpolation. A plain median
+    treats a 50-unit line item like a 1-unit one; the weighted form is
+    what 'median unit price' actually means."""
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_quantity") > 0)
+    )
+    g = (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+            F.floor("l_quantity").cast("bigint").alias("w"),
+        )
+        .groupBy("l_returnflag", "price_cents")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    wflag = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price_cents",
+        "w",
+        F.sum("w")
+        .over(wflag.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_w"),
+        F.sum("w").over(wflag).cast("bigint").alias("tot_w"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(2 * F.col("cum_w") >= F.col("tot_w"), F.col("price_cents"))
+        )
+        .cast("bigint")
+        .alias("weighted_median_cents"),
+        F.max("tot_w").cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "q_revenue_bridge",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                              AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev_a,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev_b
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        GROUP BY o_custkey
+        HAVING rev_a <> 0 OR rev_b <> 0
+    )
+    SELECT
+        CAST(SUM(rev_a) AS BIGINT) AS starting_cents,
+        CAST(SUM(CASE WHEN rev_a = 0 THEN rev_b ELSE 0 END) AS BIGINT) AS new_cents,
+        CAST(SUM(CASE WHEN rev_a > 0 AND rev_b > rev_a THEN rev_b - rev_a
+                      ELSE 0 END) AS BIGINT) AS expansion_cents,
+        CAST(SUM(CASE WHEN rev_a > 0 AND rev_b > 0 AND rev_b < rev_a
+                      THEN rev_a - rev_b ELSE 0 END) AS BIGINT) AS contraction_cents,
+        CAST(SUM(CASE WHEN rev_b = 0 THEN rev_a ELSE 0 END) AS BIGINT) AS churned_cents,
+        CAST(SUM(rev_b) AS BIGINT) AS ending_cents,
+        CAST(SUM(CASE WHEN rev_a = 0 AND rev_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+        CAST(SUM(CASE WHEN rev_a > 0 AND rev_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_churned
+    FROM m
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge (the SaaS waterfall): per
+    customer, 1995 vs 1996 revenue in exact cents, decomposed into
+    new / expansion / contraction / churned buckets whose integer
+    identity start + new + expansion − contraction − churned = end
+    holds EXACTLY (floating point would leak cents across buckets —
+    the classic finance-dashboard reconciliation failure). One
+    conditional-aggregate shuffle to the per-customer table, one 1-row
+    reduction; the bridge identity is additionally pinned by a test."""
+    o = catalog.load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    in_a = (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    in_b = (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(in_a, cents).otherwise(0)).cast("bigint").alias("rev_a"),
+            F.sum(F.when(in_b, cents).otherwise(0)).cast("bigint").alias("rev_b"),
+        )
+        .filter((F.col("rev_a") != 0) | (F.col("rev_b") != 0))
+    )
+    ra, rb = F.col("rev_a"), F.col("rev_b")
+    return m.agg(
+        F.sum(ra).cast("bigint").alias("starting_cents"),
+        F.sum(F.when(ra == 0, rb).otherwise(0)).cast("bigint").alias("new_cents"),
+        F.sum(F.when((ra > 0) & (rb > ra), rb - ra).otherwise(0))
+        .cast("bigint")
+        .alias("expansion_cents"),
+        F.sum(F.when((ra > 0) & (rb > 0) & (rb < ra), ra - rb).otherwise(0))
+        .cast("bigint")
+        .alias("contraction_cents"),
+        F.sum(F.when(rb == 0, ra).otherwise(0)).cast("bigint").alias("churned_cents"),
+        F.sum(rb).cast("bigint").alias("ending_cents"),
+        F.sum(F.when((ra == 0) & (rb > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when((ra > 0) & (rb == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+    )

@@ -454,3 +454,151 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_nations"),
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
     )
+
+
+@query(
+    "q_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+    freq AS (
+      SELECT l_partkey, COUNT(*) AS supp FROM baskets
+      GROUP BY l_partkey HAVING COUNT(*) >= 3
+    ),
+    fb AS (
+      SELECT b.l_orderkey, b.l_partkey FROM baskets b
+      JOIN freq f ON b.l_partkey = f.l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS supp_ab
+      FROM fb a JOIN fb b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.supp_ab AS BIGINT) AS supp_ab,
+           CAST(fa.supp AS BIGINT) AS supp_a,
+           CAST(fb2.supp AS BIGINT) AS supp_b,
+           ROUND(CAST(p.supp_ab AS DOUBLE) / CAST(fa.supp AS DOUBLE), 6)
+               AS confidence_ab,
+           ROUND(CAST(p.supp_ab * nb.n_baskets AS DOUBLE)
+                 / CAST(fa.supp * fb2.supp AS DOUBLE), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.item_a
+    JOIN freq fb2 ON fb2.l_partkey = p.item_b
+    CROSS JOIN nb
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b over the A-Priori-pruned pair table:
+    confidence = supp(ab)/supp(a) and lift =
+    supp(ab)·N / (supp(a)·supp(b)) — both computed as integer
+    cross-products with ONE IEEE division each (never a ratio of two
+    rounded doubles). Completes the market-basket family
+    (q_item_pairs = mining, q_item_similarity = cosine, this = the
+    rule scores a recommender actually ranks by). Plan: the pruned
+    pair join from q_item_pairs + two broadcast support joins + a
+    single-row basket-count broadcast."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    nb = baskets.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    freq = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count("*").alias("supp"))
+        .filter(F.col("supp") >= 3)
+    )
+    fb = baskets.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    a = fb.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_a"))
+    b = fb.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("item_a"), F.col("supp").alias("supp_a"))
+    fb2 = freq.select(F.col("l_partkey").alias("item_b"), F.col("supp").alias("supp_b"))
+    out = (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb2), "item_b")
+        .join(F.broadcast(nb))  # single-row broadcast, not a cartesian
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        F.col("supp_ab").cast("bigint").alias("supp_ab"),
+        F.col("supp_a").cast("bigint").alias("supp_a"),
+        F.col("supp_b").cast("bigint").alias("supp_b"),
+        F.round(
+            F.col("supp_ab").cast("double") / F.col("supp_a").cast("double"), 6
+        ).alias("confidence_ab"),
+        F.round(
+            (F.col("supp_ab") * F.col("n_baskets")).cast("double")
+            / (F.col("supp_a") * F.col("supp_b")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+@query(
+    "q_abc_classes",
+    oracle="""
+    WITH p AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY l_partkey
+    ),
+    r AS (
+        SELECT l_partkey, rev_cents,
+               CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_cents,
+               CAST(SUM(rev_cents) OVER () AS BIGINT) AS tot_cents
+        FROM p
+    )
+    SELECT l_partkey, rev_cents, cum_cents,
+           CASE WHEN 5 * cum_cents <= 4 * tot_cents THEN 'A'
+                WHEN 20 * cum_cents <= 19 * tot_cents THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A while cumulative share ≤ 80%, B to 95%, C after — with the
+    share thresholds tested as INTEGER cross-products
+    (5·cum ≤ 4·tot ⇔ cum/tot ≤ 0.8, zero float ambiguity at the
+    boundary). The cumulative revenue comes from the scalable
+    range-partition prefix sum (operators/ranking.global_prefix_sum) —
+    the oracle's single-task ordered window is the semantics, not the
+    plan — so the classification parallelizes over any catalog size."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    tot = p.agg(F.sum("rev_cents").cast("bigint").alias("tot_cents"))
+    r = ranking.global_prefix_sum(
+        p.join(F.broadcast(tot)),  # single-row broadcast
+        [F.col("rev_cents").desc(), F.col("l_partkey").asc()],
+        "rev_cents",
+        out_col="cum_cents",
+    )
+    return r.select(
+        "l_partkey",
+        "rev_cents",
+        "cum_cents",
+        F.when(5 * F.col("cum_cents") <= 4 * F.col("tot_cents"), "A")
+        .when(20 * F.col("cum_cents") <= 19 * F.col("tot_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

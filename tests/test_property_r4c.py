@@ -232,3 +232,20 @@ def test_clamped_balance_fold_model(deltas):
     for d in deltas:
         plain += d
     assert full >= max(0, plain)
+
+
+def test_revenue_bridge_identity(spark, sf_dir):
+    """start + new + expansion − contraction − churned == end, to the
+    exact cent — the reconciliation identity the integer formulation
+    guarantees and a floating-point bridge leaks on."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans import QUERIES
+
+    r = QUERIES["q_revenue_bridge"](spark, sf_dir).collect()[0]
+    assert (
+        r.starting_cents
+        + r.new_cents
+        + r.expansion_cents
+        - r.contraction_cents
+        - r.churned_cents
+        == r.ending_cents
+    )
