@@ -25,7 +25,7 @@ exact in int64 with Σx² < 2^53 headroom at sf ≥ 1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_property_data_ingestion_document_pipeline_spark import catalog
@@ -241,3 +241,119 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cell = F.explode(F.array(*[corr_struct(a, b) for a, b in _PAIRS])).alias("cell")
     return s.select(cell).select("cell.col_x", "cell.col_y", "cell.r")
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE u AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                    COALESCE(CAST(MIN(CASE WHEN event_type = 'error' THEN ts END)
+                                  AS DATE),
+                             CAST(MAX(ts) AS DATE))) AS BIGINT) AS t,
+               CASE WHEN MIN(CASE WHEN event_type = 'error' THEN ts END)
+                         IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    times AS (
+        SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM u GROUP BY t
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u),
+    ord AS (
+        SELECT t, d, c,
+               ROW_NUMBER() OVER (ORDER BY t) AS rn,
+               (SELECT n_total FROM tot)
+                 - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_at_risk
+        FROM times
+    ),
+    rec AS (
+        SELECT rn, t, d, c, n_at_risk,
+               1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) AS surv
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.rn, o.t, o.d, o.c, o.n_at_risk,
+               rec.surv * (1.0 - CAST(o.d AS DOUBLE) / CAST(o.n_at_risk AS DOUBLE))
+        FROM rec JOIN ord o ON o.rn = rec.rn + 1
+    )
+    SELECT t, d AS n_events, c AS n_censored, n_at_risk,
+           ROUND(surv, 6) AS survival
+    FROM rec
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator with right-censoring — time to
+    first 'error' per user, censored at last activity if none ever
+    occurs (the churn/time-to-failure analysis). The corpus reduces to
+    the per-user (duration, event) table in one shuffle, then to the
+    DAY-DOMAIN-bounded distinct-time table; at-risk counts are the
+    exclusive prefix complement, and S(t) = Π(1 − dᵢ/nᵢ) folds
+    left-to-right over the sorted time array (JVM ``aggregate`` with a
+    running-product array accumulator — the EWMA fold generalized to
+    emit EVERY prefix), evaluating the identical multiplication chain
+    as the oracle's recursive CTE, so the doubles agree bitwise before
+    the defensive round. The single-group collect holds |distinct
+    durations| rows (≤ the day domain), never the corpus."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    err_ts = F.min(F.when(F.col("event_type") == "error", F.col("ts")))
+    u = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("_first"),
+        err_ts.cast("date").alias("_err"),
+        F.max("ts").cast("date").alias("_last"),
+    )
+    u = u.select(
+        F.datediff(F.coalesce("_err", "_last"), "_first").cast("bigint").alias("t"),
+        F.when(F.col("_err").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    times = u.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = times.agg(F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n_total"))
+    # the time table is day-domain bounded — the ordered window here runs
+    # over ≤ a few thousand rows no matter the corpus size
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    ord_ = (
+        times.join(F.broadcast(tot))  # single-row broadcast
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wt), F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    one = ord_.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c", "n_at_risk"))).alias("arr")
+    )
+    folded = one.select(
+        F.expr(
+            """
+            aggregate(
+              arr,
+              cast(array() as array<struct<t:bigint,d:bigint,c:bigint,
+                                           n_at_risk:bigint,surv:double>>),
+              (acc, x) -> array_append(acc, named_struct(
+                 't', x.t, 'd', x.d, 'c', x.c, 'n_at_risk', x.n_at_risk,
+                 'surv', (case when size(acc) = 0 then 1.0D
+                               else acc[size(acc) - 1].surv end)
+                         * (1.0D - cast(x.d as double)
+                                   / cast(x.n_at_risk as double))))
+            )
+            """
+        ).alias("km")
+    )
+    return folded.select(F.explode("km").alias("r")).select(
+        F.col("r.t").alias("t"),
+        F.col("r.d").alias("n_events"),
+        F.col("r.c").alias("n_censored"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.round(F.col("r.surv"), 6).alias("survival"),
+    )
