@@ -357,3 +357,107 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n_at_risk").alias("n_at_risk"),
         F.round(F.col("r.surv"), 6).alias("survival"),
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+        FROM events
+        WHERE value IS NOT NULL AND value > -1e12 AND value < 1e12
+          AND event_type IN ('purchase', 'click')
+    ),
+    g AS (
+        SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - is_a) AS BIGINT) AS cb
+        FROM s GROUP BY v
+    ),
+    c AS (
+        SELECT v,
+               CAST(SUM(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_a,
+               CAST(SUM(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_b,
+               CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+               CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+        FROM g
+    ),
+    d AS (
+        SELECT v, ABS(cum_a * n_b - cum_b * n_a) AS dnum, n_a, n_b FROM c
+    )
+    SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+           CAST(MAX(dnum) AS BIGINT) AS d_numerator,
+           CAST(MIN(CASE WHEN dnum = (SELECT MAX(dnum) FROM d) THEN v END)
+                AS BIGINT) AS d_at_cents,
+           ROUND(CAST(MAX(dnum) AS DOUBLE)
+                 / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)), 6)
+               AS ks_stat
+    FROM d
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    purchase and click value distributions: D = max|F_A(v) − F_B(v)|
+    computed as the integer cross-product max|cum_a·n_b − cum_b·n_a|
+    over the merged distinct-value table, divided ONCE at the end —
+    no per-point float CDFs to accumulate error, and the argmax value
+    (deterministic min tiebreak) is reported so the analyst sees WHERE
+    the distributions diverge. Same domain-bounded shape as the AUC
+    plan: one partial-agg shuffle to the value table, prefix sums over
+    that table, a 1-row reduction. The drift-detection test run
+    between training snapshots at 100 TB."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & (F.col("value") > -1e12)
+        & (F.col("value") < 1e12)
+        & F.col("event_type").isin("purchase", "click")
+    )
+    s = e.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
+    # totals as a single-row broadcast; cumulative counts via the
+    # scalable range-partition prefix sum (operators/ranking.py) — the
+    # distinct-cents table can reach ~1e8 rows at 100 TB, too large for
+    # a single-task ordered window (same refactor as q_auc_exact)
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    c = ranking.global_prefix_sum(
+        g.join(F.broadcast(tot)), [F.col("v").asc()], "ca", out_col="cum_a"
+    )
+    c = ranking.global_prefix_sum(c, [F.col("v").asc()], "cb", out_col="cum_b")
+    d = c.select(
+        "v",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
+            "dnum"
+        ),
+        "n_a",
+        "n_b",
+    )
+    dmax_row = d.agg(F.max("dnum").alias("dmax"))
+    d = d.join(F.broadcast(dmax_row))  # single-row broadcast
+    return d.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("dnum").cast("bigint").alias("d_numerator"),
+        F.min(F.when(F.col("dnum") == F.col("dmax"), F.col("v")))
+        .cast("bigint")
+        .alias("d_at_cents"),
+        F.round(
+            F.max("dnum").cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
+            6,
+        ).alias("ks_stat"),
+    )

@@ -249,3 +249,26 @@ def test_revenue_bridge_identity(spark, sf_dir):
         - r.churned_cents
         == r.ending_cents
     )
+
+
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ks_integer_cross_product_equals_float_cdf_sup(xs, ys):
+    """The integer formulation max|cum_a*n_b - cum_b*n_a| / (n_a*n_b)
+    equals the textbook sup|F_A - F_B| over the merged support — and
+    being integer, it cannot miss the sup by a rounding epsilon."""
+    from fractions import Fraction
+
+    na, nb = len(xs), len(ys)
+    support = sorted(set(xs) | set(ys))
+    best = Fraction(0)
+    best_int = 0
+    for v in support:
+        ca = sum(1 for x in xs if x <= v)
+        cb = sum(1 for y in ys if y <= v)
+        best = max(best, abs(Fraction(ca, na) - Fraction(cb, nb)))
+        best_int = max(best_int, abs(ca * nb - cb * na))
+    assert Fraction(best_int, na * nb) == best
