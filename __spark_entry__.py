@@ -135,7 +135,7 @@ _PRIORITY = [
     "q_hour_bitmap", "q_frame_stats", "q_audio_energy",
     "q_minhash_portable", "q_simhash_portable", "q_weighted_median",
     "q_revenue_bridge", "q_association_rules", "q_abc_classes",
-    "q_kaplan_meier", "q_ks_test",
+    "q_kaplan_meier", "q_ks_test", "q_time_rollup", "q_user_growth",
 ]
 
 

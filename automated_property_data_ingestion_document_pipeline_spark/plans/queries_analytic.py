@@ -795,3 +795,122 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_ts",
         )
     )
+
+
+@query(
+    "q_time_rollup",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)   AS day,
+               CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR)  AS week,
+               CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS month,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND value > -1e12 AND value < 1e12
+    )
+    SELECT day, week, month,
+           CASE WHEN day IS NOT NULL THEN 'day'
+                WHEN week IS NOT NULL THEN 'week'
+                ELSE 'month' END AS grain,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM ev
+    GROUP BY GROUPING SETS ((day), (week), (month))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup in ONE scan: daily, weekly, and monthly
+    event counts + cents totals via GROUPING SETS — the dashboard
+    backfill that would otherwise cost three scans. Spark plans this as
+    a single Expand (each row fans into 3 grain-tagged copies) feeding
+    one partial-agg shuffle, so input is read once no matter how many
+    grains; both engines truncate weeks to ISO Monday. Grain is
+    labelled from which bucket survived the grouping NULL pattern."""
+    ev = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > -1e12)
+        & (F.col("value") < 1e12)
+    )
+    ev.select(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        F.date_trunc("week", "ts").cast("date").cast("string").alias("week"),
+        F.date_trunc("month", "ts").cast("date").cast("string").alias("month"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("tr_events")
+    return spark.sql(
+        """
+        SELECT day, week, month,
+               CASE WHEN day IS NOT NULL THEN 'day'
+                    WHEN week IS NOT NULL THEN 'week'
+                    ELSE 'month' END AS grain,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM tr_events
+        GROUP BY GROUPING SETS ((day), (week), (month))
+        """
+    )
+
+
+@query(
+    "q_user_growth",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    first_seen AS (
+        SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY user_id
+    ),
+    daily AS (
+        SELECT e.day,
+               COUNT(DISTINCT e.user_id) AS dau,
+               COUNT(DISTINCT CASE WHEN f.first_day = e.day
+                                   THEN e.user_id END) AS new_users
+        FROM ev e JOIN first_seen f ON f.user_id = e.user_id
+        GROUP BY e.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(dau - new_users AS BIGINT) AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth dashboard's first chart: per day — DAU, new vs
+    returning split (new = first-ever activity that day), and
+    cumulative registered users. 'Cumulative distinct' is computed
+    WITHOUT any running-distinct state: each user contributes to
+    exactly their first-seen day, so the cumulative-uniques curve is
+    just a prefix sum of new-user counts — the identity that makes
+    this cheap at 100 TB (two keyed shuffles + a day-domain window)
+    where a naive per-day distinct-to-date rescan would be quadratic."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ev = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ev.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("first_day") == F.col("day"), F.col("user_id"))
+            ).alias("new_users"),
+        )
+    )
+    # day-domain window (≤ calendar span regardless of corpus size)
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        (F.col("dau") - F.col("new_users")).cast("bigint").alias("returning_users"),
+        F.sum("new_users").over(wd).cast("bigint").alias("cumulative_users"),
+    )
