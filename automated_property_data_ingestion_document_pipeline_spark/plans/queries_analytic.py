@@ -914,3 +914,50 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dau") - F.col("new_users")).cast("bigint").alias("returning_users"),
         F.sum("new_users").over(wd).cast("bigint").alias("cumulative_users"),
     )
+
+
+@query(
+    "q_diversity_index",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+               COUNT(*) AS n
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+           ROUND(1.0 - CAST(SUM(n * n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)), 6)
+               AS gini_impurity
+    FROM c GROUP BY day
+    """,
+)
+def q_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily behavioral-diversity index: Gini impurity / Simpson's
+    1 − Σpᵢ² of the event-type mix — 0 when a day is all one action,
+    →1 as behavior diversifies (the engagement-health metric, and the
+    split criterion decision trees optimize). No per-class
+    probabilities ever materialize: Σnᵢ² and (Σnᵢ)² are exact BIGINTs
+    from the two-level aggregate and the index is ONE division — the
+    same algebraic-aggregate shape as the χ²/OLS family, two
+    partial-agg shuffles at any scale."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    c = e.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return c.groupBy("day").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n").cast("double") * F.sum("n").cast("double")),
+            6,
+        ).alias("gini_impurity"),
+    )

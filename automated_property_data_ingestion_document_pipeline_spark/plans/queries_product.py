@@ -414,3 +414,106 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.cast("bigint").alias("n_oov"),
         F.round(oov.cast("double") / F.count("*").cast("double"), 6).alias("oov_rate"),
     )
+
+
+@query(
+    "q_json_flatten",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id, props AS s FROM events
+        WHERE props IS NOT NULL AND json_valid(props)
+          AND json_type(json(props)) = 'OBJECT'
+    )
+    SELECT r.event_id, u.key,
+           json_extract_string(r.s, '$.' || u.key) AS val
+    FROM raw r, LATERAL (SELECT unnest(json_keys(r.s)) AS key) u
+    """,
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON flattening: every (key, value) pair of every
+    valid props object becomes a long-format row — the exploration
+    query run BEFORE a schema is declared (which keys exist? how often?
+    what do values look like?). ``from_json`` to ``map<string,string>``
+    coerces scalars to their literal text exactly as DuckDB's
+    ``json_extract_string`` does ('69', '3.7', 'true'; JSON null →
+    NULL value, kept as a row), and non-object/malformed payloads
+    yield a NULL map which ``explode`` drops — matching the oracle's
+    object-only filter. Row-local fan-out, zero shuffles."""
+    e = catalog.load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json("props", "map<string,string>")
+    return e.select("event_id", F.explode(m).alias("key", "val"))
+
+
+@query(
+    "q_odds_ratio",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM u
+    )
+    SELECT a, b, c, d,
+           CASE WHEN b * c > 0
+                THEN ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+           END AS odds_ratio,
+           CASE WHEN c * (a + b) > 0
+                THEN ROUND(CAST(a * (c + d) AS DOUBLE)
+                           / CAST(c * (a + b) AS DOUBLE), 6)
+           END AS relative_risk
+    FROM t
+    """,
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes for the 2×2 experiment table: odds ratio a·d/b·c
+    and relative risk a(c+d)/c(a+b) — the numbers reported NEXT TO
+    q_ab_test's z statistic. Integer cross-products with ONE division
+    each and NULL (not ±inf) for degenerate margins; the whole table is
+    one conditional aggregate over the per-user reduction — two
+    partial-agg exchanges end to end, like every test in this family."""
+    e = catalog.load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150.0), 1
+            ).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).cast("bigint").alias("variant"), "conv")
+    t = u.agg(
+        F.sum(F.when((F.col("variant") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(b * c > 0, F.round((a * d).cast("double") / (b * c).cast("double"), 6))
+        .alias("odds_ratio"),
+        F.when(
+            c * (a + b) > 0,
+            F.round((a * (c + d)).cast("double") / (c * (a + b)).cast("double"), 6),
+        ).alias("relative_risk"),
+    )
