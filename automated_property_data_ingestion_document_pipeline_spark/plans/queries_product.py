@@ -517,3 +517,73 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((a * (c + d)).cast("double") / (c * (a + b)).cast("double"), 6),
         ).alias("relative_risk"),
     )
+
+
+@query(
+    "q_wilson_interval",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS x
+        FROM u GROUP BY variant
+    )
+    SELECT variant, CAST(n AS BIGINT) AS n, x,
+           ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+           ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                  + CAST('3.8416' AS DOUBLE) / (2.0 * n)
+                  - CAST('1.96' AS DOUBLE) * sqrt(
+                      (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / n
+                      + CAST('3.8416' AS DOUBLE) / (4.0 * n * n)))
+                 / (1.0 + CAST('3.8416' AS DOUBLE) / n), 6) AS wilson_lo,
+           ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                  + CAST('3.8416' AS DOUBLE) / (2.0 * n)
+                  + CAST('1.96' AS DOUBLE) * sqrt(
+                      (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / n
+                      + CAST('3.8416' AS DOUBLE) / (4.0 * n * n)))
+                 / (1.0 + CAST('3.8416' AS DOUBLE) / n), 6) AS wilson_hi
+    FROM v
+    """,
+)
+def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval per experiment arm — the
+    error bars that stay inside [0,1] and behave at small n, unlike the
+    naive normal interval a dashboard usually draws. The z constants
+    ride as STRING-cast literals (1.96 / z² = 3.8416) so both engines
+    parse the identical doubles (the §41 DECIMAL-literal lesson), and
+    the whole bound is one fixed IEEE tree (+,−,×,/,sqrt) over the
+    single integer (n, x) row per arm — bit-identical before the
+    defensive round. Completes the experiment-analysis family: z-test
+    (significance), OR/RR (effect size), Wilson (uncertainty)."""
+    e = catalog.load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150.0), 1
+            ).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).cast("bigint").alias("variant"), "conv")
+    v = u.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("conv").cast("bigint").alias("x")
+    )
+    n_d = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n_d
+    z = F.lit("1.96").cast("double")
+    z2 = F.lit("3.8416").cast("double")
+    center = p + z2 / (F.lit(2.0) * n_d)
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n_d + z2 / (F.lit(4.0) * n_d * n_d))
+    denom = F.lit(1.0) + z2 / n_d
+    return v.select(
+        "variant",
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
