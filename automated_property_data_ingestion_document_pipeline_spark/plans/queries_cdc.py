@@ -455,3 +455,94 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed_or_kept.unionByName(appended)
+
+
+@query(
+    "q_scd2_lookup",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+        WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    ),
+    eff AS (
+        SELECT c_custkey, c_mktsegment AS old_seg,
+               'SEGMENT-' || CAST(c_custkey % 3 AS VARCHAR) AS new_seg
+        FROM base WHERE c_custkey % 7 = 0
+          AND c_mktsegment <> 'SEGMENT-' || CAST(c_custkey % 3 AS VARCHAR)
+    ),
+    dim AS (
+        SELECT b.c_custkey, b.c_mktsegment, b.valid_from,
+               CASE WHEN e.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '1996-06-01 00:00:00' END AS valid_to
+        FROM base b LEFT JOIN eff e ON b.c_custkey = e.c_custkey
+        UNION ALL
+        SELECT c_custkey, new_seg, TIMESTAMP '1996-06-01 00:00:00',
+               CAST(NULL AS TIMESTAMP)
+        FROM eff
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           d.c_mktsegment AS segment_asof
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+      AND d.valid_from <= o.o_orderdate
+      AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    WHERE o.o_custkey IS NOT NULL AND o.o_orderdate IS NOT NULL
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The point of maintaining SCD2 history: each fact joins the
+    dimension VERSION that was current AS OF the fact's own date
+    (valid_from ≤ o_orderdate < valid_to, open version = NULL bound) —
+    the q_scd2_merge history applied to the orders fact. One
+    broadcast-able interval-predicate join: the dim carries ≤2 versions
+    per key, so the equi-join on custkey plus the residual validity
+    filter is the right plan (never a range cross join); at fact scale
+    the dim side broadcasts exactly like every other lookup. Completes
+    the SCD2 lifecycle: derive (q_scd2_intervals) → maintain
+    (q_scd2_merge) → consume (this key)."""
+    c = catalog.load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    new_seg = F.concat(F.lit("SEGMENT-"), (F.col("c_custkey") % 3).cast("string"))
+    eff = base.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_mktsegment") != new_seg)
+    ).select(F.col("c_custkey").alias("k"), new_seg.alias("new_seg"))
+    cut = F.lit("1996-06-01 00:00:00").cast("timestamp")
+    closed_or_kept = base.join(
+        F.broadcast(eff), base["c_custkey"] == eff["k"], "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        F.when(F.col("k").isNotNull(), cut).alias("valid_to"),
+    )
+    appended = eff.select(
+        F.col("k").alias("c_custkey"),
+        F.col("new_seg").alias("c_mktsegment"),
+        cut.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = closed_or_kept.unionByName(appended)
+    o = catalog.load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    j = o.join(
+        F.broadcast(dim),
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("c_mktsegment").alias("segment_asof"),
+    )

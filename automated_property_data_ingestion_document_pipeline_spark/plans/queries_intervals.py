@@ -275,3 +275,68 @@ def q_hour_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "q_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    pts AS (
+        SELECT s AS t, 1 AS delta, user_id FROM iv
+        UNION ALL
+        SELECT e + INTERVAL 1 MICROSECOND AS t, -1 AS delta, user_id FROM iv
+    ),
+    c AS (
+        SELECT t,
+               CAST(SUM(delta) OVER (ORDER BY t, delta DESC, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS concurrent
+        FROM pts
+    )
+    SELECT CAST(MAX(concurrent) AS BIGINT) AS peak,
+           MIN(CASE WHEN concurrent = (SELECT MAX(concurrent) FROM c)
+                    THEN t END) AS peak_at
+    FROM c
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity (max interval-stabbing depth): each
+    user's [first, last] activity interval becomes a +1/−1 boundary
+    event, the running sum over the boundary order is the live
+    concurrency curve, and its max + earliest argmax time answer
+    'how many users were active AT ONCE, and when' — the capacity-
+    planning number union-length coverage (q_interval_coverage) can't
+    give. Boundary order ties break (+1 before −1, then user) so
+    back-to-back intervals count as overlapping on both engines; at
+    100 TB the running sum swaps onto ranking.global_prefix_sum (the
+    boundary table is 2·|keys| rows — here it rides one ordered window
+    over that reduced table)."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    iv = e.groupBy("user_id").agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        iv.select(
+            (F.col("e") + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    w = Window.orderBy(
+        F.col("t").asc(), F.col("delta").desc(), F.col("user_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    c = pts.select("t", F.sum("delta").over(w).cast("bigint").alias("concurrent"))
+    mx = c.agg(F.max("concurrent").alias("_peak"))
+    c2 = c.join(F.broadcast(mx))  # single-row broadcast
+    return c2.agg(
+        F.max("concurrent").cast("bigint").alias("peak"),
+        F.min(
+            F.when(F.col("concurrent") == F.col("_peak"), F.col("t"))
+        ).alias("peak_at"),
+    )

@@ -1216,3 +1216,92 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ")"
         ).cast("bigint").alias("final_balance_cents"),
     )
+
+
+@query(
+    "q_control_chart",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND value > -1e7 AND value < 1e7
+        GROUP BY 1
+    ),
+    mr AS (
+        SELECT hr, x,
+               ABS(x - LAG(x) OVER (ORDER BY hr)) AS moving_range
+        FROM hourly
+    ),
+    s AS (
+        SELECT CAST(COUNT(x) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(COUNT(moving_range) AS BIGINT) AS n_mr,
+               CAST(SUM(moving_range) AS BIGINT) AS sum_mr
+        FROM mr
+    ),
+    lim AS (
+        SELECT n, n_mr,
+               CAST(sum_x AS DOUBLE) / n AS center,
+               CAST('2.66' AS DOUBLE) * CAST(sum_mr AS DOUBLE) / n_mr AS spread
+        FROM s
+    )
+    SELECT m.hr AS hour_label, m.x,
+           ROUND(l.center, 6) AS center_line,
+           ROUND(l.center - l.spread, 6) AS lcl,
+           ROUND(l.center + l.spread, 6) AS ucl,
+           m.x < l.center - l.spread OR m.x > l.center + l.spread
+               AS out_of_control
+    FROM mr m CROSS JOIN lim l
+    """,
+)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals + moving-range) control chart over the hourly
+    revenue series — the SPC screen SRE/manufacturing dashboards run
+    before alerting: center line = mean, limits = x̄ ± 2.66·m̄R (the
+    2.66 anti-biasing constant rides as a string-cast literal). Each
+    statistic is an exact-integer sum with ONE division; the limits
+    join back as a single-row broadcast, so the flag is evaluated
+    row-locally against identical doubles on both engines. Completes
+    the anomaly family: z-score (distribution), MAD/IQR (robust),
+    CUSUM (drift), XmR (process control)."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > -1e7)
+        & (F.col("value") < 1e7)
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("x")
+    )
+    # hour-domain window (bounded by calendar span)
+    mr = hourly.withColumn(
+        "moving_range", F.abs(F.col("x") - F.lag("x").over(Window.orderBy("hr")))
+    )
+    s = mr.agg(
+        F.count("x").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.count("moving_range").cast("bigint").alias("n_mr"),
+        F.sum("moving_range").cast("bigint").alias("sum_mr"),
+    )
+    lim = s.select(
+        (F.col("sum_x").cast("double") / F.col("n")).alias("center"),
+        (
+            F.lit("2.66").cast("double")
+            * F.col("sum_mr").cast("double")
+            / F.col("n_mr")
+        ).alias("spread"),
+    )
+    out = mr.join(F.broadcast(lim))  # single-row broadcast
+    return out.select(
+        F.col("hr").alias("hour_label"),
+        "x",
+        F.round(F.col("center"), 6).alias("center_line"),
+        F.round(F.col("center") - F.col("spread"), 6).alias("lcl"),
+        F.round(F.col("center") + F.col("spread"), 6).alias("ucl"),
+        (
+            (F.col("x") < F.col("center") - F.col("spread"))
+            | (F.col("x") > F.col("center") + F.col("spread"))
+        ).alias("out_of_control"),
+    )
