@@ -337,3 +337,62 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_churned"),
     )
+
+
+@query(
+    "q_rank_normalize",
+    oracle="""
+    WITH oc AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    r AS (
+        SELECT o_orderkey, cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM oc
+    )
+    SELECT o_orderkey, cents,
+           CAST(rn AS BIGINT) AS rn,
+           CASE WHEN n > 1
+                THEN ROUND(CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+           END AS rank_scaled
+    FROM r
+    """,
+)
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank normalization to [0, 1] — the outlier-IMMUNE feature
+    scaler (min-max moves with a single extreme value; the rank
+    transform cannot): scaled = (rank−1)/(n−1) with deterministic
+    orderkey tiebreaks, NULL for the degenerate single-row case. Rank
+    comes from the scalable range-partition machinery
+    (operators/ranking.global_rank — the oracle's single-task window
+    is semantics only); n joins as a single-row broadcast; one IEEE
+    division per row. Together with q_minmax_scale and q_quantize_*
+    this completes the feature-scaling toolbox."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
+    o = (
+        catalog.load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    n_row = o.agg(F.count("*").cast("bigint").alias("_n"))
+    r = ranking.global_rank(
+        o.join(F.broadcast(n_row)),  # single-row broadcast
+        [F.col("cents").asc(), F.col("o_orderkey").asc()],
+    )
+    return r.select(
+        "o_orderkey",
+        "cents",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.when(
+            F.col("_n") > 1,
+            F.round(
+                (F.col("rn") - 1).cast("double") / (F.col("_n") - 1).cast("double"), 6
+            ),
+        ).alias("rank_scaled"),
+    )
