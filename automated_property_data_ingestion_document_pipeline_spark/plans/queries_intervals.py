@@ -292,7 +292,7 @@ def q_hour_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT t,
-               CAST(SUM(delta) OVER (ORDER BY t, delta DESC, user_id
+               CAST(SUM(delta) OVER (ORDER BY t, delta ASC, user_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS concurrent
         FROM pts
@@ -310,8 +310,13 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrency curve, and its max + earliest argmax time answer
     'how many users were active AT ONCE, and when' — the capacity-
     planning number union-length coverage (q_interval_coverage) can't
-    give. Boundary order ties break (+1 before −1, then user) so
-    back-to-back intervals count as overlapping on both engines; at
+    give. With −1 placed at end+1µs (closed-interval exclusivity),
+    equal-time ties MUST process −1 before +1: an interval ending 1 µs
+    before another starts is NOT overlap — the +1-first order
+    silently overcounts exactly that adjacency, a bug the DuckDB
+    oracle could never catch because both engines shared the tie
+    order; the hypothesis sweep-vs-brute-stabbing model did
+    (tests/test_property_r4c.py). At
     100 TB the running sum swaps onto ranking.global_prefix_sum (the
     boundary table is 2·|keys| rows — here it rides one ordered window
     over that reduced table)."""
@@ -329,7 +334,7 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(
-        F.col("t").asc(), F.col("delta").desc(), F.col("user_id").asc()
+        F.col("t").asc(), F.col("delta").asc(), F.col("user_id").asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     c = pts.select("t", F.sum("delta").over(w).cast("bigint").alias("concurrent"))
     mx = c.agg(F.max("concurrent").alias("_peak"))

@@ -272,3 +272,68 @@ def test_ks_integer_cross_product_equals_float_cdf_sup(xs, ys):
         best = max(best, abs(Fraction(ca, na) - Fraction(cb, nb)))
         best_int = max(best_int, abs(ca * nb - cb * na))
     assert Fraction(best_int, na * nb) == best
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=500),  # value
+            st.integers(min_value=1, max_value=20),      # weight
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_weighted_median_election_matches_expanded_median(pairs):
+    """The grouped 2·cum_w ≥ tot_w election equals the lower median of
+    the weight-EXPANDED multiset — the definition it compresses."""
+    tot = sum(w for _, w in pairs)
+    # election on the grouped representation
+    agg = {}
+    for v, w in pairs:
+        agg[v] = agg.get(v, 0) + w
+    cum = 0
+    elected = None
+    for v in sorted(agg):
+        cum += agg[v]
+        if 2 * cum >= tot:
+            elected = v
+            break
+    # definition: lower median of the expanded multiset
+    expanded = sorted(v for v, w in pairs for _ in range(w))
+    lower_median = expanded[(len(expanded) - 1) // 2]
+    assert elected == lower_median
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=100),
+        ).map(lambda p: (min(p), max(p))),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_peak_concurrency_sweep_matches_brute_stabbing(intervals):
+    """The +1/−1 sweep max (with end+1 exclusive bounds, −1-before-+1
+    ties — an interval ending 1 unit before another starts is NOT
+    overlap) equals brute-force max stabbing depth over CLOSED
+    intervals. The +1-first variant overcounts exactly the adjacency
+    case — the bug this test caught in q_peak_concurrency that the
+    DuckDB oracle could not (both engines shared the tie order)."""
+    # brute: for every candidate point (all endpoints), count covering
+    points = sorted({p for s, e in intervals for p in (s, e)})
+    brute = max(sum(1 for s, e in intervals if s <= p <= e) for p in points)
+    # sweep: +1 at s, -1 at e + 1 (closed-interval exclusivity), +1 first
+    events = []
+    for s, e in intervals:
+        events.append((s, 1, +1))   # -1 sorts BEFORE +1 at same time
+        events.append((e + 1, 0, -1))
+    cur = peak = 0
+    for _, _, d in sorted(events):
+        cur += d
+        peak = max(peak, cur)
+    assert peak == brute
