@@ -16,7 +16,7 @@ from __future__ import annotations
 import itertools
 import random
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -317,6 +317,7 @@ def test_weighted_median_election_matches_expanded_median(pairs):
     )
 )
 @settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@example(intervals=[(0, 0), (1, 1)])  # the discovered adjacency failure
 def test_peak_concurrency_sweep_matches_brute_stabbing(intervals):
     """The +1/−1 sweep max (with end+1 exclusive bounds, −1-before-+1
     ties — an interval ending 1 unit before another starts is NOT
