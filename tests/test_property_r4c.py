@@ -338,3 +338,80 @@ def test_peak_concurrency_sweep_matches_brute_stabbing(intervals):
         cur += d
         peak = max(peak, cur)
     assert peak == brute
+
+
+def test_minhash_portable_identical_docs_always_candidates(spark, sf_dir):
+    """Semantic (not just cross-engine) check for the portable LSH
+    pipeline: byte-identical documents have identical shingle sets ⇒
+    identical signatures ⇒ every band matches ⇒ they MUST surface as a
+    candidate pair with jaccard exactly 1.0 — zero false negatives for
+    exact duplicates is the one guarantee banding makes."""
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+    from automated_property_data_ingestion_document_pipeline_spark.plans import QUERIES
+
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_minhash_portable"](spark, sf_dir).collect()
+    }
+    docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    import re
+
+    def shingles(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    by_sh = {}
+    for r in docs:
+        sh = frozenset(shingles(r.text))
+        if sh:
+            by_sh.setdefault(sh, []).append(r.doc_id)
+    exact_dup_pairs = [
+        (min(a, b), max(a, b))
+        for ids in by_sh.values()
+        if len(ids) > 1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    ]
+    for pair in exact_dup_pairs:
+        assert pair in out and out[pair] == 1.0, f"exact dup pair {pair} missed"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # duration
+            st.booleans(),                           # event observed?
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kaplan_meier_at_risk_identity_and_bounds(subjects):
+    """Semantic model for the KM plan: the prefix-complement at-risk
+    count equals the direct definition #(T ≥ t), and the survival curve
+    is in [0,1] and non-increasing."""
+    from collections import Counter
+    from fractions import Fraction
+
+    d = Counter(t for t, ev in subjects if ev)
+    c = Counter(t for t, ev in subjects if not ev)
+    times = sorted(set(d) | set(c))
+    n_total = len(subjects)
+    removed = 0
+    surv = Fraction(1)
+    prev = Fraction(1)
+    for t in times:
+        n_at_risk = n_total - removed
+        assert n_at_risk == sum(1 for tt, _ in subjects if tt >= t)
+        surv *= 1 - Fraction(d.get(t, 0), n_at_risk)
+        assert 0 <= surv <= 1 and surv <= prev
+        prev = surv
+        removed += d.get(t, 0) + c.get(t, 0)
