@@ -415,3 +415,45 @@ def test_kaplan_meier_at_risk_identity_and_bounds(subjects):
         assert 0 <= surv <= 1 and surv <= prev
         prev = surv
         removed += d.get(t, 0) + c.get(t, 0)
+
+
+def test_session2_metric_invariants(spark, sf_dir):
+    """One pass of definitional invariants over the session's derived
+    metrics — the properties that must hold regardless of data:
+    Markov rows normalize to their prefix totals, Gini/diversity live
+    in [0,1), Wilson bounds bracket p̂ inside [0,1], decile-lift
+    cumulative counts are monotone, and ABC classes are monotone
+    non-decreasing in rank order (A before B before C)."""
+    from collections import defaultdict
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans import QUERIES
+
+    mk = QUERIES["q_markov_transitions"](spark, sf_dir).collect()
+    by_prev = defaultdict(int)
+    for r in mk:
+        by_prev[r.prev_type] += r.n
+    for r in mk:
+        assert by_prev[r.prev_type] == r.n_from
+        assert 0 < r.p <= 1
+
+    g = QUERIES["q_gini_skew"](spark, sf_dir).collect()[0]
+    assert 0 <= g.gini < 1
+
+    for r in QUERIES["q_diversity_index"](spark, sf_dir).collect():
+        assert 0 <= r.gini_impurity < 1
+        assert r.sum_sq <= r.n_events * r.n_events
+
+    for r in QUERIES["q_wilson_interval"](spark, sf_dir).collect():
+        assert 0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1
+
+    dl = sorted(QUERIES["q_decile_lift"](spark, sf_dir).collect(), key=lambda r: r.decile)
+    for a, b in zip(dl, dl[1:]):
+        assert b.cum_n > a.cum_n and b.cum_pos >= a.cum_pos
+
+    abc = sorted(
+        QUERIES["q_abc_classes"](spark, sf_dir).collect(),
+        key=lambda r: (-r.rev_cents, r.l_partkey),
+    )
+    order = {"A": 0, "B": 1, "C": 2}
+    classes = [order[r.abc_class] for r in abc]
+    assert classes == sorted(classes), "ABC classes out of rank order"
