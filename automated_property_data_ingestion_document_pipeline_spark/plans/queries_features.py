@@ -396,3 +396,60 @@ def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("rank_scaled"),
     )
+
+
+@query(
+    "q_ecdf",
+    oracle="""
+    WITH oc AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    g AS (SELECT cents, COUNT(*) AS cnt FROM oc GROUP BY cents),
+    c AS (
+        SELECT cents, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        FROM g
+    )
+    SELECT cents, CAST(cnt AS BIGINT) AS cnt, cum, n,
+           ROUND(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cdf
+    FROM c
+    """,
+)
+def q_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The empirical CDF as a materialized table — the artifact every
+    percentile question, QQ comparison, and threshold choice reads
+    from: per distinct cent value, its count, inclusive cumulative
+    count, and F(x) = cum/n with ONE division. The corpus reduces to
+    the value-domain table (one partial-agg shuffle) and the running
+    count uses the scalable range-partition prefix sum — at 100 TB
+    nothing serializes and the ECDF costs the same as a groupBy. The
+    KS test (q_ks_test) is literally the sup-distance between two of
+    these tables."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
+    o = (
+        catalog.load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    )
+    g = o.groupBy("cents").agg(F.count("*").alias("cnt"))
+    n_row = g.agg(F.sum("cnt").cast("bigint").alias("n"))
+    c = ranking.global_prefix_sum(
+        g.join(F.broadcast(n_row)),  # single-row broadcast
+        [F.col("cents").asc()],
+        "cnt",
+        out_col="cum",
+    )
+    return c.select(
+        "cents",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        "cum",
+        "n",
+        F.round(F.col("cum").cast("double") / F.col("n").cast("double"), 6).alias(
+            "cdf"
+        ),
+    )
