@@ -138,7 +138,8 @@ _PRIORITY = [
     "q_kaplan_meier", "q_ks_test", "q_time_rollup", "q_user_growth",
     "q_json_flatten", "q_diversity_index", "q_odds_ratio",
     "q_wilson_interval", "q_control_chart", "q_peak_concurrency",
-    "q_scd2_lookup", "q_rank_normalize", "q_ecdf",
+    "q_scd2_lookup", "q_rank_normalize", "q_ecdf", "q_nps",
+    "q_activity_profile",
 ]
 
 

@@ -587,3 +587,119 @@ def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "q_nps",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                         AND value > -1e12 AND value < 1e12
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END) AS best_cents
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    seg AS (
+        SELECT user_id,
+               CASE WHEN best_cents >= 20000 THEN 'promoter'
+                    WHEN best_cents >= 5000  THEN 'passive'
+                    ELSE 'detractor' END AS segment
+        FROM u
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN segment = 'promoter' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_promoters,
+               CAST(SUM(CASE WHEN segment = 'passive' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_passives,
+               CAST(SUM(CASE WHEN segment = 'detractor' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_detractors
+        FROM seg
+    )
+    SELECT n_users, n_promoters, n_passives, n_detractors,
+           ROUND(CAST(100 * (n_promoters - n_detractors) AS DOUBLE)
+                 / CAST(n_users AS DOUBLE), 6) AS nps
+    FROM c
+    """,
+)
+def q_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NPS-style segmentation on behavioral value: each user's best
+    purchase elects promoter (≥$200) / passive (≥$50) / detractor
+    (below, incl. never-purchased via NULL < any threshold falling to
+    ELSE), and the score is the classic 100·(P−D)/N — integer counts,
+    one division. The three-bucket CASE chain is evaluated identically
+    on both engines because NULL fails both ≥ comparisons the same
+    way. Two partial-agg exchanges end to end."""
+    e = catalog.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    best = F.max(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & (F.col("value") > -1e12)
+            & (F.col("value") < 1e12),
+            F.round(F.col("value") * 100).cast("bigint"),
+        )
+    )
+    u = e.groupBy("user_id").agg(best.alias("best_cents"))
+    seg = u.select(
+        F.when(F.col("best_cents") >= 20000, "promoter")
+        .when(F.col("best_cents") >= 5000, "passive")
+        .otherwise("detractor")
+        .alias("segment")
+    )
+    c = seg.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("segment") == "promoter", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_promoters"),
+        F.sum(F.when(F.col("segment") == "passive", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_passives"),
+        F.sum(F.when(F.col("segment") == "detractor", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_detractors"),
+    )
+    return c.select(
+        "n_users",
+        "n_promoters",
+        "n_passives",
+        "n_detractors",
+        F.round(
+            (100 * (F.col("n_promoters") - F.col("n_detractors"))).cast("double")
+            / F.col("n_users").cast("double"),
+            6,
+        ).alias("nps"),
+    )
+
+
+@query(
+    "q_activity_profile",
+    oracle="""
+    SELECT CAST(EXTRACT(ISODOW FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday × hour activity heatmap (ISO day-of-week 1=Monday,
+    matching DuckDB's ISODOW to Spark's dayofweek remapped) — the
+    when-are-users-here matrix behind every staffing and batch-window
+    decision. One grouped aggregate to a ≤168-cell table; the distinct
+    user count per cell is the only expand."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return e.groupBy(
+        iso_dow.cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
