@@ -1305,3 +1305,162 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("x") > F.col("center") + F.col("spread"))
         ).alias("out_of_control"),
     )
+
+
+@query(
+    "q_ma_crossover",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND value > -1e12 AND value < 1e12
+        GROUP BY 1
+    ),
+    ma AS (
+        SELECT day, cents,
+               CAST(SUM(cents) OVER (ORDER BY day
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum5,
+               COUNT(*) OVER (ORDER BY day
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n5,
+               CAST(SUM(cents) OVER (ORDER BY day
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum20,
+               COUNT(*) OVER (ORDER BY day
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n20
+        FROM daily
+    ),
+    sig AS (
+        SELECT day, cents, sum5, sum20,
+               CASE WHEN n5 = 5 AND n20 = 20
+                    THEN sum5 * 20 > sum20 * 5 END AS short_above,
+               LAG(CASE WHEN n5 = 5 AND n20 = 20
+                        THEN sum5 * 20 > sum20 * 5 END) OVER (ORDER BY day)
+                   AS prev_above
+        FROM ma
+    )
+    SELECT day, cents, sum5, sum20, short_above,
+           COALESCE(short_above AND NOT prev_above, FALSE) AS golden_cross
+    FROM sig
+    """,
+)
+def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signal (the technical-analysis golden
+    cross) on the daily revenue series — with the division-free trick:
+    MA5 > MA20 ⇔ 20·sum5 > 5·sum20, so the comparison is pure BIGINT
+    and cannot flip on a rounding epsilon the way two divided averages
+    can. Warm-up rows (fewer than the full window) emit NULL rather
+    than a partial-window lie; the cross flag is the lag'd sign change.
+    Day-domain windows over the daily table (calendar-bounded)."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > -1e12)
+        & (F.col("value") < 1e12)
+    )
+    daily = e.groupBy(F.col("ts").cast("date").cast("string").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    ma = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w5).cast("bigint").alias("sum5"),
+        F.count("*").over(w5).alias("n5"),
+        F.sum("cents").over(w20).cast("bigint").alias("sum20"),
+        F.count("*").over(w20).alias("n20"),
+    )
+    above = F.when(
+        (F.col("n5") == 5) & (F.col("n20") == 20),
+        F.col("sum5") * 20 > F.col("sum20") * 5,
+    )
+    sig = ma.select(
+        "day",
+        "cents",
+        "sum5",
+        "sum20",
+        above.alias("short_above"),
+        F.lag(above).over(Window.orderBy("day")).alias("prev_above"),
+    )
+    return sig.select(
+        "day",
+        "cents",
+        "sum5",
+        "sum20",
+        "short_above",
+        F.coalesce(
+            F.col("short_above") & ~F.col("prev_above"), F.lit(False)
+        ).alias("golden_cross"),
+    )
+
+
+@query(
+    "q_duplicate_payments",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+          AND user_id IS NOT NULL AND value IS NOT NULL
+          AND value > -1e12 AND value < 1e12
+    )
+    SELECT user_id, event_id, prev_event_id, cents,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+    FROM (
+        SELECT user_id, event_id, ts, cents,
+               LAG(ts) OVER (PARTITION BY user_id, cents
+                             ORDER BY ts, event_id) AS prev_ts,
+               LAG(event_id) OVER (PARTITION BY user_id, cents
+                                   ORDER BY ts, event_id) AS prev_event_id
+        FROM p
+    )
+    WHERE prev_ts IS NOT NULL
+      AND date_diff('second', prev_ts, ts) <= 600
+    """,
+)
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen (the double-charge / double-click fraud
+    pattern): same user, same exact amount, within 10 minutes of the
+    previous identical charge. One window over (user, cents) — the
+    partition key encodes the matching rule so no self-join is ever
+    needed — and the flag is an integer seconds-gap comparison. Ties
+    on identical timestamps break by event_id, so simultaneous
+    identical charges always pair deterministically."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > -1e12)
+        & (F.col("value") < 1e12)
+    )
+    p = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "cents").orderBy("ts", "event_id")
+    lagged = p.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    ) / 1_000_000
+    return lagged.filter(
+        F.col("prev_ts").isNotNull() & (gap <= 600)
+    ).select(
+        "user_id",
+        "event_id",
+        "prev_event_id",
+        "cents",
+        gap.cast("bigint").alias("gap_s"),
+    )
