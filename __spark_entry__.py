@@ -140,7 +140,7 @@ _PRIORITY = [
     "q_wilson_interval", "q_control_chart", "q_peak_concurrency",
     "q_scd2_lookup", "q_rank_normalize", "q_ecdf", "q_nps",
     "q_activity_profile", "q_ma_crossover", "q_duplicate_payments",
-    "q_fulfillment_latency",
+    "q_fulfillment_latency", "q_price_consistency", "q_basket_size_dist",
 ]
 
 

@@ -608,3 +608,93 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("bigint").alias("checksum_sum"),
         F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
     )
+
+
+@query(
+    "q_price_consistency",
+    oracle="""
+    WITH u AS (
+        SELECT l_partkey,
+               (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000)
+                 // CAST(FLOOR(l_quantity) AS BIGINT) AS unit_microcents
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_quantity >= 1
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT unit_microcents) AS BIGINT) AS n_prices,
+           CAST(MIN(unit_microcents) AS BIGINT) AS min_unit,
+           CAST(MAX(unit_microcents) AS BIGINT) AS max_unit,
+           CAST(MAX(unit_microcents) - MIN(unit_microcents) AS BIGINT) AS spread
+    FROM u GROUP BY l_partkey
+    HAVING COUNT(DISTINCT unit_microcents) > 1
+    """,
+)
+def q_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-consistency audit: parts sold at more than one unit
+    price, with the spread — the master-data / margin-leak screen.
+    Unit price is the RATIONAL cents/qty, made aggregatable by floor-
+    scaling to integer micro-cents ((cents·10⁶) div qty — integer
+    division floors identically on both engines for positive
+    operands), so min/max/distinct are exact and no per-row double
+    division exists to drift. One partial-agg shuffle on partkey."""
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_quantity") >= 1)
+    )
+    unit = F.expr(
+        "(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000L)"
+        " div CAST(FLOOR(l_quantity) AS BIGINT)"
+    )
+    u = li.select("l_partkey", unit.alias("unit_microcents"))
+    return (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.countDistinct("unit_microcents").cast("bigint").alias("n_prices"),
+            F.min("unit_microcents").cast("bigint").alias("min_unit"),
+            F.max("unit_microcents").cast("bigint").alias("max_unit"),
+            (F.max("unit_microcents") - F.min("unit_microcents"))
+            .cast("bigint")
+            .alias("spread"),
+        )
+        .filter(F.col("n_prices") > 1)
+    )
+
+
+@query(
+    "q_basket_size_dist",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS n_units
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS BIGINT) AS basket_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_units) AS BIGINT) AS total_units,
+           CAST(MIN(n_units) AS BIGINT) AS min_units,
+           CAST(MAX(n_units) AS BIGINT) AS max_units
+    FROM b GROUP BY n_lines
+    """,
+)
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many orders carry 1, 2, … line
+    items, with unit totals per size class — the first chart of every
+    merchandising review and the denominator behind attach-rate
+    metrics. Two-level integer aggregate (order rollup → size-class
+    rollup); nothing but counts crosses either shuffle."""
+    li = catalog.load(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
+    b = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("n_units"),
+    )
+    return b.groupBy(F.col("n_lines").cast("bigint").alias("basket_lines")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("n_units").cast("bigint").alias("total_units"),
+        F.min("n_units").cast("bigint").alias("min_units"),
+        F.max("n_units").cast("bigint").alias("max_units"),
+    )
