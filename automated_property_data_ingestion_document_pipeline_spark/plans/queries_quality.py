@@ -698,3 +698,100 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_units").cast("bigint").alias("min_units"),
         F.max("n_units").cast("bigint").alias("max_units"),
     )
+
+
+@query(
+    "q_returns_analysis",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS returned_cents,
+           ROUND(CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_returnflag IS NOT NULL AND l.l_extendedprice IS NOT NULL
+    GROUP BY p.p_brand
+    """,
+)
+def q_returns_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate report per brand — the merchandising quality screen:
+    line counts, returned lines ('R' flag), returned revenue in exact
+    cents, and the rate as one division per brand. The part dimension
+    broadcasts; one partial-agg shuffle on brand carries four longs."""
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    p = catalog.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return j.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(ret).cast("bigint").alias("n_returned"),
+        F.sum(
+            F.when(
+                F.col("l_returnflag") == "R",
+                F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("returned_cents"),
+        F.round(F.sum(ret).cast("double") / F.count("*").cast("double"), 6).alias(
+            "return_rate"
+        ),
+    )
+
+
+@query(
+    "q_revenue_hhi",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+                   AS rev
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS BIGINT) AS total_usd,
+           ROUND(CAST(SUM(rev * rev) AS DOUBLE)
+                 / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 6)
+               AS hhi,
+           ROUND(1.0 / (CAST(SUM(rev * rev) AS DOUBLE)
+                 / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))), 6)
+               AS effective_customers
+    FROM c
+    """,
+)
+def q_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: the Herfindahl-Hirschman index
+    Σshare² computed as Σrev²/(Σrev)² — integer cross-products, one
+    division — plus its reciprocal, the 'effective number of
+    customers' (1/HHI): the single number that says whether the book
+    is diversified or three whales. The revenue twin of
+    q_diversity_index's count-based impurity; same algebraic-aggregate
+    shape, two partial-agg exchanges. Shares are scale-invariant, so
+    revenue is floored to whole DOLLARS before squaring (cents² per
+    customer already overflowed int64 at sf0.01 — the ANSI overflow
+    error caught it immediately); beyond ~10⁹ dollars per customer,
+    lift the squares to DECIMAL(38,0), plan unchanged."""
+    o = catalog.load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    c = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("rev")
+    )
+    hhi = F.sum(F.col("rev") * F.col("rev")).cast("double") / (
+        F.sum("rev").cast("double") * F.sum("rev").cast("double")
+    )
+    return c.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("bigint").alias("total_usd"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 6).alias("effective_customers"),
+    )
