@@ -141,7 +141,7 @@ _PRIORITY = [
     "q_scd2_lookup", "q_rank_normalize", "q_ecdf", "q_nps",
     "q_activity_profile", "q_ma_crossover", "q_duplicate_payments",
     "q_fulfillment_latency", "q_price_consistency", "q_basket_size_dist",
-    "q_returns_analysis", "q_revenue_hhi",
+    "q_returns_analysis", "q_revenue_hhi", "q_purchase_cycle",
 ]
 
 

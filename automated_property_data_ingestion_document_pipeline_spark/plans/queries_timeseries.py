@@ -1451,10 +1451,11 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("ts").over(w).alias("prev_ts"),
         F.lag("event_id").over(w).alias("prev_event_id"),
     )
-    gap = (
-        F.unix_micros(F.col("ts").cast("timestamp"))
-        - F.unix_micros(F.col("prev_ts").cast("timestamp"))
-    ) / 1_000_000
+    # floor-to-seconds BEFORE subtracting: DuckDB date_diff('second')
+    # counts boundary crossings, not the truncated microsecond delta
+    gap = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 1000000"
+    ) - F.expr("unix_micros(cast(prev_ts as timestamp)) div 1000000")
     return lagged.filter(
         F.col("prev_ts").isNotNull() & (gap <= 600)
     ).select(
@@ -1463,4 +1464,87 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_event_id",
         "cents",
         gap.cast("bigint").alias("gap_s"),
+    )
+
+
+@query(
+    "q_purchase_cycle",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    gaps AS (
+        SELECT CAST(date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) AS BIGINT) AS gap_s
+        FROM p
+    ),
+    g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL),
+    r AS (
+        SELECT gap_s,
+               ROW_NUMBER() OVER (ORDER BY gap_s) AS rn,
+               COUNT(*) OVER () AS n
+        FROM g
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN gap_s END) AS BIGINT)
+               AS p25_s,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_s END) AS BIGINT)
+               AS p50_s,
+           CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN gap_s END) AS BIGINT)
+               AS p75_s,
+           CAST(MIN(gap_s) AS BIGINT) AS min_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_s
+    FROM r
+    """,
+)
+def q_purchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase-cycle distribution: exact quartiles of the
+    seconds-gap between each user's consecutive purchases — the number
+    behind replenishment reminders and churn-risk windows ('customer
+    is 2× their median cycle overdue'). Per-user lag rides one
+    user_id exchange; the pooled gap table then takes the nearest-rank
+    election on the scalable rank (the oracle's global window is
+    semantics only — here the rank uses operators/ranking.global_rank
+    because the GAP table is corpus-sized, unlike the day-domain
+    tables elsewhere)."""
+    from automated_property_data_ingestion_document_pipeline_spark.operators import ranking
+
+    e = catalog.load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    # DuckDB date_diff('second') counts SECOND-BOUNDARY crossings
+    # (floor(b) − floor(a)), not the truncated microsecond difference —
+    # floor each endpoint to epoch seconds BEFORE subtracting.
+    sec = lambda c: F.expr(f"unix_micros(cast({c} as timestamp)) div 1000000")  # noqa: E731
+    gaps = (
+        e.select(
+            (sec("ts") - F.expr(
+                "unix_micros(cast(lag(ts) over "
+                "(partition by user_id order by ts, event_id) as timestamp))"
+                " div 1000000"
+            )).alias("gap_s")
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    # unique total order for the rank: (gap_s, arbitrary-but-deterministic
+    # tiebreak) — monotonically_increasing_id is NOT deterministic, so
+    # rank on the value alone with row_number inside global_rank's sort;
+    # ties in gap_s are interchangeable for positional election.
+    n_row = gaps.agg(F.count("*").cast("bigint").alias("_n"))
+    r = ranking.global_rank(
+        gaps.join(F.broadcast(n_row)), [F.col("gap_s").asc()]
+    )
+    pick = lambda pos: F.max(F.when(F.col("rn") == F.expr(pos), F.col("gap_s")))  # noqa: E731
+    return r.select(F.col("gap_s"), F.col("rn"), F.col("_n").alias("n")).agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        pick("(n + 3) div 4").cast("bigint").alias("p25_s"),
+        pick("(n + 1) div 2").cast("bigint").alias("p50_s"),
+        pick("(3 * n + 3) div 4").cast("bigint").alias("p75_s"),
+        F.min("gap_s").cast("bigint").alias("min_s"),
+        F.max("gap_s").cast("bigint").alias("max_s"),
     )
