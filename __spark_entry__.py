@@ -142,6 +142,7 @@ _PRIORITY = [
     "q_activity_profile", "q_ma_crossover", "q_duplicate_payments",
     "q_fulfillment_latency", "q_price_consistency", "q_basket_size_dist",
     "q_returns_analysis", "q_revenue_hhi", "q_purchase_cycle",
+    "q_audience_overlap",
 ]
 
 

@@ -703,3 +703,64 @@ def q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM m GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b, COUNT(*) AS n_both
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.seg_a, p.seg_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(CAST(p.n_both AS DOUBLE)
+                 / CAST(sa.n + sb.n - p.n_both AS DOUBLE), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.seg_a
+    JOIN sizes sb ON sb.event_type = p.seg_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of behavioral segments
+    (event types), the shared-user count and Jaccard overlap — the
+    report behind 'should these two campaigns share a budget'. The
+    self-join runs on the DISTINCT (user, segment) membership table
+    (|users|·|segments| max) keyed on user, with the alphabet-bounded
+    ordering predicate inside the join — never a cartesian; sizes
+    broadcast back. Integer counts, one division per pair."""
+    e = catalog.load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    m = e.select("user_id", "event_type").distinct()
+    sizes = m.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = m.select(F.col("user_id").alias("u"), F.col("event_type").alias("seg_a"))
+    b = m.select(F.col("user_id").alias("u2"), F.col("event_type").alias("seg_b"))
+    pairs = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("seg_a") < F.col("seg_b")))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("seg_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("seg_b"), F.col("n").alias("n_b"))
+    out = pairs.join(F.broadcast(sa), "seg_a").join(F.broadcast(sb), "seg_b")
+    return out.select(
+        "seg_a",
+        "seg_b",
+        "n_both",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
