@@ -92,57 +92,90 @@ _DRIVER_SEEN = frozenset({
     "q_token_budget", "q_token_count_bpe", "q_top_supplier_onepass",
     "q_unigram_logfreq", "q_validate_steps", "q_variant_json",
     "q_window_count_distinct",
-})
-
-# VERDICT r03 #1: the 42 oracle-backed keys never driver-checked across
-# r01-r03 (all green in the local 141-oracle DuckDB sweep), composites
-# first, then new r04 keys, then the highest-value rows-only keys for
-# rows/err visibility.  ~50 slots are sampled.
-_PRIORITY = [
-    # composites / multi-stage dataflows
+    # r04 snapshot (CORRECTNESS_r04.json, 48 oracle green + 2 rows-only)
     "q_funnel", "q_cohort_retention", "q_conversion_latency",
     "q_temporal_join", "q_sessionize_twophase", "q_pattern_match",
     "q_resample_ffill", "q_resample_bfill", "q_resample_interp",
     "q_correlated_scalar", "q_in_subquery", "q_lateral_topk",
-    "q_recursive_cte",
-    # analytic / window / agg remainder
-    "q_cube", "q_grouping_sets", "q_percentiles", "q_stats_agg",
-    "q_window_ntile", "q_first_last_window", "q_minmax_by",
+    "q_recursive_cte", "q_cube", "q_grouping_sets", "q_percentiles",
+    "q_stats_agg", "q_window_ntile", "q_first_last_window", "q_minmax_by",
     "q_conditional_agg", "q_collect_agg", "q_bool_agg", "q_bitwise_agg",
     "q_histogram", "q_anomaly_zscore", "q_salted_agg", "q_pivot",
-    "q_unpivot", "q_next_greater",
-    # scalar / set / text remainder
-    "q_string_fns", "q_date_fns", "q_regexp_extract", "q_posexplode",
-    "q_array_set_ops", "q_intersect", "q_paragraph_dedup",
-    "q_dedup_lastwin_agg", "q_centroid_assign", "q_hash_sample",
-    "q_ref_state_coverage", "q_quality_band",
-    # new r04 keys (registered this round; filtered if absent)
+    "q_unpivot", "q_next_greater", "q_string_fns", "q_date_fns",
+    "q_regexp_extract", "q_posexplode", "q_array_set_ops", "q_intersect",
+    "q_paragraph_dedup", "q_dedup_lastwin_agg", "q_centroid_assign",
+    "q_hash_sample", "q_ref_state_coverage", "q_quality_band",
     "q_schema_evolution_read", "q_time_travel", "q_zorder_prune",
     "q_sessionize_skew", "q_sessionize_capped_skew", "q_window_rank_skew",
-    # highest-value rows-only keys, for rows/err driver visibility
-    "q_neardup_clusters", "q_png_resize", "q_letter_sink_ref_template",
-    "q_pq_recall", "q_ivf_recall", "q_lsh_recall",
-    # r04 session-2 keys (oracle-backed; head of next round's backlog)
-    "q_rfm_segments", "q_ab_test", "q_bigram_probs", "q_json_rescue",
-    "q_lag_features", "q_target_encode", "q_minmax_scale",
-    "q_shortest_path", "q_union_by_name", "q_profile_summary",
-    "q_auc_exact", "q_decile_lift", "q_threshold_metrics",
-    "q_equidepth_histogram", "q_stream_tumbling", "q_scd2_merge",
-    "q_string_agg", "q_holt_linear", "q_autocorr", "q_gini_skew",
-    "q_markov_transitions", "q_session_paths", "q_iqr_outliers",
-    "q_table_checksum", "q_oov_rate", "q_window_funnel", "q_stream_multi",
-    "q_clamped_balance", "q_image_stats", "q_stream_static",
-    "q_hour_bitmap", "q_frame_stats", "q_audio_energy",
-    "q_minhash_portable", "q_simhash_portable", "q_weighted_median",
-    "q_revenue_bridge", "q_association_rules", "q_abc_classes",
-    "q_kaplan_meier", "q_ks_test", "q_time_rollup", "q_user_growth",
-    "q_json_flatten", "q_diversity_index", "q_odds_ratio",
-    "q_wilson_interval", "q_control_chart", "q_peak_concurrency",
-    "q_scd2_lookup", "q_rank_normalize", "q_ecdf", "q_nps",
-    "q_activity_profile", "q_ma_crossover", "q_duplicate_payments",
-    "q_fulfillment_latency", "q_price_consistency", "q_basket_size_dist",
-    "q_returns_analysis", "q_revenue_hhi", "q_purchase_cycle",
-    "q_audience_overlap",
+    "q_neardup_clusters", "q_png_resize",
+})
+
+# VERDICT r04 #2/#7: drain the never-driver-checked backlog (135 oracle
+# keys after the r04 snapshot; all green in the local 282-oracle DuckDB
+# sweep and the builder's sf0.1 scale-parity sweep).  The driver samples
+# EXACTLY the first 50 keys (r04 snapshot == _PRIORITY[0:50]), so the
+# head is 44 highest-value unseen oracle keys (the verdict's named list:
+# ML eval, RFM, SCD2/CDC family, retrieval family, the 8 r4 TPC-H
+# completions, portable near-dup twins, multimodal arithmetic oracles)
+# plus the 6 rows-only gate lanes verdict ask #7 wants rows/err
+# visibility for.  The remaining ~91 unseen oracle keys follow for the
+# r06 window.
+_PRIORITY = [
+    # --- 50-slot driver window: 44 oracle + 6 rows-only (ask #7) ---
+    # ML eval / stats composites (never value-checked by the driver)
+    "q_auc_exact", "q_decile_lift", "q_threshold_metrics", "q_ks_test",
+    "q_kaplan_meier", "q_corr_matrix", "q_rfm_segments",
+    # revenue / product analytics composites
+    "q_revenue_bridge", "q_table_checksum", "q_markov_transitions",
+    # CDC / SCD2 family
+    "q_scd2_merge", "q_scd2_lookup", "q_merge_upsert", "q_cdc_apply",
+    "q_snapshot_diff", "q_incremental_agg", "q_incremental_join",
+    # retrieval family
+    "q_inverted_index", "q_bm25", "q_boolean_search", "q_phrase_search",
+    "q_khop",
+    # r4 TPC-H completions
+    "q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q9", "q_sql_tpch_q11",
+    "q_sql_tpch_q12", "q_sql_tpch_q16", "q_sql_tpch_q20", "q_sql_tpch_q21",
+    # portable near-dup twins + multimodal arithmetic oracles
+    "q_minhash_portable", "q_simhash_portable", "q_image_stats",
+    "q_frame_stats", "q_audio_energy",
+    # LLM-pipeline core: dedup granularity, LM counting, embeddings
+    "q_semantic_dedup", "q_dup_spans", "q_skipgram_pmi", "q_bigram_probs",
+    "q_embedding_centroids", "q_kmeans_step",
+    # feature engineering + fold family (bounded-contract keys)
+    "q_lag_features", "q_target_encode", "q_ewma",
+    # rows-only gate lanes (ask #7: rows/err visibility for the driver)
+    "q_sq8_recall", "q_kmv_distinct", "q_countmin_error",
+    "q_bloom_filter", "q_stream_multi", "q_stream_ewma",
+    # --- r06 window: remaining unseen oracle keys ---
+    "q_holt_linear", "q_clamped_balance", "q_minmax_scale",
+    "q_tfidf", "q_regr_ols", "q_chi_square", "q_mad_outliers",
+    "q_readability", "q_rolling_median", "q_cusum", "q_twap",
+    "q_ohlc_bars", "q_winsorize", "q_telemetry_pipeline",
+    "q_rolling_slope", "q_seasonal_residual", "q_user_features",
+    "q_attribution", "q_autocorr", "q_iqr_outliers", "q_control_chart",
+    "q_ma_crossover", "q_duplicate_payments", "q_purchase_cycle",
+    "q_window_funnel", "q_time_rollup", "q_user_growth",
+    "q_diversity_index", "q_weighted_sample", "q_vacuum_retention",
+    "q_geo_radius_join", "q_geo_nearest", "q_geo_tile_agg",
+    "q_geo_pipeline", "q_bucketed_join", "q_data_quality_report",
+    "q_triangle_count", "q_degree_histogram", "q_link_prediction",
+    "q_shortest_path", "q_interval_coverage", "q_event_runs",
+    "q_calendar_fill", "q_debounce", "q_hour_bitmap",
+    "q_peak_concurrency", "q_map_fns", "q_range_frame",
+    "q_relational_division", "q_mode_per_group", "q_skyline",
+    "q_global_rownum", "q_item_pairs", "q_share_of_total",
+    "q_topn_plus_other", "q_item_similarity", "q_string_agg",
+    "q_association_rules", "q_abc_classes", "q_csv_roundtrip",
+    "q_jsonl_roundtrip", "q_orc_roundtrip", "q_denormalize_roundtrip",
+    "q_union_by_name", "q_sorted_neighborhood", "q_largest_remainder",
+    "q_benford", "q_quota_sample", "q_k_anonymity", "q_profile_summary",
+    "q_gini_skew", "q_price_consistency", "q_basket_size_dist",
+    "q_returns_analysis", "q_revenue_hhi", "q_rank_normalize", "q_ecdf",
+    "q_fulfillment_latency", "q_ab_test", "q_json_rescue", "q_oov_rate",
+    "q_json_flatten", "q_odds_ratio", "q_wilson_interval", "q_nps",
+    "q_activity_profile", "q_audience_overlap", "q_weighted_median",
+    "q_equidepth_histogram", "q_session_paths",
 ]
 
 
