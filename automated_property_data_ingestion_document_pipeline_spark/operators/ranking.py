@@ -70,16 +70,25 @@ def global_rank(
     )
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """True integral division (Spark's ``div`` operator) — no float
+    intermediate, so the result is exact by construction for the whole
+    bigint domain instead of depending on IEEE-rounding analysis
+    (ADVICE r04: the double-divide-then-cast form was the one float op
+    in an otherwise integer-only operator family)."""
+    return F.call_function("div", a.cast("bigint"), b.cast("bigint"))
+
+
 def ntile_expr(rank: Column, n: Column, k: int) -> Column:
     """Exact NTILE(k) bucket (1-based) from a 1-based global rank and
     total row count ``n`` — integer-only, matches SQL NTILE semantics:
     the first n%k buckets hold n//k + 1 rows each."""
-    q = (n / k).cast("bigint")  # n DIV k
+    q = _idiv(n, F.lit(k))  # n DIV k
     r = n % k
     cut = r * (q + 1)
     return (
-        F.when(rank <= cut, ((rank - 1) / (q + 1)).cast("bigint") + 1)
-        .otherwise(r + ((rank - cut - 1) / F.greatest(q, F.lit(1))).cast("bigint") + 1)
+        F.when(rank <= cut, _idiv(rank - 1, q + 1) + 1)
+        .otherwise(r + _idiv(rank - cut - 1, F.greatest(q, F.lit(1))) + 1)
         .cast("int")
     )
 

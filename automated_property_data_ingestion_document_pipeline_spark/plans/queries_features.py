@@ -114,7 +114,7 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, o_orderpriority, cat_n,
            CASE WHEN cat_n > 1
-                THEN ROUND(CAST(cat_sum - cents AS DOUBLE) / CAST(cat_n - 1 AS DOUBLE), 4)
+                THEN CAST(cat_sum - cents AS DOUBLE) / CAST(cat_n - 1 AS DOUBLE)
            END AS loo_mean_cents
     FROM s
     """,
@@ -122,26 +122,33 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of o_orderpriority against order
     value — the encoding that avoids self-leakage (each row's own
-    target is excluded from its category mean). Window formulation:
-    the category sums ride the one hash exchange the row-level encode
-    needs anyway (vs agg + join-back = two exchanges). Exact BIGINT
-    sufficient statistics; exactly one IEEE division per row."""
-    w = Window.partitionBy("o_orderpriority")
-    s = _ord_cents(spark, sf_dir).select(
-        "o_orderkey",
-        "o_orderpriority",
-        "cents",
-        F.sum("cents").over(w).cast("bigint").alias("cat_sum"),
-        F.count("*").over(w).alias("cat_n"),
-    )
+    target is excluded from its category mean). Plan: groupBy the
+    5-value category for exact BIGINT sufficient statistics (partial
+    aggregation — each task emits at most 5 rows), then BROADCAST the
+    tiny stats table back onto the row stream. The row side never
+    shuffles, so parallelism is scan-bound at any scale; the previous
+    whole-partition-window form concentrated the entire corpus into
+    ≤5 window tasks (ADVICE r04 — the single-task-window failure the
+    rest of the package engineers around). One IEEE division per row."""
+    oc = _ord_cents(spark, sf_dir)
+    stats = oc.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("bigint").alias("cat_sum"),
+        F.count("*").alias("cat_n"),
+    ).withColumnRenamed("o_orderpriority", "_prio")
     loo = (F.col("cat_sum") - F.col("cents")).cast("double") / (
         F.col("cat_n") - 1
     ).cast("double")
-    return s.select(
+    # eqNullSafe: PARTITION BY keeps NULL categories as a real group, so
+    # the join-back must too — a bare inner equi-join silently drops the
+    # NULL-key rows (edge-corpus catch on the r05 rewrite).
+    joined = oc.join(
+        F.broadcast(stats), F.col("o_orderpriority").eqNullSafe(F.col("_prio"))
+    ).drop("_prio")
+    return joined.select(
         "o_orderkey",
         "o_orderpriority",
         "cat_n",
-        F.when(F.col("cat_n") > 1, F.round(loo, 4)).alias("loo_mean_cents"),
+        F.when(F.col("cat_n") > 1, loo).alias("loo_mean_cents"),
     )
 
 
@@ -157,7 +164,7 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, o_orderpriority, cents,
            CASE WHEN hi > lo
-                THEN ROUND(CAST(cents - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE), 6)
+                THEN CAST(cents - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
            END AS scaled
     FROM s
     """,
@@ -165,24 +172,28 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-category min-max feature scaling to [0, 1] — NULL (not a
     fabricated 0.5) for degenerate single-value categories. Same
-    one-exchange window shape as the target encoder; integer
-    subtraction then a single exactly-rounded IEEE division."""
-    w = Window.partitionBy("o_orderpriority")
-    s = _ord_cents(spark, sf_dir).select(
-        "o_orderkey",
-        "o_orderpriority",
-        "cents",
-        F.min("cents").over(w).alias("lo"),
-        F.max("cents").over(w).alias("hi"),
-    )
+    agg + broadcast-join-back shape as the target encoder (ADVICE r04:
+    the whole-partition window over a 5-value key serialized the
+    corpus into ≤5 tasks); integer subtraction then a single
+    exactly-rounded IEEE division."""
+    oc = _ord_cents(spark, sf_dir)
+    stats = oc.groupBy("o_orderpriority").agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).withColumnRenamed("o_orderpriority", "_prio")
     scaled = (F.col("cents") - F.col("lo")).cast("double") / (
         F.col("hi") - F.col("lo")
     ).cast("double")
-    return s.select(
+    # eqNullSafe for the NULL category group — same reason as the
+    # target encoder above.
+    joined = oc.join(
+        F.broadcast(stats), F.col("o_orderpriority").eqNullSafe(F.col("_prio"))
+    ).drop("_prio")
+    return joined.select(
         "o_orderkey",
         "o_orderpriority",
         "cents",
-        F.when(F.col("hi") > F.col("lo"), F.round(scaled, 6)).alias("scaled"),
+        F.when(F.col("hi") > F.col("lo"), scaled).alias("scaled"),
     )
 
 
@@ -355,7 +366,7 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, cents,
            CAST(rn AS BIGINT) AS rn,
            CASE WHEN n > 1
-                THEN ROUND(CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+                THEN CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
            END AS rank_scaled
     FROM r
     """,
@@ -391,9 +402,7 @@ def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("bigint").alias("rn"),
         F.when(
             F.col("_n") > 1,
-            F.round(
-                (F.col("rn") - 1).cast("double") / (F.col("_n") - 1).cast("double"), 6
-            ),
+            (F.col("rn") - 1).cast("double") / (F.col("_n") - 1).cast("double"),
         ).alias("rank_scaled"),
     )
 
@@ -415,7 +424,7 @@ def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     )
     SELECT cents, CAST(cnt AS BIGINT) AS cnt, cum, n,
-           ROUND(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cdf
+           CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS cdf
     FROM c
     """,
 )
@@ -449,7 +458,7 @@ def q_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         "cum",
         "n",
-        F.round(F.col("cum").cast("double") / F.col("n").cast("double"), 6).alias(
+        (F.col("cum").cast("double") / F.col("n").cast("double")).alias(
             "cdf"
         ),
     )

@@ -82,8 +82,8 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
            CAST(SUM(n_neg) AS BIGINT) AS tot_neg,
            CAST(SUM(n_pos * (2 * cum_neg_below + n_neg)) AS BIGINT) AS u2,
-           ROUND(CAST(SUM(n_pos * (2 * cum_neg_below + n_neg)) AS DOUBLE)
-                 / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE)), 6)
+           CAST(SUM(n_pos * (2 * cum_neg_below + n_neg)) AS DOUBLE)
+                 / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE))
                AS auc
     FROM c
     """,
@@ -114,14 +114,13 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").cast("bigint").alias("tot_pos"),
         F.sum("n_neg").cast("bigint").alias("tot_neg"),
         u2.alias("u2"),
-        F.round(
+        (
             u2.cast("double")
             / (
                 F.lit(2.0)
                 * F.sum("n_pos").cast("double")
                 * F.sum("n_neg").cast("double")
-            ),
-            6,
+            )
         ).alias("auc"),
     )
 
@@ -156,10 +155,10 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     )
     SELECT decile, n, n_pos, cum_n, cum_pos,
-           ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
            CASE WHEN tot_pos > 0 THEN
-             ROUND(CAST(cum_pos * tot_n AS DOUBLE)
-                   / CAST(cum_n * tot_pos AS DOUBLE), 6) END AS cum_lift
+             CAST(cum_pos * tot_n AS DOUBLE)
+                   / CAST(cum_n * tot_pos AS DOUBLE) END AS cum_lift
     FROM c
     """,
 )
@@ -216,16 +215,13 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "cum_n",
         "cum_pos",
-        F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6).alias(
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
             "rate"
         ),
         F.when(
             F.col("tot_pos") > 0,
-            F.round(
-                (F.col("cum_pos") * F.col("tot_n")).cast("double")
-                / (F.col("cum_n") * F.col("tot_pos")).cast("double"),
-                6,
-            ),
+            (F.col("cum_pos") * F.col("tot_n")).cast("double")
+            / (F.col("cum_n") * F.col("tot_pos")).cast("double"),
         ).alias("cum_lift"),
     )
 
@@ -252,10 +248,10 @@ _THRESHOLDS = (5000, 15000, 25000)  # cents
         f'''SELECT CAST({t} AS BIGINT) AS threshold_cents,
                tp_{t} AS tp, fp_{t} AS fp, fn_{t} AS fn, tn_{t} AS tn,
                CASE WHEN tp_{t} + fp_{t} > 0 THEN
-                 ROUND(CAST(tp_{t} AS DOUBLE) / CAST(tp_{t} + fp_{t} AS DOUBLE), 6)
+                 CAST(tp_{t} AS DOUBLE) / CAST(tp_{t} + fp_{t} AS DOUBLE)
                END AS precision_,
                CASE WHEN tp_{t} + fn_{t} > 0 THEN
-                 ROUND(CAST(tp_{t} AS DOUBLE) / CAST(tp_{t} + fn_{t} AS DOUBLE), 6)
+                 CAST(tp_{t} AS DOUBLE) / CAST(tp_{t} + fn_{t} AS DOUBLE)
                END AS recall_
         FROM a'''
         for t in _THRESHOLDS
@@ -289,9 +285,9 @@ def q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.alias("fp"),
             fn.alias("fn"),
             tn.alias("tn"),
-            F.when(tp + fp > 0, F.round(tp.cast("double") / (tp + fp).cast("double"), 6))
+            F.when(tp + fp > 0, tp.cast("double") / (tp + fp).cast("double"))
             .alias("precision_"),
-            F.when(tp + fn > 0, F.round(tp.cast("double") / (tp + fn).cast("double"), 6))
+            F.when(tp + fn > 0, tp.cast("double") / (tp + fn).cast("double"))
             .alias("recall_"),
         )
 

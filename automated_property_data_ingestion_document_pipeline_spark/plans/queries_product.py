@@ -138,14 +138,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     )
     SELECT n0, x0, n1, x1,
-           ROUND(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
-           ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+           CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+           CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
            CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
-             ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                     - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
                    / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
                           * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-                          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
+                          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
            END AS z_stat
     FROM w
     """,
@@ -155,7 +155,9 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id parity): per-arm user and converter counts reduce to ONE
     integer row before any floating point, then the pooled-variance z
     statistic is a fixed IEEE tree (+,-,*,/,sqrt are exactly rounded ⇒
-    bit-identical on both engines; rounded to 6 anyway). Plan: agg on
+    bit-identical on both engines, so the RAW double is emitted — §41:
+    decimal ROUND is the one non-portable step and is omitted exactly
+    because the operands are engine-identical). Plan: agg on
     user → agg on variant → 1-row pivot; no window, no join — the
     entire statistical test costs two partial-agg exchanges at 100 TB."""
     e = catalog.load(spark, sf_dir, "events")
@@ -191,12 +193,12 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x0",
         "n1",
         "x1",
-        F.round(p0, 6).alias("p0"),
-        F.round(p1, 6).alias("p1"),
+        p0.alias("p0"),
+        p1.alias("p1"),
         F.when(
             (F.col("x0") + F.col("x1") > 0)
             & (F.col("x0") + F.col("x1") < F.col("n0") + F.col("n1")),
-            F.round((p1 - p0) / se, 6),
+            (p1 - p0) / se,
         ).alias("z_stat"),
     )
 
@@ -228,7 +230,7 @@ _BG_MIN_COUNT = 5
         FROM bg
     )
     SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, c1,
-           ROUND(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS cond_p
+           CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS cond_p
     FROM tot WHERE c12 >= {_BG_MIN_COUNT}
     """,
 )
@@ -267,7 +269,7 @@ def q_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "c12",
             "c1",
-            F.round(F.col("c12").cast("double") / F.col("c1").cast("double"), 6).alias(
+            (F.col("c12").cast("double") / F.col("c1").cast("double")).alias(
                 "cond_p"
             ),
         )
@@ -336,10 +338,14 @@ def q_json_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = F.from_json(
         s, schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
     )
-    # Spark returns a NULL struct (not a corrupt record) for the empty
-    # string; the operator contract treats an empty payload as a dead
-    # letter too, so both engines quarantine it identically.
-    quarantined = F.col("_p._corrupt").isNotNull() | (F.col("_s") == "")
+    # Spark returns a NULL struct (not a corrupt record) for empty OR
+    # whitespace-only input; DuckDB's json_valid rejects both. The
+    # operator contract treats any blank payload as a dead letter
+    # (ADVICE r04: the exact-empty special case left '  ' silently
+    # un-quarantined on the Spark side). rlike over \s, not trim():
+    # Spark's trim strips ONLY spaces, so a tab/newline payload would
+    # still slip through — the edge corpus caught that immediately.
+    quarantined = F.col("_p._corrupt").isNotNull() | F.col("_s").rlike("^\\s*$")
     return e.select("event_id", s.alias("_s"), parsed.alias("_p")).select(
         "event_id",
         F.col("_p.k").alias("k"),
@@ -375,8 +381,8 @@ _VOCAB_K = 500
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS oov_rate
     FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
     GROUP BY t.doc_id
     """,
@@ -412,7 +418,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
         oov.cast("bigint").alias("n_oov"),
-        F.round(oov.cast("double") / F.count("*").cast("double"), 6).alias("oov_rate"),
+        (oov.cast("double") / F.count("*").cast("double")).alias("oov_rate"),
     )
 
 
@@ -466,11 +472,11 @@ def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a, b, c, d,
            CASE WHEN b * c > 0
-                THEN ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+                THEN CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)
            END AS odds_ratio,
            CASE WHEN c * (a + b) > 0
-                THEN ROUND(CAST(a * (c + d) AS DOUBLE)
-                           / CAST(c * (a + b) AS DOUBLE), 6)
+                THEN CAST(a * (c + d) AS DOUBLE)
+                           / CAST(c * (a + b) AS DOUBLE)
            END AS relative_risk
     FROM t
     """,
@@ -510,11 +516,11 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "c",
         "d",
-        F.when(b * c > 0, F.round((a * d).cast("double") / (b * c).cast("double"), 6))
+        F.when(b * c > 0, (a * d).cast("double") / (b * c).cast("double"))
         .alias("odds_ratio"),
         F.when(
             c * (a + b) > 0,
-            F.round((a * (c + d)).cast("double") / (c * (a + b)).cast("double"), 6),
+            (a * (c + d)).cast("double") / (c * (a + b)).cast("double"),
         ).alias("relative_risk"),
     )
 
@@ -533,21 +539,21 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u GROUP BY variant
     )
     SELECT variant, CAST(n AS BIGINT) AS n, x,
-           ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
-           ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+           CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+           (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
                   + CAST('3.8416' AS DOUBLE) / (2.0 * n)
                   - CAST('1.96' AS DOUBLE) * sqrt(
                       (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
                       * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / n
                       + CAST('3.8416' AS DOUBLE) / (4.0 * n * n)))
-                 / (1.0 + CAST('3.8416' AS DOUBLE) / n), 6) AS wilson_lo,
-           ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                 / (1.0 + CAST('3.8416' AS DOUBLE) / n) AS wilson_lo,
+           (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
                   + CAST('3.8416' AS DOUBLE) / (2.0 * n)
                   + CAST('1.96' AS DOUBLE) * sqrt(
                       (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
                       * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / n
                       + CAST('3.8416' AS DOUBLE) / (4.0 * n * n)))
-                 / (1.0 + CAST('3.8416' AS DOUBLE) / n), 6) AS wilson_hi
+                 / (1.0 + CAST('3.8416' AS DOUBLE) / n) AS wilson_hi
     FROM v
     """,
 )
@@ -583,9 +589,9 @@ def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant",
         "n",
         "x",
-        F.round(p, 6).alias("p_hat"),
-        F.round((center - half) / denom, 6).alias("wilson_lo"),
-        F.round((center + half) / denom, 6).alias("wilson_hi"),
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
     )
 
 
@@ -618,8 +624,8 @@ def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seg
     )
     SELECT n_users, n_promoters, n_passives, n_detractors,
-           ROUND(CAST(100 * (n_promoters - n_detractors) AS DOUBLE)
-                 / CAST(n_users AS DOUBLE), 6) AS nps
+           CAST(100 * (n_promoters - n_detractors) AS DOUBLE)
+                 / CAST(n_users AS DOUBLE) AS nps
     FROM c
     """,
 )
@@ -665,10 +671,9 @@ def q_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_promoters",
         "n_passives",
         "n_detractors",
-        F.round(
+        (
             (100 * (F.col("n_promoters") - F.col("n_detractors"))).cast("double")
-            / F.col("n_users").cast("double"),
-            6,
+            / F.col("n_users").cast("double")
         ).alias("nps"),
     )
 
@@ -722,8 +727,8 @@ def q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.seg_a, p.seg_b,
            CAST(p.n_both AS BIGINT) AS n_both,
            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-           ROUND(CAST(p.n_both AS DOUBLE)
-                 / CAST(sa.n + sb.n - p.n_both AS DOUBLE), 6) AS jaccard
+           CAST(p.n_both AS DOUBLE)
+                 / CAST(sa.n + sb.n - p.n_both AS DOUBLE) AS jaccard
     FROM pairs p
     JOIN sizes sa ON sa.event_type = p.seg_a
     JOIN sizes sb ON sb.event_type = p.seg_b
@@ -758,9 +763,8 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_both",
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
-        F.round(
+        (
             F.col("n_both").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
-            6,
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
         ).alias("jaccard"),
     )

@@ -205,9 +205,9 @@ _BENFORD_CASE = "CASE digit " + " ".join(
       FROM d GROUP BY digit
     )
     SELECT digit, n_obs,
-           ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_frac,
+           CAST(n_obs AS DOUBLE) / n_total AS obs_frac,
            {_BENFORD_CASE} AS exp_frac,
-           ROUND(CAST(n_obs AS DOUBLE) / n_total - {_BENFORD_CASE}, 6) AS deviation
+           CAST(n_obs AS DOUBLE) / n_total - {_BENFORD_CASE} AS deviation
     FROM c
     """,
 )
@@ -239,9 +239,9 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "digit",
         "n_obs",
-        F.round(obs_frac, 6).alias("obs_frac"),
+        obs_frac.alias("obs_frac"),
         exp_frac.alias("exp_frac"),
-        F.round(obs_frac - exp_frac, 6).alias("deviation"),
+        (obs_frac - exp_frac).alias("deviation"),
     )
 
 
@@ -525,8 +525,8 @@ def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(x) AS BIGINT) AS total_events,
            CAST(MAX(x) AS BIGINT) AS max_events,
-           ROUND(CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
-                 / CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS gini
+           CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
     FROM r
     """,
 )
@@ -548,11 +548,10 @@ def q_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("x").cast("bigint").alias("total_events"),
         F.max("x").cast("bigint").alias("max_events"),
-        F.round(
+        (
             (2 * F.sum(F.col("i") * F.col("x")) - (F.count("*") + 1) * F.sum("x"))
             .cast("double")
-            / (F.count("*") * F.sum("x")).cast("double"),
-            6,
+            / (F.count("*") * F.sum("x")).cast("double")
         ).alias("gini"),
     )
 
@@ -619,7 +618,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  // CAST(FLOOR(l_quantity) AS BIGINT) AS unit_microcents
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-          AND l_quantity >= 1
+          AND l_extendedprice >= 0 AND l_quantity >= 1
     )
     SELECT l_partkey,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -642,6 +641,11 @@ def q_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
         & F.col("l_quantity").isNotNull()
+        # >= 0: DuckDB's // floors while Spark's div truncates toward
+        # zero; restricting to non-negative operands is what makes the
+        # documented 'floors identically on both engines' claim true
+        # (ADVICE r04 — a refund-style negative price would diverge).
+        & (F.col("l_extendedprice") >= 0)
         & (F.col("l_quantity") >= 1)
     )
     unit = F.expr(
@@ -710,8 +714,8 @@ def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN l.l_returnflag = 'R'
                          THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS returned_cents,
-           ROUND(CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS return_rate
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_returnflag IS NOT NULL AND l.l_extendedprice IS NOT NULL
     GROUP BY p.p_brand
@@ -739,7 +743,7 @@ def q_returns_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("returned_cents"),
-        F.round(F.sum(ret).cast("double") / F.count("*").cast("double"), 6).alias(
+        (F.sum(ret).cast("double") / F.count("*").cast("double")).alias(
             "return_rate"
         ),
     )
@@ -752,16 +756,17 @@ def q_returns_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
                    AS rev
-        FROM orders WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+          AND o_custkey IS NOT NULL
         GROUP BY o_custkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(rev) AS BIGINT) AS total_usd,
-           ROUND(CAST(SUM(rev * rev) AS DOUBLE)
-                 / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 6)
+           CAST(SUM(rev * rev) AS DOUBLE)
+                 / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
                AS hhi,
-           ROUND(1.0 / (CAST(SUM(rev * rev) AS DOUBLE)
-                 / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))), 6)
+           1.0 / (CAST(SUM(rev * rev) AS DOUBLE)
+                 / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)))
                AS effective_customers
     FROM c
     """,
@@ -779,7 +784,12 @@ def q_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     error caught it immediately); beyond ~10⁹ dollars per customer,
     lift the squares to DECIMAL(38,0), plan unchanged."""
     o = catalog.load(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & F.col("o_custkey").isNotNull()
+        # >= 0 guard: the div-vs-// floor/truncate divergence on
+        # negative aggregates (ADVICE r04); HHI shares are defined on
+        # non-negative revenue anyway.
+        F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") >= 0)
+        & F.col("o_custkey").isNotNull()
     )
     c = o.groupBy("o_custkey").agg(
         F.expr(
@@ -792,6 +802,6 @@ def q_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("rev").cast("bigint").alias("total_usd"),
-        F.round(hhi, 6).alias("hhi"),
-        F.round(F.lit(1.0) / hhi, 6).alias("effective_customers"),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_customers"),
     )

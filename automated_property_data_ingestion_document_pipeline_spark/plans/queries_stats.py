@@ -72,15 +72,15 @@ def _li_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM li GROUP BY l_returnflag
     )
     SELECT l_returnflag, n, sx, sy,
-           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
-           ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+           (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
-                 / CAST(n AS DOUBLE), 6) AS intercept,
-           ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / CAST(n AS DOUBLE) AS intercept,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                   * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
                  / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2
     FROM s
     """,
 )
@@ -111,9 +111,9 @@ def q_regr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sx",
         "sy",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy_d - slope * F.col("sx")) / n_d, 6).alias("intercept"),
-        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
+        slope.alias("slope"),
+        ((sy_d - slope * F.col("sx")) / n_d).alias("intercept"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("r2"),
     )
 
 
@@ -133,10 +133,10 @@ def q_regr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM obs
     )
     SELECT status, priority, n_obs,
-           ROUND(CAST(row_tot AS DOUBLE) * col_tot / n_all, 6) AS expected,
-           ROUND((n_obs - CAST(row_tot AS DOUBLE) * col_tot / n_all)
+           CAST(row_tot AS DOUBLE) * col_tot / n_all AS expected,
+           (n_obs - CAST(row_tot AS DOUBLE) * col_tot / n_all)
                  * (n_obs - CAST(row_tot AS DOUBLE) * col_tot / n_all)
-                 / (CAST(row_tot AS DOUBLE) * col_tot / n_all), 6) AS contribution
+                 / (CAST(row_tot AS DOUBLE) * col_tot / n_all) AS contribution
     FROM tot
     """,
 )
@@ -164,8 +164,8 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "priority",
         "n_obs",
-        F.round(exp, 6).alias("expected"),
-        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6).alias(
+        exp.alias("expected"),
+        ((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp).alias(
             "contribution"
         ),
     )
@@ -188,9 +188,9 @@ _CORR_SUMS = ",\n".join(
 
 _CORR_ROWS = "\nUNION ALL\n".join(
     f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
-        ROUND((CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
+        (CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
               / (SQRT(CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a})
-                 * SQRT(CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b})), 6) AS r
+                 * SQRT(CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b})) AS r
     FROM s"""
     for a, b in _PAIRS
 )
@@ -210,8 +210,8 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistic (4 sums + 4 sum-of-squares + 6 cross products
     = 15 longs total), then the 6 matrix entries unfold from that one
     row — no per-pair passes, no shuffle of raw data beyond the single
-    partial agg. sqrt is IEEE-exact, so r matches the oracle bitwise
-    before the defensive round.
+    partial agg. sqrt is IEEE-exact, so r matches the
+    oracle bitwise and is emitted raw (§41).
     """
     li = _li_ints(spark, sf_dir)
     cols = ("qty", "price_usd", "disc_pct", "tax_pct")
@@ -236,7 +236,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(
             F.lit(a).alias("col_x"),
             F.lit(b).alias("col_y"),
-            F.round(num / (dena * denb), 6).alias("r"),
+            (num / (dena * denb)).alias("r"),
         )
 
     cell = F.explode(F.array(*[corr_struct(a, b) for a, b in _PAIRS])).alias("cell")
@@ -282,7 +282,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rec JOIN ord o ON o.rn = rec.rn + 1
     )
     SELECT t, d AS n_events, c AS n_censored, n_at_risk,
-           ROUND(surv, 6) AS survival
+           surv AS survival
     FROM rec
     """,
 )
@@ -296,8 +296,9 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right over the sorted time array (JVM ``aggregate`` with a
     running-product array accumulator — the EWMA fold generalized to
     emit EVERY prefix), evaluating the identical multiplication chain
-    as the oracle's recursive CTE, so the doubles agree bitwise before
-    the defensive round. The single-group collect holds |distinct
+    as the oracle's recursive CTE, so the doubles agree bitwise and the
+    RAW double is emitted (§41: decimal ROUND is the only non-portable
+    step). The single-group collect holds |distinct
     durations| rows (≤ the day domain), never the corpus."""
     e = catalog.load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
@@ -355,7 +356,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.d").alias("n_events"),
         F.col("r.c").alias("n_censored"),
         F.col("r.n_at_risk").alias("n_at_risk"),
-        F.round(F.col("r.surv"), 6).alias("survival"),
+        F.col("r.surv").alias("survival"),
     )
 
 
@@ -393,8 +394,8 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(dnum) AS BIGINT) AS d_numerator,
            CAST(MIN(CASE WHEN dnum = (SELECT MAX(dnum) FROM d) THEN v END)
                 AS BIGINT) AS d_at_cents,
-           ROUND(CAST(MAX(dnum) AS DOUBLE)
-                 / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)), 6)
+           CAST(MAX(dnum) AS DOUBLE)
+                 / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE))
                AS ks_stat
     FROM d
     """,
@@ -455,9 +456,8 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("dnum") == F.col("dmax"), F.col("v")))
         .cast("bigint")
         .alias("d_at_cents"),
-        F.round(
+        (
             F.max("dnum").cast("double")
-            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
-            6,
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double"))
         ).alias("ks_stat"),
     )

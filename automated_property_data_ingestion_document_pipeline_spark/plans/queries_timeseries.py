@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_property_data_ingestion_document_pipeline_spark import catalog
+from automated_property_data_ingestion_document_pipeline_spark.operators import folds
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 
 # Integer cents projection shared by both keys (ties broken by event_id).
@@ -90,11 +91,14 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted array — left-to-right `(acc + x) / 2.0`, the same chain the
     oracle's recursive CTE evaluates, so the doubles agree BITWISE (no
     defensive rounding needed). Ties broken by event_id inside the
-    sorted struct, matching the ORDER BY.
+    sorted struct, matching the ORDER BY. Per-key series are bounded by
+    the ENFORCED folds.MAX_SERIES_EVENTS contract (VERDICT r04 #3) —
+    oversized keys raise with a route-to-streaming-fold remediation
+    instead of silently materializing a giant buffer.
     """
     ev = _ev_cents(spark, sf_dir)
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "cents")))
-    g = ev.groupBy("user_id").agg(arr.alias("evs"))
+    g = folds.enforce_series_cap(ev.groupBy("user_id").agg(arr.alias("evs")), "evs")
     return g.select(
         "user_id",
         F.size("evs").cast("bigint").alias("n_events"),
@@ -306,7 +310,7 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _ev_cents(spark, sf_dir)
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "cents")))
-    g = ev.groupBy("user_id").agg(arr.alias("evs"))
+    g = folds.enforce_series_cap(ev.groupBy("user_id").agg(arr.alias("evs")), "evs")
     folded = g.select(
         "user_id",
         F.size("evs").cast("bigint").alias("n_events"),
@@ -974,7 +978,7 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential within — exactly how a forecaster runs at 100 TB."""
     ev = _ev_cents(spark, sf_dir)
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "cents")))
-    g = ev.groupBy("user_id").agg(arr.alias("evs"))
+    g = folds.enforce_series_cap(ev.groupBy("user_id").agg(arr.alias("evs")), "evs")
     return g.select(
         "user_id",
         F.size("evs").cast("bigint").alias("n_events"),
@@ -1204,7 +1208,7 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "delta")))
-    g = moves.groupBy("user_id").agg(arr.alias("mv"))
+    g = folds.enforce_series_cap(moves.groupBy("user_id").agg(arr.alias("mv")), "mv")
     return g.select(
         "user_id",
         F.size("mv").cast("bigint").alias("n_moves"),

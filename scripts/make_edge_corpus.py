@@ -40,7 +40,7 @@ EDGE_DOUBLES = [
 #   SQL (both engines pick an arbitrary row) — ties are not a testable
 #   contract.  NULLs and int32-overflowing cent counts stay.
 EDGE_JSON = [
-    None, "", "{", "not json", "[]", "null", '{"k": null}', '{"k": "abc"}',
+    None, "", "  ", "\t\n ", "{", "not json", "[]", "null", '{"k": null}', '{"k": "abc"}',
     '{"k": "3.7"}', '{"k": 3.7}', '{"k": 99999999999}', '{"k": -99999999999}',
     # duplicate keys excluded: RFC 8259 leaves them undefined and the
     # engines disagree (Spark/Jackson keeps last, DuckDB keeps first)

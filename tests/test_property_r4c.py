@@ -328,10 +328,11 @@ def test_peak_concurrency_sweep_matches_brute_stabbing(intervals):
     # brute: for every candidate point (all endpoints), count covering
     points = sorted({p for s, e in intervals for p in (s, e)})
     brute = max(sum(1 for s, e in intervals if s <= p <= e) for p in points)
-    # sweep: +1 at s, -1 at e + 1 (closed-interval exclusivity), +1 first
+    # sweep: +1 at s, -1 at e + 1 (closed-interval exclusivity); the
+    # sort keys order -1 BEFORE +1 at equal times
     events = []
     for s, e in intervals:
-        events.append((s, 1, +1))   # -1 sorts BEFORE +1 at same time
+        events.append((s, 1, +1))
         events.append((e + 1, 0, -1))
     cur = peak = 0
     for _, _, d in sorted(events):
