@@ -365,7 +365,7 @@ _TWAP_SRC = """
     SELECT user_id,
            CAST(COUNT(dur_us) AS BIGINT) AS n_intervals,
            CAST(SUM(dur_us) AS BIGINT) AS held_us,
-           ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us), 6)
+           CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us)
                AS twap_cents
     FROM held
     WHERE dur_us IS NOT NULL
@@ -411,10 +411,9 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("dur_us").alias("n_intervals"),
             F.sum("dur_us").alias("held_us"),
-            F.round(
+            (
                 F.sum(F.col("cents") * F.col("dur_us")).cast("double")
-                / F.sum("dur_us"),
-                6,
+                / F.sum("dur_us")
             ).alias("twap_cents"),
         )
         .filter(F.col("held_us") > 0)
@@ -561,7 +560,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     twap AS (
         SELECT user_id,
                CAST(SUM(dur_us) AS BIGINT) AS held_us,
-               ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us), 6)
+               CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us)
                    AS twap_cents
         FROM held WHERE dur_us IS NOT NULL
         GROUP BY user_id HAVING SUM(dur_us) > 0
@@ -606,10 +605,9 @@ def q_telemetry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         held.groupBy("user_id")
         .agg(
             F.sum("dur_us").alias("held_us"),
-            F.round(
+            (
                 F.sum(F.col("cents") * F.col("dur_us")).cast("double")
-                / F.sum("dur_us"),
-                6,
+                / F.sum("dur_us")
             ).alias("twap_cents"),
         )
         .filter(F.col("held_us") > 0)
@@ -642,8 +640,8 @@ def q_telemetry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, event_id, CAST(n AS BIGINT) AS n,
-           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                AS slope
     FROM roll WHERE n >= 3
     """,
@@ -688,7 +686,7 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.col("n").cast("bigint").alias("n"),
-        F.round(slope, 6).alias("slope"),
+        slope.alias("slope"),
     )
 
 
@@ -790,7 +788,7 @@ def q_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     twap AS (
         SELECT user_id,
-               ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us), 6)
+               CAST(SUM(cents * dur_us) AS DOUBLE) / SUM(dur_us)
                    AS twap_cents
         FROM held WHERE dur_us IS NOT NULL
         GROUP BY user_id HAVING SUM(dur_us) > 0
@@ -852,10 +850,9 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         held.groupBy("user_id")
         .agg(
             F.sum("dur_us").alias("_held"),
-            F.round(
+            (
                 F.sum(F.col("cents") * F.col("dur_us")).cast("double")
-                / F.sum("dur_us"),
-                6,
+                / F.sum("dur_us")
             ).alias("twap_cents"),
         )
         .filter(F.col("_held") > 0)
@@ -1031,9 +1028,9 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs WHERE y IS NOT NULL
     )
     SELECT n, sx, sy,
-           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
                AS r_lag1
     FROM s
     """,
@@ -1078,7 +1075,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(d("n") * F.col("sxx") - d("sx") * F.col("sx")) * F.sqrt(
         d("n") * F.col("syy") - d("sy") * F.col("sy")
     )
-    return s.select("n", "sx", "sy", F.round(num / den, 6).alias("r_lag1"))
+    return s.select("n", "sx", "sy", (num / den).alias("r_lag1"))
 
 
 @query(
@@ -1252,9 +1249,9 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT m.hr AS hour_label, m.x,
-           ROUND(l.center, 6) AS center_line,
-           ROUND(l.center - l.spread, 6) AS lcl,
-           ROUND(l.center + l.spread, 6) AS ucl,
+           l.center AS center_line,
+           l.center - l.spread AS lcl,
+           l.center + l.spread AS ucl,
            m.x < l.center - l.spread OR m.x > l.center + l.spread
                AS out_of_control
     FROM mr m CROSS JOIN lim l
@@ -1301,9 +1298,9 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("hr").alias("hour_label"),
         "x",
-        F.round(F.col("center"), 6).alias("center_line"),
-        F.round(F.col("center") - F.col("spread"), 6).alias("lcl"),
-        F.round(F.col("center") + F.col("spread"), 6).alias("ucl"),
+        F.col("center").alias("center_line"),
+        (F.col("center") - F.col("spread")).alias("lcl"),
+        (F.col("center") + F.col("spread")).alias("ucl"),
         (
             (F.col("x") < F.col("center") - F.col("spread"))
             | (F.col("x") > F.col("center") + F.col("spread"))

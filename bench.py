@@ -213,6 +213,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     total = 0.0
+    # one discarded warm run: the first sentinel execution pays
+    # first-touch costs (~2.5x steady state) and would dominate the
+    # drift ratio, masking genuine mid-run machine shifts
+    materialize(sentinel_df)
     run_sentinel()
     for i, key in enumerate(HEADLINE):
         if i and i % SENTINEL_EVERY == 0:
@@ -252,10 +256,12 @@ def main() -> None:
         if key == "q_neardup_clusters":
             detail[key]["cc_rounds"] = dedup.LAST_CC_ROUNDS
     run_sentinel()
-    # sentinel drift: ratio of slowest to fastest sentinel run — >1.5x
-    # means the machine itself shifted mid-run and wall deltas vs other
-    # rounds are suspect (VERDICT r04 'What's wrong' #1).
-    drift = round(max(sentinels) / min(sentinels), 2) if min(sentinels) > 0 else None
+    # sentinel drift: slowest sentinel over the MEDIAN sentinel. The
+    # sentinel is a ~60 ms scan at sf0.1, so its own noise floor is
+    # ~2x; an r04-style machine degradation (queries 2-3x slower)
+    # shows up as >3x here. Raw per-run times are in BENCH_DETAIL.
+    med = sorted(sentinels)[len(sentinels) // 2]
+    drift = round(max(sentinels) / med, 2) if med > 0 else None
     line = {
         "metric": "headline_queries_total",
         "value": round(total, 3),

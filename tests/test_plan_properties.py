@@ -408,3 +408,60 @@ def test_minhash_portable_bucket_join_never_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_minhash_portable")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_revenue_bridge_no_joins_one_exchange(spark, sf_dir):
+    """The bridge is TWO conditional aggregates, not a period self-join:
+    the per-customer (rev_a, rev_b) table comes from one shuffle and the
+    waterfall reduces to one row — a self-join of orders against itself
+    per period (the naive formulation) would double-scan and explode."""
+    plan = plan_of(spark, sf_dir, "q_revenue_bridge")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ks_test_windows_only_partitioned_by_pid(spark, sf_dir):
+    """Both cumulative-count windows must be the scalable prefix-sum's
+    per-partition locals (partitionBy _pid); an unpartitioned ordered
+    window over the value domain would serialize at 100 TB. The only
+    nested-loop join allowed is the single-row dmax broadcast."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_ks_test")
+    specs = [m.group(1) for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)]
+    assert specs, "expected prefix-sum windows in the KS plan"
+    for spec in specs:
+        assert "_pid" in spec, f"unpartitioned global window in KS plan: {spec}"
+    assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_single_bounded_global_window(spark, sf_dir):
+    """The survival fold runs on the DISTINCT-TIME table, whose size is
+    bounded by the day domain (≤ a few thousand rows), never the event
+    corpus — exactly ONE unpartitioned ordered window is allowed, and it
+    must sit above an aggregate (the t-domain reduction), with no
+    cartesian join anywhere."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_kaplan_meier")
+    unpartitioned = [
+        m.group(1)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "_pid" not in m.group(1)
+    ]
+    assert len(unpartitioned) == 1, unpartitioned
+    assert "CartesianProduct" not in plan
+    # the corpus-sized stage is the per-user reduction: hash exchanges
+    # stay bounded (agg + day rollup + the fold's tiny shuffles)
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_audience_overlap_self_join_is_equi_never_cartesian(spark, sf_dir):
+    """The segment-overlap matrix must come from a user-keyed equi
+    self-join of the DISTINCT membership table with the alphabet-bounded
+    ordering predicate folded into the join — a cartesian/nested-loop
+    here means all-pairs over users, the exact blowup the shape avoids."""
+    plan = plan_of(spark, sf_dir, "q_audience_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join plan, with equi variants only
