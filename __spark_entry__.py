@@ -138,7 +138,7 @@ _PRIORITY = [
     "q_sql_tpch_q12", "q_sql_tpch_q16", "q_sql_tpch_q20", "q_sql_tpch_q21",
     # portable near-dup twins + multimodal arithmetic oracles
     "q_minhash_portable", "q_simhash_portable", "q_image_stats",
-    "q_frame_stats", "q_audio_energy",
+    "q_frame_stats", "q_audio_energy", "q_jpeg_stats",
     # LLM-pipeline core: dedup granularity, LM counting, embeddings
     "q_semantic_dedup", "q_dup_spans", "q_skipgram_pmi", "q_bigram_probs",
     "q_embedding_centroids", "q_kmeans_step",
@@ -146,9 +146,10 @@ _PRIORITY = [
     "q_lag_features", "q_target_encode", "q_ewma",
     # rows-only gate lanes (ask #7: rows/err visibility for the driver)
     "q_sq8_recall", "q_kmv_distinct", "q_countmin_error",
-    "q_bloom_filter", "q_stream_multi", "q_stream_ewma",
-    # --- r06 window: remaining unseen oracle keys ---
-    "q_holt_linear", "q_clamped_balance", "q_minmax_scale",
+    "q_bloom_filter", "q_stream_multi",
+    # --- r06 window: remaining unseen oracle keys (+ the one rows-only
+    # gate lane that no longer fits the 50-slot head) ---
+    "q_stream_ewma", "q_holt_linear", "q_clamped_balance", "q_minmax_scale",
     "q_tfidf", "q_regr_ols", "q_chi_square", "q_mad_outliers",
     "q_readability", "q_rolling_median", "q_cusum", "q_twap",
     "q_ohlc_bars", "q_winsorize", "q_telemetry_pipeline",

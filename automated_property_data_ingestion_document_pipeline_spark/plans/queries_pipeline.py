@@ -815,3 +815,74 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _energy, "doc_id bigint, chunk_idx int, n_samples bigint, energy bigint"
     )
+
+
+@query(
+    "q_jpeg_stats",
+    oracle="""
+    WITH blk AS (
+        SELECT d.doc_id, b.b,
+               128 + 2 * (((d.doc_id * 7 + b.b * 13) % 100) - 50) AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 128) d,
+             range(6) b(b)
+    )
+    SELECT doc_id,
+           CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max,
+           CAST(384 AS BIGINT) AS n_px
+    FROM blk GROUP BY doc_id
+    """,
+)
+def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, VALUE-verified (r05 stretch #8 —
+    closes the last multimodal format): each document's deterministic
+    16×24 grayscale JPEG is entropy-encoded from DC-only coefficient
+    blocks (dc_b = ((id·7 + 13b) mod 100) − 50, restart interval 2 so
+    the RST/DC-predictor-reset path runs), then sources/jpeg.py decodes
+    the actual bytes — marker parse → DHT canonical codes → Huffman →
+    dequantize → IDCT → level shift — and per-doc integer sum/min/max
+    aggregate. The oracle NEVER sees a JPEG: DC-only blocks with
+    q00=16 have the closed form pixel ≡ 128 + 2·dc (IDCT of a lone DC
+    is flat dc·q00/8 — integer, no rounding ambiguity), so a hash
+    match proves the decode path bit-exactly. The AC/Huffman/4:2:0
+    surface is pinned pixel-exactly by tests/test_jpeg.py against an
+    independent direct-sum IDCT. Same Arrow mapInPandas shape as
+    q_image_stats; only 4 ints per doc leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_from_coeffs,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 128)
+        .select("doc_id")
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "px_sum": [], "px_min": [], "px_max": [], "n_px": []}
+            for did in pdf["doc_id"].to_numpy():
+                blocks = []
+                for b in range(6):
+                    c = np.zeros((8, 8), dtype=np.int64)
+                    c[0, 0] = ((int(did) * 7 + b * 13) % 100) - 50
+                    blocks.append(c)
+                payload = encode_jpeg_from_coeffs(
+                    16, 24, [blocks], restart_interval=2
+                )
+                px = decode_jpeg(payload)[:, :, 0].astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["px_sum"].append(int(px.sum()))
+                out["px_min"].append(int(px.min()))
+                out["px_max"].append(int(px.max()))
+                out["n_px"].append(int(px.size))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _stats, "doc_id bigint, px_sum bigint, px_min int, px_max int, n_px bigint"
+    )

@@ -1,0 +1,210 @@
+"""Pixel-exact tests for the pure-stdlib baseline JPEG codec
+(sources/jpeg.py — VERDICT r04 stretch #8).
+
+Methodology (the arithmetic-oracle discipline of the PNG/video/PCM
+lanes): fixtures are written from HAND-CHOSEN quantized coefficients by
+``encode_jpeg_from_coeffs``, and the expected image is computed by an
+INDEPENDENT direct-sum IDCT (quadruple loop over the textbook T.81
+formula — sharing no code with the decoder's separable matrix path)
+plus the decoder's documented upsampling (sample replication) and JFIF
+color-convert contract. A match proves marker parsing, DHT canonical
+code assignment, Huffman + DC-predictor decode, de-zigzag, dequantize,
+IDCT, upsampling, and color conversion end-to-end. Each comparison
+first asserts every pre-rounding value is > 1e-6 away from a .5
+boundary, so 'pixel-exact' cannot silently ride on two float paths
+rounding the same borderline value together.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from automated_property_data_ingestion_document_pipeline_spark.sources.jpeg import (
+    STD_QT_CHROMA,
+    STD_QT_LUMA,
+    JpegUnsupported,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_from_coeffs,
+)
+
+
+def ref_idct(coeffs: np.ndarray) -> np.ndarray:
+    """Textbook T.81 A.3.3 inverse DCT, direct quadruple sum."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coeffs[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return out
+
+
+def _to_px(plane: np.ndarray) -> np.ndarray:
+    frac = np.abs((plane + 128.0) - np.floor(plane + 128.0) - 0.5)
+    assert (frac > 1e-6).all(), "value too close to a .5 rounding boundary"
+    return np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+
+
+def _rng_coeffs(rng: np.random.Generator) -> np.ndarray:
+    """A dense-ish block exercising DC, low/high AC, ZRL runs."""
+    c = np.zeros((8, 8), dtype=np.int64)
+    c[0, 0] = int(rng.integers(-40, 40))
+    for _ in range(10):
+        u, v = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+        c[u, v] = int(rng.integers(-20, 20))
+    c[7, 7] = int(rng.integers(1, 5))  # forces a long zero run + no-EOB path
+    return c
+
+
+def test_gray_444_pixel_exact_vs_independent_idct():
+    rng = np.random.default_rng(7)
+    blocks = [_rng_coeffs(rng) for _ in range(4)]  # 16x16 gray
+    data = encode_jpeg_from_coeffs(16, 16, [blocks])
+    got = decode_jpeg(data)
+    assert got.shape == (16, 16, 1)
+    q = STD_QT_LUMA.astype(np.float64)
+    want = np.zeros((16, 16), dtype=np.uint8)
+    for i, blk in enumerate(blocks):  # MCU raster order: 2x2 blocks
+        by, bx = divmod(i, 2)
+        want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _to_px(ref_idct(blk * q))
+    np.testing.assert_array_equal(got[:, :, 0], want)
+
+
+def test_color_444_pixel_exact_with_jfif_conversion():
+    rng = np.random.default_rng(11)
+    comp = [[_rng_coeffs(rng)] for _ in range(3)]  # one 8x8 MCU, 3 comps
+    data = encode_jpeg_from_coeffs(8, 8, comp)
+    got = decode_jpeg(data)
+    assert got.shape == (8, 8, 3)
+    y = ref_idct(comp[0][0] * STD_QT_LUMA) + 128.0
+    cb = ref_idct(comp[1][0] * STD_QT_CHROMA)
+    cr = ref_idct(comp[2][0] * STD_QT_CHROMA)
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    for ch, plane in enumerate((r, g, b)):
+        frac = np.abs(plane - np.floor(plane) - 0.5)
+        assert (frac > 1e-6).all()
+        np.testing.assert_array_equal(
+            got[:, :, ch], np.clip(np.round(plane), 0, 255).astype(np.uint8)
+        )
+
+
+def test_color_420_subsampled_pixel_exact():
+    """4:2:0: one MCU covers 16x16 with 4 Y blocks + 1 Cb + 1 Cr; chroma
+    upsamples by 2x2 sample replication (the documented contract)."""
+    rng = np.random.default_rng(13)
+    ys = [_rng_coeffs(rng) for _ in range(4)]
+    cbs = [_rng_coeffs(rng)]
+    crs = [_rng_coeffs(rng)]
+    data = encode_jpeg_from_coeffs(
+        16, 16, [ys, cbs, crs], sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    got = decode_jpeg(data)
+    assert got.shape == (16, 16, 3)
+    yplane = np.zeros((16, 16))
+    for i, blk in enumerate(ys):
+        by, bx = divmod(i, 2)
+        yplane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = ref_idct(blk * STD_QT_LUMA)
+    cb = np.repeat(np.repeat(ref_idct(cbs[0] * STD_QT_CHROMA), 2, 0), 2, 1)
+    cr = np.repeat(np.repeat(ref_idct(crs[0] * STD_QT_CHROMA), 2, 0), 2, 1)
+    yf = yplane + 128.0
+    r = yf + 1.402 * cr
+    g = yf - 0.344136 * cb - 0.714136 * cr
+    b = yf + 1.772 * cb
+    for ch, plane in enumerate((r, g, b)):
+        frac = np.abs(plane - np.floor(plane) - 0.5)
+        assert (frac > 1e-6).all()
+        np.testing.assert_array_equal(
+            got[:, :, ch], np.clip(np.round(plane), 0, 255).astype(np.uint8)
+        )
+
+
+def test_restart_markers_reset_predictors():
+    """With DRI=1 every MCU is its own entropy segment: byte-aligned,
+    RSTn-separated, DC predictor reset — decoded pixels must equal the
+    no-restart encoding of the same coefficients."""
+    rng = np.random.default_rng(17)
+    blocks = [_rng_coeffs(rng) for _ in range(6)]  # 16x24 gray
+    plain = decode_jpeg(encode_jpeg_from_coeffs(16, 24, [blocks]))
+    restarted = decode_jpeg(
+        encode_jpeg_from_coeffs(16, 24, [blocks], restart_interval=1)
+    )
+    np.testing.assert_array_equal(plain, restarted)
+
+
+def test_dc_only_blocks_have_closed_form_pixels():
+    """The q_jpeg_stats oracle contract: a DC-only block with q00=16
+    decodes to the flat value 128 + 2*dc exactly (IDCT of DC-only =
+    dc*q00/8 everywhere — integer, no rounding ambiguity)."""
+    for dc in (-50, -1, 0, 1, 37, 49):
+        data = encode_jpeg_from_coeffs(
+            8, 8, [[np.array([[dc] + [0] * 7] + [[0] * 8] * 7, dtype=np.int64)]]
+        )
+        got = decode_jpeg(data)
+        assert (got == 128 + 2 * dc).all(), dc
+
+
+def test_odd_dimensions_crop():
+    rng = np.random.default_rng(19)
+    blocks = [_rng_coeffs(rng) for _ in range(4)]
+    got = decode_jpeg(encode_jpeg_from_coeffs(13, 11, [blocks]))
+    assert got.shape == (13, 11, 1)
+
+
+def test_roundtrip_flat_image_is_exact():
+    # 100-128 = -28; DC = 8*(-28) = -224 = -14 * q00(16): survives
+    # quantization exactly, so decode(encode(flat)) == flat.
+    img = np.full((24, 16), 100, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert (out[:, :, 0] == 100).all()
+
+
+def test_roundtrip_random_image_within_quantization_error():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))[:, :, 0].astype(np.int64)
+    err = np.abs(out - img.astype(np.int64))
+    # K.1 tables at high frequencies quantize coarsely; bound, don't
+    # expect exactness — the pixel-exact guarantees live in the
+    # coefficient-driven tests above.
+    assert err.mean() < 20 and err.max() < 128
+
+
+def test_roundtrip_rgb_smooth_gradient_close():
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack(
+        [(40 + 3 * y).astype(np.uint8), (60 + 3 * x).astype(np.uint8),
+         (90 + y + x).astype(np.uint8)],
+        axis=-1,
+    )
+    out = decode_jpeg(encode_jpeg(img)).astype(np.int64)
+    assert np.abs(out - img.astype(np.int64)).mean() < 12
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda d: b"\x00" + d, "SOI"),
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1), "non-baseline"),
+        (lambda d: d[: len(d) // 2], ""),  # truncated
+    ],
+)
+def test_unsupported_and_corrupt_raise_typed_error(mutate, msg):
+    rng = np.random.default_rng(29)
+    data = encode_jpeg_from_coeffs(8, 8, [[_rng_coeffs(rng)]])
+    with pytest.raises(JpegUnsupported) as e:
+        decode_jpeg(mutate(data))
+    assert msg in str(e.value)
