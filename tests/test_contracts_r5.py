@@ -55,3 +55,44 @@ def test_idiv_is_integral_beyond_double_precision(spark):
     assert got.d == big  # float path would yield 2^53
     (got2,) = df.select(_idiv(F.col("a"), F.lit(2)).alias("d")).collect()
     assert got2.d == big // 2
+
+
+def test_agg_joinback_equals_window_including_null_keys(spark):
+    """§52: the groupBy + eqNullSafe broadcast join-back that replaced
+    the 5-key whole-partition window in q_target_encode/q_minmax_scale
+    must reproduce the window semantics EXACTLY — including the NULL
+    category, which PARTITION BY keeps as a real group and a bare inner
+    equi-join silently drops (the edge-corpus catch this encodes)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rnd = random.Random(5)
+    cats = ["a", "b", None]
+    rows = [(i, cats[rnd.randrange(3)], rnd.randrange(-50, 500)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, cat string, x long")
+
+    w = Window.partitionBy("cat")
+    via_window = {
+        (r.id): (r.s, r.n)
+        for r in df.select(
+            "id",
+            F.sum("x").over(w).alias("s"),
+            F.count("*").over(w).alias("n"),
+        ).collect()
+    }
+    stats = (
+        df.groupBy("cat")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .withColumnRenamed("cat", "_cat")
+    )
+    via_join = {
+        (r.id): (r.s, r.n)
+        for r in df.join(
+            F.broadcast(stats), F.col("cat").eqNullSafe(F.col("_cat"))
+        ).select("id", "s", "n").collect()
+    }
+    assert via_join == via_window
+    # and the bare equi-join WOULD lose the NULL rows — the failure mode
+    bare = df.join(F.broadcast(stats), F.col("cat") == F.col("_cat"))
+    assert bare.count() == sum(1 for _, c, _x in rows if c is not None)
