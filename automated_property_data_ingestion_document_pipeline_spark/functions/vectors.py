@@ -26,3 +26,13 @@ def cosine(a: Column, b: Column) -> Column:
     ``try_divide`` is the parity-preserving form; zero vectors then
     sort last under DESC ranking on both engines)."""
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the two norms supplied as precomputed
+    columns — the pairwise-join form. ``norm`` is a deterministic
+    function of the vector, so hoisting it to the (linear-sized) join
+    inputs yields the IDENTICAL double while removing two O(d) folds
+    from every (quadratic-sized) pair: the same hoist-before-the-blowup
+    rule as BM25's row-local doc_len (PERFORMANCE.md §57)."""
+    return F.try_divide(dot(a, b), na * nb)

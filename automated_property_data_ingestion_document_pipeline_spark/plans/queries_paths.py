@@ -45,8 +45,8 @@ from automated_property_data_ingestion_document_pipeline_spark.plans.registry im
     )
     SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
            CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
-           ROUND(CAST(n AS DOUBLE)
-                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+           CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
     FROM t
     """,
 )
@@ -75,7 +75,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_type",
         "n",
         n_from.alias("n_from"),
-        F.round(F.col("n").cast("double") / n_from.cast("double"), 6).alias("p"),
+        (F.col("n").cast("double") / n_from.cast("double")).alias("p"),
     )
 
 

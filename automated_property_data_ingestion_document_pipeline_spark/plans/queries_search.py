@@ -116,7 +116,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc_id window and the exploded-table corpus agg — 6 exchanges
     → 4 (tf group, df window, single-row agg + its broadcast). idf stays
     pure-integer (floor-log2); the saturation denominator is the same
-    IEEE tree on both engines, rounded at 6 defensively."""
+    IEEE tree on both engines — but measured 1 ULP apart on the edge
+    corpus (engine-side expression compilation, likely FMA
+    contraction, reassociates the saturation chain), so this is the
+    §41 carve-out case that genuinely KEEPS the defensive ROUND: the
+    operands are identical, the evaluation isn't."""
     d = catalog.load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
     docs = d.select("doc_id", toks.alias("tk")).withColumn(

@@ -378,7 +378,7 @@ def q_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
     )
     SELECT p.item_a, p.item_b, p.co_count,
-           ROUND(p.co_count / (SQRT(CAST(fa.cnt AS DOUBLE)) * SQRT(CAST(fb2.cnt AS DOUBLE))), 6)
+           p.co_count / (SQRT(CAST(fa.cnt AS DOUBLE)) * SQRT(CAST(fb2.cnt AS DOUBLE)))
                AS cosine
     FROM pairs p
     JOIN freq fa ON fa.l_partkey = p.item_a
@@ -419,10 +419,9 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_a",
             "item_b",
             "co_count",
-            F.round(
+            (
                 F.col("co_count")
-                / (F.sqrt(F.col("cnt_a").cast("double")) * F.sqrt(F.col("cnt_b").cast("double"))),
-                6,
+                / (F.sqrt(F.col("cnt_a").cast("double")) * F.sqrt(F.col("cnt_b").cast("double")))
             ).alias("cosine"),
         )
     )
@@ -481,10 +480,10 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.supp_ab AS BIGINT) AS supp_ab,
            CAST(fa.supp AS BIGINT) AS supp_a,
            CAST(fb2.supp AS BIGINT) AS supp_b,
-           ROUND(CAST(p.supp_ab AS DOUBLE) / CAST(fa.supp AS DOUBLE), 6)
+           CAST(p.supp_ab AS DOUBLE) / CAST(fa.supp AS DOUBLE)
                AS confidence_ab,
-           ROUND(CAST(p.supp_ab * nb.n_baskets AS DOUBLE)
-                 / CAST(fa.supp * fb2.supp AS DOUBLE), 6) AS lift
+           CAST(p.supp_ab * nb.n_baskets AS DOUBLE)
+                 / CAST(fa.supp * fb2.supp AS DOUBLE) AS lift
     FROM pairs p
     JOIN freq fa ON fa.l_partkey = p.item_a
     JOIN freq fb2 ON fb2.l_partkey = p.item_b
@@ -531,13 +530,12 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_ab").cast("bigint").alias("supp_ab"),
         F.col("supp_a").cast("bigint").alias("supp_a"),
         F.col("supp_b").cast("bigint").alias("supp_b"),
-        F.round(
-            F.col("supp_ab").cast("double") / F.col("supp_a").cast("double"), 6
+        (
+            F.col("supp_ab").cast("double") / F.col("supp_a").cast("double")
         ).alias("confidence_ab"),
-        F.round(
+        (
             (F.col("supp_ab") * F.col("n_baskets")).cast("double")
-            / (F.col("supp_a") * F.col("supp_b")).cast("double"),
-            6,
+            / (F.col("supp_a") * F.col("supp_b")).cast("double")
         ).alias("lift"),
     )
 

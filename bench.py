@@ -105,6 +105,15 @@ HEADLINE = [
     "q_bigram_probs",
     "q_shortest_path",
     "q_minhash_portable",
+    # round-5: heaviest members of the families entering the driver
+    # window this round (CDC, survival, retrieval, semantic dedup,
+    # revenue composites, the new JPEG decode lane)
+    "q_scd2_merge",
+    "q_kaplan_meier",
+    "q_inverted_index",
+    "q_semantic_dedup",
+    "q_revenue_bridge",
+    "q_jpeg_stats",
 ]
 
 

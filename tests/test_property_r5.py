@@ -187,3 +187,71 @@ def test_weighted_median_cum_rule_matches_brute_expansion(items):
     expanded = sorted(v for v, wt in items for _ in range(wt))
     brute = expanded[(len(expanded) - 1) // 2]
     assert engine == brute
+
+
+# --------------------------------------------------- ABC / Pareto cut
+
+
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=40))
+@settings(**_SET)
+def test_abc_integer_threshold_equals_exact_fraction_compare(revs):
+    """q_abc_classes tests cum/tot ≤ 0.8 as 5·cum ≤ 4·tot (and 19/20
+    for B) — integer cross-products with zero float ambiguity. Model:
+    exact-fraction comparison with fractions.Fraction at the same
+    boundaries, over the same desc-sorted cumulative."""
+    from fractions import Fraction
+
+    tot = sum(revs)
+    if tot == 0:
+        return
+    cum = 0
+    for rev in sorted(revs, reverse=True):
+        cum += rev
+        engine = (
+            "A" if 5 * cum <= 4 * tot else "B" if 20 * cum <= 19 * tot else "C"
+        )
+        share = Fraction(cum, tot)
+        model = (
+            "A"
+            if share <= Fraction(4, 5)
+            else "B" if share <= Fraction(19, 20) else "C"
+        )
+        assert engine == model
+
+
+# ------------------------------------------------- association rules
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 5)),  # (basket, item)
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SET)
+def test_association_supports_match_brute_basket_scan(pairs):
+    """q_association_rules computes supp(a), supp(b), supp(ab) via the
+    distinct-membership self-join; model recounts every support by a
+    direct scan over basket sets, and checks confidence/lift operand
+    identity (the engines' one-division forms divide exactly these
+    integers)."""
+    baskets: dict[int, set[int]] = {}
+    for bk, it in pairs:
+        baskets.setdefault(bk, set()).add(it)
+    n_baskets = len(baskets)
+    items = sorted({i for s in baskets.values() for i in s})
+    supp = {i: sum(1 for s in baskets.values() if i in s) for i in items}
+    # engine-shaped pair counts via the membership self-join semantics
+    memb = [(bk, it) for bk, s in baskets.items() for it in s]
+    pair_counts = Counter()
+    for bk, a in memb:
+        for bk2, b in memb:
+            if bk == bk2 and a < b:
+                pair_counts[(a, b)] += 1
+    for (a, b), supp_ab in pair_counts.items():
+        brute = sum(1 for s in baskets.values() if a in s and b in s)
+        assert supp_ab == brute
+        # confidence/lift integer operands
+        assert supp_ab <= supp[a] and supp_ab <= supp[b]
+        assert supp_ab * n_baskets <= supp[a] * supp[b] * n_baskets
