@@ -226,14 +226,19 @@ def lsh_candidate_pairs(
     sig = lambda df: df.withColumn(  # noqa: E731
         "_sigs", hyperplane_signatures(F.col(vec_col), num_tables, num_planes, dim, seed)
     )
-    q = sig(queries).select(
+    # norms computed BEFORE the L-way table fan-out AND the candidate
+    # join (once per vector, not per table row or per candidate —
+    # finding §57's hoist-before-the-blowup rule)
+    q = sig(queries).withColumn("_qn", norm(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        "_qn",
         F.posexplode("_sigs").alias("_qt", "_qsig"),
     )
-    c = sig(corpus).select(
+    c = sig(corpus).withColumn("_cn", norm(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        "_cn",
         F.posexplode("_sigs").alias("_ct", "_csig"),
     )
     cand = c.join(
@@ -244,7 +249,12 @@ def lsh_candidate_pairs(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qn"), F.col("_cn")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     # dedup across tables: scalars only cross the shuffle
     return cand.groupBy("query_id", "neighbor_id").agg(F.max("cos_sim").alias("cos_sim"))
@@ -350,10 +360,13 @@ def ivf_candidate_pairs(
 
     c_cells = corpus.withColumn(
         "_cell", F.element_at(cells_of(F.col(vec_col)), 1)  # corpus: nearest cell only
-    )
-    q = queries.withColumn("_cells", cells_of(F.col(vec_col))).select(
+    ).withColumn("_nn", norm(F.col(vec_col)))
+    q = queries.withColumn("_cells", cells_of(F.col(vec_col))).withColumn(
+        "_qn", norm(F.col(vec_col))
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        "_qn",
         F.explode("_cells").alias("_cell"),  # query fan-out: nprobe rows
     )
     return c_cells.alias("c").join(
@@ -363,7 +376,9 @@ def ivf_candidate_pairs(
         "query_id",
         F.col(f"c.{id_col}").alias("neighbor_id"),
         "_qvec",
+        "_qn",
         F.col(f"c.{vec_col}").alias("_nvec"),
+        F.col("c._nn").alias("_nn"),
     )
 
 
@@ -383,7 +398,12 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qvec"), F.col("_nvec")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("_qvec"), F.col("_nvec"), F.col("_qn"), F.col("_nn")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

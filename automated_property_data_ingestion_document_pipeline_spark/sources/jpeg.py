@@ -183,7 +183,9 @@ class _BitReader:
                 raise JpegUnsupported("marker inside entropy segment")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed high bits so the accumulator stays one machine
+        # word instead of growing into an O(stream) bigint
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -253,6 +255,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
+        if marker == 0xD9:  # EOI before any SOS
+            break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -300,6 +304,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise JpegUnsupported("SOS before SOF0")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # T.81 allows per-component scans (always non-interleaved,
+                # MCU = one block, different geometry than this loop);
+                # refuse rather than mis-decode.
+                raise JpegUnsupported("multi-scan baseline (non-interleaved)")
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
