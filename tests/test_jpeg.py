@@ -208,3 +208,30 @@ def test_unsupported_and_corrupt_raise_typed_error(mutate, msg):
     with pytest.raises(JpegUnsupported) as e:
         decode_jpeg(mutate(data))
     assert msg in str(e.value)
+
+
+def test_resize_image_routes_jpeg_payloads(spark):
+    """Spark-side routing (r05): a baseline-JPEG payload decodes through
+    sources/jpeg.py inside resize_image, resizes on real pixels, and
+    re-encodes as PNG; undecodable bytes still pass through."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
+        resize_image,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.png import (
+        decode_png,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(31)
+    blocks = [_rng_coeffs(rng) for _ in range(4)]
+    payload = encode_jpeg_from_coeffs(16, 16, [blocks])
+    expect_px = decode_jpeg(payload)  # decoder is pixel-exact-tested above
+    rows = [(1, payload), (99, b"neither png nor jpeg")]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r["doc_id"]: r for r in resize_image(df, target_h=8, target_w=8).collect()}
+    r = got[1]
+    assert r["decoded"] and (r["height"], r["width"], r["channels"]) == (8, 8, 1)
+    assert np.array_equal(
+        decode_png(bytes(r["content"])), resize_nearest(expect_px, 8, 8)
+    )
+    assert not got[99]["decoded"]
