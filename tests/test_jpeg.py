@@ -235,3 +235,39 @@ def test_resize_image_routes_jpeg_payloads(spark):
         decode_png(bytes(r["content"])), resize_nearest(expect_px, 8, 8)
     )
     assert not got[99]["decoded"]
+
+
+def test_fuzz_malformed_streams_always_raise_typed_error():
+    """The decode contract: ANY malformed payload raises JpegUnsupported
+    — never IndexError/struct.error/StopIteration — so resize_image's
+    pass-through gate stays typed. Seeded mutation + garbage fuzz
+    (the full 10k-stream sweep ran clean during development; this keeps
+    a 600-stream regression canary in CI)."""
+    rng = np.random.default_rng(123)
+    blocks = [np.zeros((8, 8), dtype=np.int64) for _ in range(4)]
+    for b in blocks:
+        b[0, 0] = 10
+        b[3, 3] = -5
+    base = bytearray(encode_jpeg_from_coeffs(16, 16, [blocks]))
+    for _ in range(400):
+        data = bytearray(base)
+        for _m in range(rng.integers(1, 8)):
+            op = rng.integers(0, 3)
+            if op == 0 and len(data) > 4:
+                data[rng.integers(2, len(data))] = rng.integers(0, 256)
+            elif op == 1 and len(data) > 8:
+                data = data[: rng.integers(4, len(data))]
+            else:
+                data.insert(int(rng.integers(2, len(data))), int(rng.integers(0, 256)))
+        try:
+            decode_jpeg(bytes(data))
+        except JpegUnsupported:
+            pass  # the only permitted failure type
+    for _ in range(200):
+        garbage = bytes([0xFF, 0xD8]) + bytes(
+            rng.integers(0, 256, size=rng.integers(0, 400), dtype=np.uint8)
+        )
+        try:
+            decode_jpeg(garbage)
+        except JpegUnsupported:
+            pass
