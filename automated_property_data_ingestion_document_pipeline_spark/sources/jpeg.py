@@ -36,6 +36,13 @@ import struct
 import numpy as np
 
 
+# Refuse frames claiming more pixels than this before allocating planes:
+# a ~100-byte payload claiming 65535x65535 would otherwise reserve ~34 GB
+# of float64 zeros per component inside an executor.  64 MP comfortably
+# covers any document-pipeline scan (reference uploads are <10 MP).
+_MAX_PIXELS = 1 << 26
+
+
 class JpegUnsupported(ValueError):
     """Payload is not a JPEG this codec handles (progressive, 12-bit,
     arithmetic-coded, CMYK, truncated, ...)."""
@@ -243,14 +250,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to HxWxC uint8 (C=1 gray, C=3 RGB).
 
     Contract: ANY malformed/unsupported payload raises
-    ``JpegUnsupported`` — never a bare IndexError/struct.error — so the
-    pipeline's pass-through gates stay typed (fuzzed over 5k mutated
-    and garbage streams in tests/test_jpeg.py)."""
+    ``JpegUnsupported`` — never a bare IndexError/struct.error/
+    ValueError/ZeroDivisionError — so the pipeline's pass-through gates
+    stay typed (fuzzed over 5k mutated and garbage streams in
+    tests/test_jpeg.py).  The wrapper is belt-and-braces: the parse
+    path also validates sampling nibbles, component-field slice
+    lengths, and claimed dimensions up front."""
     try:
         return _decode_jpeg_impl(data)
     except JpegUnsupported:
         raise
-    except (IndexError, struct.error) as e:
+    except (IndexError, struct.error, ValueError, ZeroDivisionError) as e:
         raise JpegUnsupported(f"malformed stream: {e}") from e
 
 
@@ -293,13 +303,29 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             if precision != 8:
                 raise JpegUnsupported("non-8-bit precision")
             h, w = struct.unpack(">HH", body[1:5])
+            if h == 0 or w == 0:
+                # h==0 means DNL-deferred height (T.81 B.2.2) — out of scope.
+                raise JpegUnsupported("zero frame dimension")
+            if h * w > _MAX_PIXELS:
+                raise JpegUnsupported(f"frame {h}x{w} exceeds pixel cap")
             ncomp = body[5]
             if ncomp not in (1, 3):
                 raise JpegUnsupported(f"{ncomp}-component image")
+            if len(body) < 6 + 3 * ncomp:
+                raise JpegUnsupported("truncated SOF component list")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise JpegUnsupported(f"sampling factor {hs}x{vs} out of range")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                # replication upsampling needs integral ratios (covers
+                # every JFIF layout: 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1)
+                raise JpegUnsupported("non-integral sampling ratio")
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(f"non-baseline frame marker 0xFF{marker:02X}")
@@ -327,6 +353,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 # MCU = one block, different geometry than this loop);
                 # refuse rather than mis-decode.
                 raise JpegUnsupported("multi-scan baseline (non-interleaved)")
+            if len(body) < 1 + 2 * ns:
+                raise JpegUnsupported("truncated SOS component list")
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
@@ -349,6 +377,13 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    # Plausibility gate: every coded block costs >=2 bits (1-bit DC code
+    # + 1-bit EOB), so a stream whose remaining bytes cannot possibly
+    # hold the claimed MCU grid is malformed — refuse before allocating.
+    min_bits = mcus_x * mcus_y * blocks_per_mcu * 2
+    if min_bits > 8 * max(0, len(data) - pos):
+        raise JpegUnsupported("entropy data shorter than claimed MCU grid")
     planes = {
         c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
         for c in comps

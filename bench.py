@@ -42,6 +42,12 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import QUER
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Optional comma-separated key subset (targeted re-measurement under a
+# quiet machine — e.g. re-confirming a flagged regression without the
+# 40 s full-set run). The driver never sets this; the full HEADLINE set
+# stays the contract.
+KEYS_FILTER = [k for k in os.environ.get("SPARK_GRAFT_KEYS", "").split(",") if k]
+
 # Headline set: one per operator family — scan, scalar-heavy projection,
 # JSON ingest, star join, Q1 agg, top-k, ranking window, sessionization,
 # tumbling window, as-of join, wordcount, exact dedup, fingerprint, knn,
@@ -227,7 +233,8 @@ def main() -> None:
     # drift ratio, masking genuine mid-run machine shifts
     materialize(sentinel_df)
     run_sentinel()
-    for i, key in enumerate(HEADLINE):
+    keys = [k for k in HEADLINE if k in KEYS_FILTER] if KEYS_FILTER else HEADLINE
+    for i, key in enumerate(keys):
         if i and i % SENTINEL_EVERY == 0:
             run_sentinel()
         samples: list[float] = []
@@ -302,8 +309,12 @@ def main() -> None:
         if regressions:
             line["regressions"] = regressions  # visible in the driver line
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail_doc, f, indent=1, sort_keys=True)
+    if not KEYS_FILTER:  # subset runs must not clobber the full record
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail_doc, f, indent=1, sort_keys=True)
+    else:
+        detail_doc["keys_filter"] = KEYS_FILTER
+        print(json.dumps(detail_doc), file=sys.stderr)
     out = json.dumps(line)
     # hard guard: the driver records only a 2000-char stdout tail; the
     # spec line must never overflow it again (r03 lesson)

@@ -271,3 +271,113 @@ def test_fuzz_malformed_streams_always_raise_typed_error():
             decode_jpeg(garbage)
         except JpegUnsupported:
             pass
+
+
+# --- r06 ADVICE regressions: header-targeted mutations that previously
+# escaped the typed-error contract (ZeroDivisionError from zero sampling
+# nibbles, bare ValueError from short component slices, ~34 GB plane
+# allocation from a 65535x65535 claim). ---
+
+
+def _sof_offset(data: bytes) -> int:
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    return i
+
+
+def _patch(data: bytes, offset: int, new: bytes) -> bytes:
+    return data[:offset] + new + data[offset + len(new) :]
+
+
+def _gray_fixture() -> bytes:
+    rng = np.random.default_rng(47)
+    return encode_jpeg_from_coeffs(8, 8, [[_rng_coeffs(rng)]])
+
+
+@pytest.mark.parametrize("hv", [0x00, 0x10, 0x01, 0x50, 0x05, 0x15, 0x51])
+def test_sof_sampling_nibble_out_of_range_is_typed(hv):
+    """SOF0 sampling bytes with a zero or >4 nibble previously divided
+    by zero in _decode_scan (ADVICE r05 high); now refused at parse."""
+    data = _gray_fixture()
+    i = _sof_offset(data)
+    # SOF body layout: prec(1) h(2) w(2) ncomp(1) [cid hv tq]... —
+    # comp-0 sampling byte sits at marker+11.
+    mutated = _patch(data, i + 11, bytes([hv]))
+    with pytest.raises(JpegUnsupported):
+        decode_jpeg(mutated)
+
+
+def test_sof_shortened_seglen_is_typed():
+    """A shortened SOF segment length made the 3-byte component slice
+    unpack raise bare ValueError (ADVICE r05 high); now a typed
+    truncated-component-list refusal."""
+    data = _gray_fixture()
+    i = _sof_offset(data)
+    # gray SOF seglen is 11 (2 len + 6 header + 3 component); claim 9
+    # so the component slice is short but the segment itself parses.
+    mutated = _patch(data, i + 2, (9).to_bytes(2, "big"))
+    with pytest.raises(JpegUnsupported, match="SOF component"):
+        decode_jpeg(mutated)
+
+
+def test_sos_shortened_seglen_is_typed():
+    data = _gray_fixture()
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    # gray SOS seglen is 8 (2 len + ns(1) + [cs td/ta](2) + spectral(3));
+    # claim 4 so only ns survives in the body.
+    mutated = _patch(data, i + 2, (4).to_bytes(2, "big"))
+    with pytest.raises(JpegUnsupported, match="SOS component"):
+        decode_jpeg(mutated)
+
+
+@pytest.mark.parametrize(
+    "dims,msg",
+    [
+        ((0xFFFF, 0xFFFF), "pixel cap"),  # ~34 GB/plane claim (ADVICE low)
+        ((0, 8), "zero frame dimension"),
+        ((8, 0), "zero frame dimension"),
+    ],
+)
+def test_sof_dimension_claims_refused_before_allocation(dims, msg):
+    data = _gray_fixture()
+    i = _sof_offset(data)
+    h, w = dims
+    mutated = _patch(data, i + 5, h.to_bytes(2, "big") + w.to_bytes(2, "big"))
+    with pytest.raises(JpegUnsupported, match=msg):
+        decode_jpeg(mutated)
+
+
+def test_mcu_grid_implausible_vs_stream_length_refused():
+    """Under-cap dimensions (4096x4096 = 16 MP < the 64 MP cap) over a
+    ~100-byte entropy stream cannot hold the claimed MCU grid at the
+    2-bit/block floor — refused before the 16 MB/plane allocation."""
+    data = _gray_fixture()
+    i = _sof_offset(data)
+    mutated = _patch(
+        data, i + 5, (4096).to_bytes(2, "big") + (4096).to_bytes(2, "big")
+    )
+    with pytest.raises(JpegUnsupported, match="MCU grid"):
+        decode_jpeg(mutated)
+
+
+def test_fuzz_sof_targeted_mutations_stay_typed():
+    """Seeded fuzz aimed at the SOF/SOS headers specifically (the r05
+    escapes were all header-byte classes the uniform fuzz rarely hit):
+    random patches of the sampling byte, seglen fields, dimension
+    fields, and ncomp over 600 streams — JpegUnsupported or success
+    are the only permitted outcomes."""
+    rng = np.random.default_rng(271)
+    base = _gray_fixture()
+    sof = _sof_offset(base)
+    sos = base.find(b"\xff\xda")
+    hot = [sof + 2, sof + 3, sof + 5, sof + 6, sof + 7, sof + 8, sof + 9,
+           sof + 10, sof + 11, sof + 12, sos + 2, sos + 3, sos + 4, sos + 5]
+    for _ in range(600):
+        data = bytearray(base)
+        for _m in range(rng.integers(1, 4)):
+            data[hot[rng.integers(0, len(hot))]] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(data))
+        except JpegUnsupported:
+            pass
