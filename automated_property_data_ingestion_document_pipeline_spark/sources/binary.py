@@ -4,10 +4,12 @@ metadata struct — the Spark reading of the reference's DOCX/PDF
 artifacts whose only metadata lives in the filename
 (reports/ dir; report_generator.py:64-65).
 
-Decode/feature-extraction is STUBBED (no image/audio libs in this
-container) behind ``DecodeUnavailable`` + a deterministic fake, but all
-Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested.
+Still-image decode is REAL (pure-stdlib PNG + baseline/progressive
+JPEG codecs in sources/png.py / sources/jpeg.py); only audio/video
+CONTAINER decode is stubbed (no ffmpeg in this container) behind
+``DecodeUnavailable`` + a deterministic fake, with all Spark-side
+plumbing — schema, partitioning, Arrow batch shape, UDF signatures —
+real and tested either way.
 """
 
 from __future__ import annotations
@@ -104,16 +106,17 @@ def resize_image(
     target_w: int = 32,
 ) -> DataFrame:
     """REAL image resize for supported payloads (r03 verdict #5, r05
-    stretch #8): PNGs decode through the pure-stdlib codec
+    stretch #8, r06 stretch): PNGs decode through the pure-stdlib codec
     (sources/png.py — zlib inflate + per-scanline unfiltering) and
-    baseline JPEGs through sources/jpeg.py (Huffman + dequant + IDCT);
-    nearest-neighbor resize runs on the actual pixel array and
-    re-encodes as PNG (lossless out). Only genuinely external-lib
-    formats (progressive JPEG, real video containers) still pass
+    both baseline AND progressive JPEGs through sources/jpeg.py
+    (Huffman + spectral-selection/successive-approximation scans +
+    dequant + IDCT); nearest-neighbor resize runs on the actual pixel
+    array and re-encodes as PNG (lossless out). Only genuinely
+    external-lib formats (real audio/video containers) still pass
     through undecoded (``decoded=false``) — the ``DecodeUnavailable``
-    boundary narrowed again. Bytes never leave the executor;
-    fan-in/fan-out is row-local mapInPandas, the same shape PIL/ffmpeg
-    would slot into."""
+    boundary now excludes every still-image path. Bytes never leave
+    the executor; fan-in/fan-out is row-local mapInPandas, the same
+    shape PIL/ffmpeg would slot into."""
     import pandas as pd
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.jpeg import (

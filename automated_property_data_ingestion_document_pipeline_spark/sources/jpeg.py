@@ -16,8 +16,16 @@ through to the typed ``DecodeUnavailable`` gate, never garbage pixels):
   of the decoder's documented contract and what the pixel-exact tests
   replicate);
 - restart markers (DRI/RSTn): bit reader and DC predictors reset;
-- progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
-  are out of scope → ``JpegUnsupported``.
+- progressive DCT (SOF2, r06): full spectral selection + successive
+  approximation per T.81 G.1.2 — interleaved/non-interleaved DC first
+  and refinement scans, per-component AC band scans with EOB runs, AC
+  refinement with correction bits; coefficients accumulate across
+  scans and reconstruct through the same dequant/IDCT/upsample tail as
+  baseline, so a progressive re-packaging of the same quantized
+  coefficients is pixel-identical to its baseline encoding (the test
+  oracle);
+- arithmetic coding, 12-bit, and hierarchical modes are out of scope →
+  ``JpegUnsupported``.
 
 Determinism contract: dequantization and IDCT run in float64 with a
 fixed separable cosine-matrix formulation, then ``round → clip 0..255``.
@@ -272,6 +280,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    prog_coef: dict[int, np.ndarray] = {}
+    prog_scans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegUnsupported("marker sync lost")
@@ -298,7 +308,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     q[_ZZ[k]] = body[b + 1 + k]
                 qtables[tq] = q
                 b += 65
-        elif marker in (0xC0,):  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise JpegUnsupported("non-8-bit precision")
@@ -326,9 +336,9 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 # replication upsampling needs integral ratios (covers
                 # every JFIF layout: 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1)
                 raise JpegUnsupported("non-integral sampling ratio")
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegUnsupported(f"non-baseline frame marker 0xFF{marker:02X}")
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegUnsupported(f"unsupported frame marker 0xFF{marker:02X}")
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -346,14 +356,14 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise JpegUnsupported("SOS before SOF0")
+                raise JpegUnsupported("SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                # T.81 allows per-component scans (always non-interleaved,
-                # MCU = one block, different geometry than this loop);
-                # refuse rather than mis-decode.
+            if not frame["prog"] and ns != len(frame["comps"]):
+                # T.81 allows per-component BASELINE scans (always
+                # non-interleaved, MCU = one block, different geometry
+                # than this loop); refuse rather than mis-decode.
                 raise JpegUnsupported("multi-scan baseline (non-interleaved)")
-            if len(body) < 1 + 2 * ns:
+            if len(body) < 4 + 2 * ns:
                 raise JpegUnsupported("truncated SOS component list")
             scan = []
             for i in range(ns):
@@ -362,11 +372,25 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 if not matches:
                     raise JpegUnsupported(f"scan references unknown component {cs}")
                 scan.append((matches[0], tdta >> 4, tdta & 0x0F))
+            if frame["prog"]:
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                pos = _decode_prog_scan(
+                    data, pos + 2 + seglen, frame, scan,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                    huff, restart_interval, prog_coef,
+                )
+                prog_scans += 1
+                continue
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qtables, huff, restart_interval
             )
         # APPn / COM / anything else: skip
         pos += 2 + seglen
+    if frame is not None and frame["prog"] and prog_scans:
+        # EOI reached (in-loop break, or as the final two bytes which
+        # the `pos + 4` guard never re-enters for): reconstruct from
+        # the accumulated coefficients.
+        return _reconstruct_progressive(frame, qtables, prog_coef)
     raise JpegUnsupported("no SOS found")
 
 
@@ -440,6 +464,12 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:h, :w])
+    return _planes_to_image(out_planes)
+
+
+def _planes_to_image(out_planes: list[np.ndarray]) -> np.ndarray:
+    """Shared tail of baseline and progressive decode: level shift +
+    JFIF color conversion on full-resolution cropped planes."""
     if len(out_planes) == 1:
         return _to_pixels(out_planes[0])[:, :, None]
     y, cb, cr = out_planes
@@ -452,6 +482,240 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
         [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)], axis=-1
     )
     return rgb
+
+
+# --- progressive (SOF2) scan machinery (T.81 G.1.2) -------------------
+#
+# Coefficients accumulate in ZIGZAG order, one int64[64] vector per
+# block, allocated on the frame's full interleaved MCU grid (so an
+# interleaved DC scan and the per-component AC scans index the same
+# storage).  Each SOS decodes into this state; reconstruction after EOI
+# runs the SAME dequant/IDCT/upsample/color tail as the baseline path.
+
+
+def _frame_mcu_grid(frame) -> tuple[int, int, int, int]:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _nonint_blocks(frame, comp) -> tuple[int, int]:
+    """Block grid (bh, bw) of one component for a NON-interleaved scan
+    (T.81 A.2.2: ceil of the scaled component dims, NOT the MCU grid —
+    trailing MCU-padding blocks are not coded in such scans)."""
+    hmax, vmax, _, _ = _frame_mcu_grid(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _prog_block(coef, frame, comp) -> np.ndarray:
+    cid = comp["id"]
+    if cid not in coef:
+        _, _, mcus_x, mcus_y = _frame_mcu_grid(frame)
+        coef[cid] = np.zeros(
+            (mcus_y * comp["v"], mcus_x * comp["h"], 64), dtype=np.int64
+        )
+    return coef[cid]
+
+
+def _dc_unit(reader, blk, table, pred, cid, ah, al) -> None:
+    if ah == 0:
+        if table is None:
+            raise JpegUnsupported("missing Huffman table")
+        size = _decode_huff(reader, table)
+        if size > 11:
+            raise JpegUnsupported("DC size out of range")
+        pred[cid] += _extend(reader.bits(size), size)
+        blk[0] = pred[cid] << al
+    elif reader.bit():
+        # two's-complement bit fill (T.81 G.1.2.1); Python's infinite-
+        # precision OR gives the correct negative-value semantics.
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first(reader, blk, table, ss, se, al, eob) -> None:
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits(r) all-done blocks
+                eob[0] = (1 << r) - 1
+                if r:
+                    eob[0] += reader.bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise JpegUnsupported("AC index overflow")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+
+def _ac_refine(reader, blk, table, ss, se, al, eob) -> None:
+    """T.81 G.1.2.3 successive-approximation AC refinement: one
+    correction bit per already-nonzero coefficient, RS codes place the
+    newly-nonzero ones, EOB runs cover correction-only blocks."""
+    bit = 1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = _decode_huff(reader, table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += reader.bits(r)
+                    break  # tail below corrects the rest of this block
+                # ZRL: skip 16 zero-history coefficients
+            elif s == 1:
+                val = bit if reader.bit() else -bit
+            else:
+                raise JpegUnsupported("bad refinement magnitude")
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.bit():
+                        blk[k] = c + (bit if c > 0 else -bit)
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eob[0] > 0:
+        while k <= se:  # correction bits for the remaining nonzeros
+            c = int(blk[k])
+            if c != 0 and reader.bit():
+                blk[k] = c + (bit if c > 0 else -bit)
+            k += 1
+        eob[0] -= 1
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the first non-stuffed marker at/after ``pos`` (skips
+    0xFF00 stuffing and 0xFF fill bytes)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise JpegUnsupported("no marker after scan data")
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff, restart_interval, coef
+) -> int:
+    """Decode one progressive scan into ``coef``; returns the position
+    of the marker that follows the entropy-coded data."""
+    if ss == 0:
+        if se != 0:
+            raise JpegUnsupported("DC scan with nonzero Se")
+    else:
+        if len(scan) != 1:
+            raise JpegUnsupported("interleaved AC scan")
+        if not (ss <= se <= 63):
+            raise JpegUnsupported("bad spectral band")
+    if (ah != 0 and ah != al + 1) or al > 13:
+        raise JpegUnsupported("bad successive approximation")
+    reader = _BitReader(data, pos)
+    eob = [0]
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan over the frame MCU grid
+        _, _, mcus_x, mcus_y = _frame_mcu_grid(frame)
+        units = mcus_x * mcus_y
+        if units > 8 * max(0, len(data) - pos):
+            raise JpegUnsupported("entropy data shorter than claimed MCU grid")
+        pred = {c["id"]: 0 for c, _, _ in scan}
+        arrs = {c["id"]: _prog_block(coef, frame, c) for c, _, _ in scan}
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.align_to_marker()
+                    pred = {c["id"]: 0 for c, _, _ in scan}
+                for comp, td, _ta in scan:
+                    table = huff.get((0, td)) if ah == 0 else None
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = arrs[comp["id"]][
+                                my * comp["v"] + by, mx * comp["h"] + bx
+                            ]
+                            _dc_unit(reader, blk, table, pred, comp["id"], ah, al)
+                mcu += 1
+    else:
+        comp, td, ta = scan[0]
+        bh, bw = _nonint_blocks(frame, comp)
+        if bh * bw > 8 * max(0, len(data) - pos):
+            raise JpegUnsupported("entropy data shorter than claimed MCU grid")
+        if ss == 0:
+            table = huff.get((0, td)) if ah == 0 else None
+        else:
+            table = huff.get((1, ta))
+            if table is None:
+                raise JpegUnsupported("missing Huffman table")
+        pred = {comp["id"]: 0}
+        arr = _prog_block(coef, frame, comp)
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_to_marker()
+                    pred = {comp["id"]: 0}
+                    eob[0] = 0
+                blk = arr[by, bx]
+                if ss == 0:
+                    _dc_unit(reader, blk, table, pred, comp["id"], ah, al)
+                elif ah == 0:
+                    _ac_first(reader, blk, table, ss, se, al, eob)
+                else:
+                    _ac_refine(reader, blk, table, ss, se, al, eob)
+                unit += 1
+    return _next_marker(data, reader.pos)
+
+
+def _reconstruct_progressive(frame, qtables, coef) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, mcus_x, mcus_y = _frame_mcu_grid(frame)
+    out_planes = []
+    for c in frame["comps"]:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise JpegUnsupported("missing quantization table")
+        arr = coef.get(c["id"])
+        if arr is None:  # component never covered by any scan
+            arr = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        by, bx = arr.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        nat = np.zeros((8, 8), dtype=np.int64)
+        for yy in range(by):
+            for xx in range(bx):
+                zz = arr[yy, xx]
+                for k in range(64):
+                    nat[_ZZ[k]] = zz[k]
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = idct_block(nat * q)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    return _planes_to_image(out_planes)
 
 
 class _BitWriter:
@@ -614,6 +878,300 @@ def encode_jpeg_from_coeffs(
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Custom AC Huffman table for PROGRESSIVE fixture scans: the standard
+# tables carry no EOBn symbols (r>0, s=0), which libjpeg only emits from
+# per-file optimized tables.  A flat one-length canonical table with
+# every symbol the progressive encoder can produce — EOB0..EOB14, ZRL,
+# and (r,s) for r 0..15 / s 1..10 — is spec-valid (176 codes of length
+# 8; the all-ones code stays unused per T.81 Annex K).
+_PROG_AC_SYMS = (
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_TABLE = ([0] * 7 + [len(_PROG_AC_SYMS)] + [0] * 8, _PROG_AC_SYMS)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """T.81 point transform for AC coefficients: sign-magnitude shift
+    (magnitude divided by 2^al, truncated toward zero)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _grids_from_interleave(comp_coeffs, sampling, mcus_x, mcus_y):
+    """Re-shape per-component block lists from MCU-interleave order
+    (the layout `encode_jpeg_from_coeffs` takes) into 2D block grids."""
+    grids = []
+    for ci, blocks in enumerate(comp_coeffs):
+        hs, vs = sampling[ci]
+        grid = [[None] * (mcus_x * hs) for _ in range(mcus_y * vs)]
+        idx = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(vs):
+                    for bx in range(hs):
+                        if idx >= len(blocks):
+                            raise ValueError("not enough blocks for MCU grid")
+                        grid[my * vs + by][mx * hs + bx] = blocks[idx]
+                        idx += 1
+        grids.append(grid)
+    return grids
+
+
+def _zz_vec(block: np.ndarray) -> list[int]:
+    return [int(block[_ZZ[k]]) for k in range(64)]
+
+
+class _EobRun:
+    """Encoder-side EOB-run accumulator: in refinement scans the
+    correction bits of every block inside the run follow the single
+    EOBn code (mirroring the decoder's per-block tail reads)."""
+
+    def __init__(self, wtr, ac_codes):
+        self.wtr = wtr
+        self.ac = ac_codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.run == 0:
+            return
+        if self.run > 32767:
+            raise ValueError("EOB run too long for a single EOBn code")
+        r = self.run.bit_length() - 1
+        code, ln = self.ac[r << 4]
+        self.wtr.write(code, ln)
+        if r:
+            self.wtr.write(self.run - (1 << r), r)
+        for b in self.bits:
+            self.wtr.write(b, 1)
+        self.run = 0
+        self.bits = []
+
+
+def _enc_ac_first_block(wtr, zz, ss, se, al, ac_codes, eob: _EobRun) -> None:
+    band = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
+    last_nz = -1
+    for i in range(len(band) - 1, -1, -1):
+        if band[i] != 0:
+            last_nz = i
+            break
+    if last_nz < 0:
+        eob.run += 1
+        return
+    eob.flush()
+    run = 0
+    for i in range(last_nz + 1):
+        v = band[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        s = _size_cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(_amplitude(v, s) & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < len(band) - 1:
+        eob.run += 1
+
+
+def _enc_ac_refine_block(wtr, zz, ss, se, al, ac_codes, eob: _EobRun) -> None:
+    cur = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
+    hist = [_pt_ac(zz[k], al + 1) for k in range(ss, se + 1)]
+    newly = [i for i in range(len(cur)) if hist[i] == 0 and cur[i] != 0]
+    if not newly:
+        eob.run += 1
+        eob.bits.extend(abs(cur[i]) & 1 for i in range(len(cur)) if hist[i] != 0)
+        return
+    eob.flush()
+    last_new = newly[-1]
+    # Positional event stream mirrors the decoder's walk exactly: a
+    # correction bit emitted the moment the walk passes a history-
+    # nonzero coefficient, zero-history zeros advancing the run.  On a
+    # ZRL split, only the bits positioned before the 16th zero follow
+    # that ZRL; the rest carry to the next code (T.81 G.1.2.3).
+    events: list[tuple[str, int]] = []  # ("z", 0) or ("c", bit)
+    for i in range(last_new + 1):
+        if hist[i] != 0:
+            events.append(("c", abs(cur[i]) & 1))
+        elif cur[i] != 0:
+            zeros = sum(1 for e in events if e[0] == "z")
+            j = 0
+            while zeros > 15:
+                code, ln = ac_codes[0xF0]
+                wtr.write(code, ln)
+                consumed = 0
+                while consumed < 16:
+                    kind, b = events[j]
+                    j += 1
+                    if kind == "c":
+                        wtr.write(b, 1)
+                    else:
+                        consumed += 1
+                zeros -= 16
+            code, ln = ac_codes[(zeros << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if cur[i] > 0 else 0, 1)
+            for kind, b in events[j:]:
+                if kind == "c":
+                    wtr.write(b, 1)
+            events = []
+        else:
+            events.append(("z", 0))
+    if last_new < len(cur) - 1:
+        eob.run = 1
+        eob.bits = [
+            abs(cur[i]) & 1 for i in range(last_new + 1, len(cur)) if hist[i] != 0
+        ]
+
+
+def encode_jpeg_progressive_from_coeffs(
+    h: int,
+    w: int,
+    comp_coeffs: list[list[np.ndarray]],
+    sampling: list[tuple[int, int]] | None = None,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    qt_luma: np.ndarray = STD_QT_LUMA,
+    qt_chroma: np.ndarray = STD_QT_CHROMA,
+    restart_interval: int = 0,
+) -> bytes:
+    """Fixture writer for PROGRESSIVE (SOF2) streams: same coefficient
+    layout as :func:`encode_jpeg_from_coeffs`, re-packaged through a
+    scan script of ``(comp_indices, Ss, Se, Ah, Al)`` tuples.  Because
+    the coefficients are identical, the decode of this stream must be
+    pixel-identical to the baseline encoding — the progressive-decoder
+    test oracle.  ``restart_interval`` applies to every scan."""
+    ncomp = len(comp_coeffs)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    sampling = sampling or [(1, 1)] * ncomp
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = _grids_from_interleave(comp_coeffs, sampling, mcus_x, mcus_y)
+    if scans is None:
+        everyone = list(range(ncomp))
+        scans = [(everyone, 0, 0, 0, 1), (everyone, 0, 0, 1, 0)]
+        for ci in range(ncomp):
+            scans += [
+                ([ci], 1, 5, 0, 2),
+                ([ci], 6, 63, 0, 2),
+                ([ci], 1, 63, 2, 1),
+                ([ci], 1, 63, 1, 0),
+            ]
+    out = bytearray(b"\xff\xd8")
+    qts = [(0, qt_luma)] + ([(1, qt_chroma)] if ncomp == 3 else [])
+    out += _dqt_segment(qts)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        hv = (sampling[i][0] << 4) | sampling[i][1]
+        sof += bytes([i + 1, hv, 0 if i == 0 else 1])
+    out += _marker(0xC2, sof)
+    hts = [(0, 0, _STD_DC_LUMA), (1, 0, _PROG_AC_TABLE)]
+    if ncomp == 3:
+        hts += [(0, 1, _STD_DC_CHROMA)]
+    out += _dht_segment(hts)
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+    dc_codes = [
+        _canonical_codes(*_STD_DC_LUMA),
+        _canonical_codes(*_STD_DC_CHROMA),
+        _canonical_codes(*_STD_DC_CHROMA),
+    ]
+    ac_codes = _canonical_codes(*_PROG_AC_TABLE)
+
+    def comp_grid_dims(ci: int) -> tuple[int, int]:
+        cw = -(-w * sampling[ci][0] // hmax)
+        ch = -(-h * sampling[ci][1] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    for comp_idxs, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])  # Ta always table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _marker(0xDA, sos)
+        wtr = _BitWriter()
+        rst = 0
+
+        def emit_rst():
+            nonlocal rst
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+
+        if ss == 0 and len(comp_idxs) > 1:
+            preds = {ci: 0 for ci in comp_idxs}
+            mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        emit_rst()
+                        preds = {ci: 0 for ci in comp_idxs}
+                    for ci in comp_idxs:
+                        hs, vs = sampling[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc = int(grids[ci][my * vs + by][mx * hs + bx][0, 0])
+                                if ah == 0:
+                                    v = dc >> al  # arithmetic shift (floor)
+                                    diff = v - preds[ci]
+                                    preds[ci] = v
+                                    s = _size_cat(diff)
+                                    code, ln = dc_codes[ci][s]
+                                    wtr.write(code, ln)
+                                    if s:
+                                        wtr.write(
+                                            _amplitude(diff, s) & ((1 << s) - 1), s
+                                        )
+                                else:
+                                    wtr.write((dc >> al) & 1, 1)
+                    mcu += 1
+        else:
+            (ci,) = comp_idxs if len(comp_idxs) == 1 else (comp_idxs[0],)
+            bh, bw = comp_grid_dims(ci)
+            pred = 0
+            eob = _EobRun(wtr, ac_codes)
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        eob.flush()
+                        emit_rst()
+                        pred = 0
+                    blk = grids[ci][by][bx]
+                    if ss == 0:
+                        dc = int(blk[0, 0])
+                        if ah == 0:
+                            v = dc >> al
+                            diff = v - pred
+                            pred = v
+                            s = _size_cat(diff)
+                            code, ln = dc_codes[ci][s]
+                            wtr.write(code, ln)
+                            if s:
+                                wtr.write(_amplitude(diff, s) & ((1 << s) - 1), s)
+                        else:
+                            wtr.write((dc >> al) & 1, 1)
+                    else:
+                        zz = _zz_vec(blk)
+                        if ah == 0:
+                            _enc_ac_first_block(wtr, zz, ss, se, al, ac_codes, eob)
+                        else:
+                            _enc_ac_refine_block(wtr, zz, ss, se, al, ac_codes, eob)
+                    unit += 1
+            eob.flush()
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

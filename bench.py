@@ -120,6 +120,8 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_revenue_bridge",
     "q_jpeg_stats",
+    # round-6: the progressive-JPEG decode lane (SOF2 scan machinery)
+    "q_jpeg_progressive_stats",
 ]
 
 

@@ -198,7 +198,8 @@ def test_roundtrip_rgb_smooth_gradient_close():
     "mutate,msg",
     [
         (lambda d: b"\x00" + d, "SOI"),
-        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1), "non-baseline"),
+        # SOF2 became a supported mode in r06; SOF3 (lossless) stays out
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc3", 1), "unsupported frame"),
         (lambda d: d[: len(d) // 2], ""),  # truncated
     ],
 )
@@ -377,6 +378,143 @@ def test_fuzz_sof_targeted_mutations_stay_typed():
         data = bytearray(base)
         for _m in range(rng.integers(1, 4)):
             data[hot[rng.integers(0, len(hot))]] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(data))
+        except JpegUnsupported:
+            pass
+
+
+# --- r06 stretch: progressive (SOF2) decode. Oracle: a progressive
+# stream is a different entropy PACKAGING of the same quantized
+# coefficients, so its decode must be pixel-identical to the baseline
+# encoding of those coefficients (the two share every stage after
+# coefficient reconstruction — any scan-machinery bit error flips a
+# coefficient and therefore a pixel). ---
+
+from automated_property_data_ingestion_document_pipeline_spark.sources.jpeg import (  # noqa: E402
+    encode_jpeg_progressive_from_coeffs,
+)
+
+
+def _mkblocks(rng, n, zero_frac=0.3):
+    out = []
+    for _ in range(n):
+        if rng.random() < zero_frac:
+            out.append(np.zeros((8, 8), dtype=np.int64))  # exercises EOB runs
+        else:
+            out.append(_rng_coeffs(rng))
+    return out
+
+
+def _pair(h, w, sampling, rng, scans=None, restart_interval=0):
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    coeffs = [_mkblocks(rng, mx * my * s[0] * s[1]) for s in sampling]
+    base = encode_jpeg_from_coeffs(h, w, coeffs, sampling=sampling)
+    prog = encode_jpeg_progressive_from_coeffs(
+        h, w, coeffs, sampling=sampling, scans=scans,
+        restart_interval=restart_interval,
+    )
+    return base, prog
+
+
+@pytest.mark.parametrize(
+    "h,w,sampling,ri",
+    [
+        (16, 16, [(1, 1)], 0),                      # gray, default script
+        (24, 40, [(1, 1)], 3),                      # gray + restarts
+        (17, 23, [(1, 1)], 0),                      # odd dims (crop)
+        (16, 16, [(1, 1)] * 3, 0),                  # color 4:4:4
+        (32, 32, [(2, 2), (1, 1), (1, 1)], 0),      # color 4:2:0
+        (17, 29, [(2, 2), (1, 1), (1, 1)], 0),      # 4:2:0 + odd dims
+        (32, 24, [(2, 1), (1, 1), (1, 1)], 2),      # 4:2:2 + restarts
+    ],
+)
+def test_progressive_equals_baseline(h, w, sampling, ri):
+    rng = np.random.default_rng(7 * h + w)
+    base, prog = _pair(h, w, sampling, rng, restart_interval=ri)
+    assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_progressive_spectral_selection_only():
+    """Band-split script with NO successive approximation (Ah=Al=0)."""
+    rng = np.random.default_rng(11)
+    base, prog = _pair(
+        24, 24, [(1, 1)], rng,
+        scans=[([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)],
+    )
+    assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_progressive_deep_successive_approximation():
+    """4-level DC refinement chain + 2-level AC refinement — every
+    refinement path (correction bits, newly-nonzero placement, EOB-run
+    correction tails) participates."""
+    rng = np.random.default_rng(13)
+    base, prog = _pair(
+        32, 32, [(1, 1)], rng,
+        scans=[
+            ([0], 0, 0, 0, 3), ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 20, 0, 1), ([0], 21, 63, 0, 1), ([0], 1, 63, 1, 0),
+        ],
+    )
+    assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_resize_image_routes_progressive_jpeg(spark):
+    """The DecodeUnavailable gate no longer covers still images at all:
+    a progressive payload decodes inside resize_image (decoded=true)."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
+        resize_image,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.png import (
+        decode_png,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(17)
+    blocks = [_rng_coeffs(rng) for _ in range(4)]
+    payload = encode_jpeg_progressive_from_coeffs(16, 16, [blocks])
+    expect_px = decode_jpeg(payload)
+    df = spark.createDataFrame([(1, payload)], "doc_id bigint, content binary")
+    row = resize_image(df, target_h=8, target_w=8).collect()[0]
+    assert row["decoded"]
+    assert np.array_equal(
+        decode_png(bytes(row["content"])), resize_nearest(expect_px, 8, 8)
+    )
+
+
+def test_fuzz_progressive_streams_stay_typed():
+    """Same typed-error contract as baseline: 600 mutated progressive
+    streams (uniform + SOS/SOF-header-targeted) may only succeed or
+    raise JpegUnsupported."""
+    rng = np.random.default_rng(131)
+    blocks = [_rng_coeffs(rng) for _ in range(4)]
+    base = bytearray(encode_jpeg_progressive_from_coeffs(16, 16, [blocks]))
+    sof = bytes(base).find(b"\xff\xc2")
+    hot = list(range(sof + 2, sof + 14))
+    i = bytes(base).find(b"\xff\xda")
+    while i >= 0:  # every SOS header: ns, comp specs, Ss/Se/AhAl bytes
+        hot += list(range(i + 2, min(i + 9, len(base))))
+        i = bytes(base).find(b"\xff\xda", i + 2)
+    for t in range(600):
+        data = bytearray(base)
+        if t % 2 == 0:
+            for _ in range(rng.integers(1, 4)):
+                data[hot[rng.integers(0, len(hot))]] = rng.integers(0, 256)
+        else:
+            for _ in range(rng.integers(1, 8)):
+                op = rng.integers(0, 3)
+                if op == 0:
+                    data[rng.integers(2, len(data))] = rng.integers(0, 256)
+                elif op == 1 and len(data) > 8:
+                    data = data[: rng.integers(4, len(data))]
+                else:
+                    data.insert(
+                        int(rng.integers(2, len(data))), int(rng.integers(0, 256))
+                    )
         try:
             decode_jpeg(bytes(data))
         except JpegUnsupported:
