@@ -889,6 +889,79 @@ def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_wav_energy",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id, i.i // 160 AS chunk_idx,
+               CASE CAST(d.doc_id % 3 AS INT)
+                   WHEN 0 THEN ((d.doc_id * 31 + i.i * 17) % 241) - 120
+                   WHEN 1 THEN ((d.doc_id * 31 + i.i * 17) % 4001) - 2000
+                   ELSE ((d.doc_id * 31 + i.i * 17) % 100001) - 50000
+               END AS sample
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 256) d,
+             range(480) i(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(sample * sample) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id, chunk_idx
+    """,
+)
+def q_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE container decode, VALUE-verified (r06 — the
+    audio-container twin of q_jpeg_stats): each document's 480
+    deterministic samples are written through sources/wav.py's encoder
+    into an actual WAV byte stream — PCM width cycling 8/16/24-bit by
+    doc_id (sample amplitude scaled to each width's range) — then
+    decode_wav re-parses the container (RIFF walk, fmt validation,
+    width-specific sample extraction incl. 24-bit sign extension and
+    8-bit re-centering) and per-chunk integer energy aggregates. The
+    oracle recomputes the samples arithmetically and never sees a
+    byte, so a hash match proves the container parse exact across all
+    three PCM widths. chunk_audio(fake=False) consumes the same parser
+    for header-driven chunk boundaries."""
+    import pandas as pd
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 256)
+        .select("doc_id")
+    )
+
+    def _energy(batches):
+        import numpy as np
+
+        from automated_property_data_ingestion_document_pipeline_spark.sources.wav import (
+            decode_wav,
+            encode_wav,
+        )
+
+        mod = {0: 241, 1: 4001, 2: 100001}
+        bits = {0: 8, 1: 16, 2: 24}
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "n_samples": [], "energy": []}
+            for did in pdf["doc_id"].to_numpy():
+                w = int(did) % 3
+                i = np.arange(480, dtype=np.int64)
+                samples = ((int(did) * 31 + i * 17) % mod[w]) - mod[w] // 2
+                payload = encode_wav(samples.reshape(-1, 1), 16000, bits=bits[w])
+                parsed, rate = decode_wav(payload)  # the REAL container path
+                assert rate == 16000
+                parsed = parsed[:, 0].astype(np.int64)
+                for ch in range(3):
+                    seg = parsed[ch * 160 : (ch + 1) * 160]
+                    out["doc_id"].append(int(did))
+                    out["chunk_idx"].append(ch)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _energy, "doc_id bigint, chunk_idx int, n_samples bigint, energy bigint"
+    )
+
+
+@query(
     "q_jpeg_progressive_stats",
     oracle="""
     WITH blk AS (

@@ -246,14 +246,23 @@ def chunk_audio(
     ceil(duration/chunk) rows of ``(id, chunk_idx, start_ms, end_ms,
     chunk_bytes)``.
 
-    Chunk boundaries are computed from the byte layout (sample_rate ×
-    bytes_per_sample), so the operator never decodes — a container
-    format (wav/flac) would decode first behind ``DecodeUnavailable``
-    (fake=True treats payloads as raw PCM). Same scale contract as
-    sample_frames: bytes stay executor-local, fan-out is row-local,
-    output rows carry exact millisecond spans for downstream
-    window-joins against transcripts."""
+    With ``fake=True`` (default, the raw-PCM contract) chunk boundaries
+    are computed from the declared byte layout (sample_rate ×
+    bytes_per_sample) and the operator never decodes.  With
+    ``fake=False`` (r06) each payload is parsed as a REAL RIFF/WAVE
+    container through sources/wav.py — boundaries come from the
+    header's actual rate/block-align, chunks slice the stored data
+    chunk on frame boundaries — and only genuinely compressed codecs
+    (FLAC/MP3/...) still raise ``DecodeUnavailable``.  Same scale
+    contract as sample_frames: bytes stay executor-local, fan-out is
+    row-local, output rows carry exact millisecond spans for
+    downstream window-joins against transcripts."""
     import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.wav import (
+        WavUnsupported,
+        wav_pcm_info,
+    )
 
     chunk_bytes_n = int(sample_rate * bytes_per_sample * chunk_seconds)
     ms_per_byte = 1000.0 / (sample_rate * bytes_per_sample)
@@ -264,21 +273,32 @@ def chunk_audio(
             for rid, payload in zip(pdf[id_col].to_numpy(), pdf[content_col].to_numpy()):
                 if payload is None:
                     continue
-                if not fake:
-                    raise DecodeUnavailable("audio container decode not in this environment")
                 payload = bytes(payload)
+                if not fake:
+                    try:
+                        payload, rate, block_align = wav_pcm_info(payload)
+                    except WavUnsupported as e:
+                        raise DecodeUnavailable(
+                            f"compressed audio codec not in this environment: {e}"
+                        ) from e
+                    n_frames_chunk = max(int(rate * chunk_seconds), 1)
+                    cb = n_frames_chunk * block_align
+                    mpb = 1000.0 / (rate * block_align)
+                else:
+                    cb = chunk_bytes_n
+                    mpb = ms_per_byte
                 # zero-length payload → one empty chunk, emitted AS-IS:
                 # substituting b"\x00" would break reassembly
                 # (concat(chunk_bytes) != payload) and disagree with the
                 # end_ms computed from len(seg)=0 (ADVICE r03); Arrow
                 # handles empty binary values fine.
-                n = max((len(payload) + chunk_bytes_n - 1) // chunk_bytes_n, 1)
+                n = max((len(payload) + cb - 1) // cb, 1)
                 for i in range(n):
-                    seg = payload[i * chunk_bytes_n : (i + 1) * chunk_bytes_n]
+                    seg = payload[i * cb : (i + 1) * cb]
                     ids.append(rid)
                     idxs.append(i)
-                    starts.append(int(i * chunk_bytes_n * ms_per_byte))
-                    ends.append(int((i * chunk_bytes_n + len(seg)) * ms_per_byte))
+                    starts.append(int(i * cb * mpb))
+                    ends.append(int((i * cb + len(seg)) * mpb))
                     chunks.append(seg)
             yield pd.DataFrame(
                 {
