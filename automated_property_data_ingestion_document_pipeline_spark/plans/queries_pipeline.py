@@ -962,6 +962,151 @@ def q_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mjpeg_stats",
+    oracle="""
+    WITH blk AS (
+        SELECT d.doc_id, f.f, b.b,
+               128 + 2 * (((d.doc_id * 7 + f.f * 11 + b.b * 13) % 100) - 50) AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 128) d,
+             range(4) f(f), range(6) b(b)
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+           CAST(384 AS BIGINT) AS n_px
+    FROM blk GROUP BY doc_id, f
+    """,
+)
+def q_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode, VALUE-verified (r06 — the last
+    multimodal gate with an in-container decoder): each document's
+    'video' is an actual MJPEG AVI built by sources/avi.py — four
+    16×24 DC-only baseline-JPEG frames (frame f block b: dc = ((id·7 +
+    11f + 13b) mod 100) − 50) inside a RIFF hdrl/movi tree — then
+    avi_mjpeg_frames walks the container and sources/jpeg.py decodes
+    every extracted frame; per-frame integer pixel sums aggregate. The
+    oracle recomputes pixels from the closed form 128 + 2·dc and never
+    sees a byte, so a hash match proves container walk + per-frame
+    JPEG decode end-to-end. sample_frames(fake=False) consumes the
+    same parser for evenly-spaced real frame sampling."""
+    import pandas as pd
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 128)
+        .select("doc_id")
+    )
+
+    def _stats(batches):
+        import numpy as np
+
+        from automated_property_data_ingestion_document_pipeline_spark.sources.avi import (
+            avi_mjpeg_frames,
+            encode_avi_mjpeg,
+        )
+        from automated_property_data_ingestion_document_pipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg_from_coeffs,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "px_sum": [], "n_px": []}
+            for did in pdf["doc_id"].to_numpy():
+                frames = []
+                for f in range(4):
+                    blocks = []
+                    for b in range(6):
+                        c = np.zeros((8, 8), dtype=np.int64)
+                        c[0, 0] = ((int(did) * 7 + f * 11 + b * 13) % 100) - 50
+                        blocks.append(c)
+                    frames.append(encode_jpeg_from_coeffs(16, 24, [blocks]))
+                payload = encode_avi_mjpeg(frames, 24, 16, fps=10)
+                got, _w, _h = avi_mjpeg_frames(payload)  # REAL container walk
+                for f, fr in enumerate(got):
+                    px = decode_jpeg(fr)[:, :, 0].astype(np.int64)
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(f)
+                    out["px_sum"].append(int(px.sum()))
+                    out["n_px"].append(int(px.size))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _stats, "doc_id bigint, frame_idx int, px_sum bigint, n_px bigint"
+    )
+
+
+@query(
+    "q_flac_energy",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id, i.i // 160 AS chunk_idx,
+               ((d.doc_id * 37 + i.i * 23) % 4001) - 2000 AS sample
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 256) d,
+             range(480) i(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(sample * sample) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id, chunk_idx
+    """,
+)
+def q_flac_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC container decode, VALUE-verified (r06 — compressed
+    audio joins the arithmetic-oracle lanes): each document's 480
+    deterministic s16 samples are packed through sources/flac.py's
+    encoder into an actual FLAC stream — subframe strategy cycling
+    fixed1/fixed2/verbatim and rice partition order 0/1 by doc_id, so
+    the fixed-predictor restoration, rice decode, partitioned
+    residuals, and frame CRC paths all execute on driver-checked rows
+    — then decode_flac re-parses the stream (STREAMINFO, frame
+    headers, UTF-8 numbers, CRC-8/16 verification) and per-chunk
+    integer energy aggregates. Lossless codec ⇒ the oracle recomputes
+    samples arithmetically and never sees a byte; a hash match proves
+    the whole entropy path bit-exactly. Stereo decorrelation and the
+    remaining subframe surface are pinned by tests/test_flac.py."""
+    import pandas as pd
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 256)
+        .select("doc_id")
+    )
+
+    def _energy(batches):
+        import numpy as np
+
+        from automated_property_data_ingestion_document_pipeline_spark.sources.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        subs = {0: "fixed1", 1: "fixed2", 2: "verbatim"}
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "n_samples": [], "energy": []}
+            for did in pdf["doc_id"].to_numpy():
+                i = np.arange(480, dtype=np.int64)
+                samples = ((int(did) * 37 + i * 23) % 4001) - 2000
+                payload = encode_flac(
+                    samples.reshape(-1, 1), 16000, bps=16, blocksize=160,
+                    subframe=subs[int(did) % 3],
+                    partition_order=int(did) % 2,
+                )
+                parsed, rate = decode_flac(payload)  # the REAL container path
+                assert rate == 16000
+                parsed = parsed[:, 0].astype(np.int64)
+                for ch in range(3):
+                    seg = parsed[ch * 160 : (ch + 1) * 160]
+                    out["doc_id"].append(int(did))
+                    out["chunk_idx"].append(ch)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _energy, "doc_id bigint, chunk_idx int, n_samples bigint, energy bigint"
+    )
+
+
+@query(
     "q_jpeg_progressive_stats",
     oracle="""
     WITH blk AS (

@@ -5,8 +5,10 @@ artifacts whose only metadata lives in the filename
 (reports/ dir; report_generator.py:64-65).
 
 Still-image decode is REAL (pure-stdlib PNG + baseline/progressive
-JPEG codecs in sources/png.py / sources/jpeg.py); only audio/video
-CONTAINER decode is stubbed (no ffmpeg in this container) behind
+JPEG codecs in sources/png.py / sources/jpeg.py), and so is audio
+container decode (RIFF/WAVE in sources/wav.py, FLAC subset in
+sources/flac.py); only lossy codecs (MP3/AAC) and video containers
+remain stubbed (no ffmpeg in this container) behind
 ``DecodeUnavailable`` + a deterministic fake, with all Spark-side
 plumbing — schema, partitioning, Arrow batch shape, UDF signatures —
 real and tested either way.
@@ -63,14 +65,22 @@ def sample_frames(
     via mapInPandas (a flat-mapping Arrow batch transform — the UDTF
     shape).
 
-    ``fake=True`` slices the payload into n deterministic chunks (real
-    decode = ffmpeg keyframe extraction behind DecodeUnavailable). The
-    Spark-side contract — fan-out batch shape, per-frame metadata
-    struct, executor-local byte handling — is the part exercised at
-    scale."""
+    ``fake=True`` slices the payload into n deterministic chunks.
+    ``fake=False`` (r06) parses REAL MJPEG AVI containers through
+    sources/avi.py and emits ``n_frames`` evenly-spaced actual frame
+    payloads (each an ordinary baseline JPEG — decodable downstream by
+    sources/jpeg.py); only codec-compressed video (H.264/VP9/...)
+    still raises ``DecodeUnavailable``. The Spark-side contract —
+    fan-out batch shape, per-frame metadata struct, executor-local
+    byte handling — is identical on both paths."""
     import hashlib
 
     import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.avi import (
+        AviUnsupported,
+        avi_mjpeg_frames,
+    )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,7 +91,25 @@ def sample_frames(
                     continue  # NULL payload → no frames (nothing to decode)
                 payload = bytes(payload)
                 if not fake:
-                    raise DecodeUnavailable("ffmpeg frame extraction not in container")
+                    try:
+                        all_frames, _w, _h = avi_mjpeg_frames(payload)
+                    except AviUnsupported as e:
+                        raise DecodeUnavailable(
+                            f"codec-compressed video not in this environment: {e}"
+                        ) from e
+                    if not all_frames:
+                        continue
+                    take = min(n_frames, len(all_frames))
+                    # evenly spaced keyframe-style sampling
+                    picks = [
+                        all_frames[(i * len(all_frames)) // take] for i in range(take)
+                    ]
+                    for i, fr in enumerate(picks):
+                        ids.append(rid)
+                        idxs.append(i)
+                        frames.append(fr)
+                        metas.append(hashlib.sha256(fr).hexdigest()[:16])
+                    continue
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     chunk = payload[i * step : (i + 1) * step] or b"\x00"

@@ -120,8 +120,11 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_revenue_bridge",
     "q_jpeg_stats",
-    # round-6: the progressive-JPEG decode lane (SOF2 scan machinery)
+    # round-6: the new decode lanes (SOF2 scan machinery, rice-coded
+    # FLAC entropy loops, AVI container walk + per-frame JPEG decode)
     "q_jpeg_progressive_stats",
+    "q_flac_energy",
+    "q_mjpeg_stats",
 ]
 
 
