@@ -147,6 +147,14 @@ def resize_image(
     shape PIL/ffmpeg would slot into."""
     import pandas as pd
 
+    from automated_property_data_ingestion_document_pipeline_spark.sources.bmp import (
+        BmpUnsupported,
+        decode_bmp,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.gif import (
+        GifUnsupported,
+        decode_gif,
+    )
     from automated_property_data_ingestion_document_pipeline_spark.sources.jpeg import (
         JpegUnsupported,
         decode_jpeg,
@@ -162,6 +170,14 @@ def resize_image(
         try:
             return decode_png(payload)
         except PngUnsupported:
+            pass
+        try:
+            return decode_gif(payload)
+        except GifUnsupported:
+            pass
+        try:
+            return decode_bmp(payload)
+        except BmpUnsupported:
             return decode_jpeg(payload)  # JpegUnsupported → pass-through
 
     out_schema = (
@@ -183,7 +199,7 @@ def resize_image(
                     hs.append(px.shape[0])
                     ws.append(px.shape[1])
                     cs.append(px.shape[2])
-                except (PngUnsupported, JpegUnsupported):
+                except (PngUnsupported, GifUnsupported, BmpUnsupported, JpegUnsupported):
                     outs.append(payload)  # undecodable format: pass through
                     dec.append(False)
                     hs.append(None)

@@ -125,6 +125,8 @@ HEADLINE = [
     "q_jpeg_progressive_stats",
     "q_flac_energy",
     "q_mjpeg_stats",
+    "q_gif_stats",
+    "q_bmp_stats",
 ]
 
 

@@ -465,3 +465,12 @@ def test_audience_overlap_self_join_is_equi_never_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # it IS a join plan, with equi variants only
+
+
+@pytest.mark.parametrize("key", ["q_gif_stats", "q_bmp_stats"])
+def test_codec_stat_lanes_single_agg_exchange(spark, sf_dir, key):
+    """The r06 codec lanes are scan → row-local mapInPandas decode →
+    one hash aggregation on doc_id; any second exchange means the
+    decode stopped being row-local."""
+    plan = plan_of(spark, sf_dir, key)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
