@@ -1057,6 +1057,161 @@ def q_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_zip_ingest",
+    oracle="""
+    WITH m AS (
+        SELECT d.doc_id, k.k,
+               64 + (d.doc_id + k.k) % 32 AS len
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 128) d,
+             range(3) k(k)
+    ), b AS (
+        SELECT doc_id, k, len, i.i AS i
+        FROM m, range(96) i(i)
+        WHERE i.i < len
+    )
+    SELECT doc_id,
+           'm' || CAST(k AS VARCHAR) || '.bin' AS member_name,
+           CAST(MAX(len) AS BIGINT) AS n_bytes,
+           CAST(SUM((doc_id * 13 + k * 7 + i * 3) % 256) AS BIGINT) AS byte_sum
+    FROM b GROUP BY doc_id, k
+    """,
+)
+def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-source ingest, VALUE-verified (r06 — the ingestion
+    mirror of the S9 archive sink; bulk assessor/recorder drops arrive
+    as ZIPs of many small documents, reference App.js:252 upload
+    surface): each document's three deterministic members (member k =
+    bytes (13id+7k+3i) mod 256, length 64+(id+k) mod 32) are packaged
+    into a DIFFERENT archive container by doc id — ZIP-deflate /
+    ZIP-stored / plain TAR / TAR-gz cycling on id%4 — and
+    sources/archive.py flat-maps one row per member with the payload
+    intact. Four container variants must reproduce ONE closed form
+    (name, size, byte sum), so a hash match proves member walk,
+    DEFLATE/gzip inflation, and the fan-out batch shape at once. The
+    Spark shape is the 100 TB one: archives stay executor-local,
+    members become ordinary rows for downstream codec decode."""
+    import numpy as np
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.archive import (
+        build_tar,
+        build_zip,
+        iter_tar_members,
+        iter_zip_members,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 128)
+        .select("doc_id")
+    )
+
+    def _ingest(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "member_name": [], "n_bytes": [], "byte_sum": []}
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                members = []
+                for k in range(3):
+                    ln = 64 + (did + k) % 32
+                    i = np.arange(ln, dtype=np.int64)
+                    blob = ((did * 13 + k * 7 + i * 3) % 256).astype(np.uint8)
+                    members.append((f"m{k}.bin", blob.tobytes()))
+                variant = did % 4
+                if variant == 0:
+                    payload = build_zip(members, deflate=True)
+                elif variant == 1:
+                    payload = build_zip(members, deflate=False)
+                elif variant == 2:
+                    payload = build_tar(members, gz=False)
+                else:
+                    payload = build_tar(members, gz=True)
+                walk = iter_zip_members if variant < 2 else iter_tar_members
+                for name, blob in walk(payload):  # the REAL bytes
+                    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                    out["doc_id"].append(did)
+                    out["member_name"].append(name)
+                    out["n_bytes"].append(len(blob))
+                    out["byte_sum"].append(int(arr.sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _ingest,
+        "doc_id bigint, member_name string, n_bytes bigint, byte_sum bigint",
+    )
+
+
+@query(
+    "q_tiff_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               (d.doc_id * 7 + p.p * 19) % 256 AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 128) d,
+             range(252) p(p)
+    )
+    SELECT doc_id,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MAX(v) AS INT) AS px_max,
+           CAST(252 AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode, VALUE-verified (r06 — the scanned-document
+    container; the reference's domain is property DOCUMENT ingestion,
+    reference S5 / crs reports dir): each document's deterministic
+    18×14 grayscale page (pixel p = (7id+19p) mod 256) is packaged
+    into a DIFFERENT container variant by doc id — compression cycles
+    none/LZW/PackBits (id%3), byte order II/MM (id%2), strip height
+    3/5/7/18 (id%4) — and sources/tiff.py decodes the actual bytes:
+    IFD tag walk → strip assembly → PackBits RLE or MSB-first
+    early-change LZW. 24 distinct container shapes must all reproduce
+    ONE pure-arithmetic closed form, so a hash match proves byte-order
+    handling, strip reassembly, and both entropy decoders at once.
+    Same Arrow mapInPandas shape as q_gif_stats; 4 ints per doc leave
+    the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 128)
+        .select("doc_id")
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "px_sum": [], "px_max": [], "n_px": []}
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                page = (
+                    (did * 7 + np.arange(252, dtype=np.int64) * 19) % 256
+                ).astype(np.uint8).reshape(18, 14)
+                payload = encode_tiff(
+                    page,
+                    compression=(1, 5, 32773)[did % 3],
+                    big_endian=bool(did % 2),
+                    rows_per_strip=(3, 5, 7, 18)[did % 4],
+                )
+                px = decode_tiff(payload)[:, :, 0].astype(np.int64)  # REAL bytes
+                out["doc_id"].append(did)
+                out["px_sum"].append(int(px.sum()))
+                out["px_max"].append(int(px.max()))
+                out["n_px"].append(int(px.size))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _stats, "doc_id bigint, px_sum bigint, px_max int, n_px bigint"
+    )
+
+
+@query(
     "q_wav_energy",
     oracle="""
     WITH s AS (

@@ -4,11 +4,11 @@ metadata struct — the Spark reading of the reference's DOCX/PDF
 artifacts whose only metadata lives in the filename
 (reports/ dir; report_generator.py:64-65).
 
-Still-image decode is REAL (pure-stdlib PNG + baseline/progressive
-JPEG codecs in sources/png.py / sources/jpeg.py), and so is audio
+Still-image decode is REAL (pure-stdlib PNG, baseline/progressive
+JPEG, GIF, BMP, and TIFF codecs under sources/), and so is audio
 container decode (RIFF/WAVE in sources/wav.py, FLAC subset in
-sources/flac.py); only lossy codecs (MP3/AAC) and video containers
-remain stubbed (no ffmpeg in this container) behind
+sources/flac.py) and MJPEG-AVI video (sources/avi.py); only lossy
+codecs (MP3/AAC, H.264/VP9) remain stubbed (no ffmpeg here) behind
 ``DecodeUnavailable`` + a deterministic fake, with all Spark-side
 plumbing — schema, partitioning, Arrow batch shape, UDF signatures —
 real and tested either way.
@@ -134,13 +134,12 @@ def resize_image(
     target_w: int = 32,
 ) -> DataFrame:
     """REAL image resize for supported payloads (r03 verdict #5, r05
-    stretch #8, r06 stretch): PNGs decode through the pure-stdlib codec
-    (sources/png.py — zlib inflate + per-scanline unfiltering) and
-    both baseline AND progressive JPEGs through sources/jpeg.py
-    (Huffman + spectral-selection/successive-approximation scans +
-    dequant + IDCT); nearest-neighbor resize runs on the actual pixel
-    array and re-encodes as PNG (lossless out). Only genuinely
-    external-lib formats (real audio/video containers) still pass
+    stretch #8, r06): PNG, baseline+progressive JPEG, GIF (LZW), BMP,
+    and TIFF (PackBits / MSB-first LZW) payloads all decode through
+    the pure-stdlib codecs under sources/; nearest-neighbor resize
+    runs on the actual pixel array and re-encodes as PNG (lossless
+    out). Only genuinely external-lib formats (lossy audio/video
+    codecs) still pass
     through undecoded (``decoded=false``) — the ``DecodeUnavailable``
     boundary now excludes every still-image path. Bytes never leave
     the executor; fan-in/fan-out is row-local mapInPandas, the same
@@ -165,6 +164,10 @@ def resize_image(
         encode_png,
         resize_nearest,
     )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.tiff import (
+        TiffUnsupported,
+        decode_tiff,
+    )
 
     def _decode_any(payload: bytes):
         try:
@@ -178,6 +181,10 @@ def resize_image(
         try:
             return decode_bmp(payload)
         except BmpUnsupported:
+            pass
+        try:
+            return decode_tiff(payload)
+        except TiffUnsupported:
             return decode_jpeg(payload)  # JpegUnsupported → pass-through
 
     out_schema = (
@@ -199,7 +206,8 @@ def resize_image(
                     hs.append(px.shape[0])
                     ws.append(px.shape[1])
                     cs.append(px.shape[2])
-                except (PngUnsupported, GifUnsupported, BmpUnsupported, JpegUnsupported):
+                except (PngUnsupported, GifUnsupported, BmpUnsupported,
+                        TiffUnsupported, JpegUnsupported):
                     outs.append(payload)  # undecodable format: pass through
                     dec.append(False)
                     hs.append(None)

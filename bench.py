@@ -127,6 +127,8 @@ HEADLINE = [
     "q_mjpeg_stats",
     "q_gif_stats",
     "q_bmp_stats",
+    "q_tiff_stats",
+    "q_zip_ingest",
 ]
 
 

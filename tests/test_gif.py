@@ -217,7 +217,7 @@ def test_fuzz_malformed_streams_always_raise_typed_error():
 
 
 def test_resize_image_routes_gif_and_bmp_payloads(spark):
-    """Spark-side routing (r06): GIF and BMP payloads decode through
+    """Spark-side routing (r06): GIF, BMP, and TIFF payloads decode through
     their codecs inside resize_image (decoded=true, 3 channels, real
     pixels), while undecodable bytes still pass through typed."""
     from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
@@ -236,11 +236,20 @@ def test_resize_image_routes_gif_and_bmp_payloads(spark):
     pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
     gif_payload = encode_gif(idx, pal, interlace=True)
     bmp_payload = encode_bmp(pixels=pal[idx])
-    rows = [(1, gif_payload), (2, bmp_payload), (99, b"none of the formats")]
+    from automated_property_data_ingestion_document_pipeline_spark.sources.tiff import (
+        encode_tiff,
+    )
+    tiff_payload = encode_tiff(pal[idx], compression=5, big_endian=True)
+    rows = [
+        (1, gif_payload),
+        (2, bmp_payload),
+        (3, tiff_payload),
+        (99, b"none of the formats"),
+    ]
     df = spark.createDataFrame(rows, "doc_id bigint, content binary")
     got = {r["doc_id"]: r for r in resize_image(df, target_h=6, target_w=5).collect()}
     expect = resize_nearest(pal[idx], 6, 5)
-    for did in (1, 2):
+    for did in (1, 2, 3):
         r = got[did]
         assert r["decoded"] and (r["height"], r["width"], r["channels"]) == (6, 5, 3)
         assert np.array_equal(decode_png(bytes(r["content"])), expect)
