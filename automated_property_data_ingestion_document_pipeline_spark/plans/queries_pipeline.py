@@ -1142,6 +1142,89 @@ def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_archive_decode",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, k.k,
+               (d.doc_id * 11 + k.k * 5 + p.p * 19) % 256 AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 128) d,
+             range(2) k(k), range(192) p(p)
+    )
+    SELECT doc_id,
+           'page' || CAST(k AS VARCHAR) || '.tif' AS member_name,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(192 AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id, k
+    """,
+)
+def q_archive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end archive→codec COMPOSITION, VALUE-verified (r06): the
+    literal reference use case — an assessor drop is a ZIP of scanned
+    TIFF pages (reference S5 / App.js:252). Each document's archive
+    holds two deterministic 16×12 grayscale TIFF pages (page k pixel
+    p = (11id+5k+19p) mod 256; compression and byte order cycle per
+    page: page parity picks none/LZW, id parity picks II/MM), zipped
+    (deflate for even ids, stored for odd). The lane then runs the
+    REAL pipeline: sources/archive.py walks the ZIP → each member's
+    bytes feed sources/tiff.py's IFD walk + entropy decode → per-page
+    integer stats. The oracle never sees a container at any layer;
+    a hash match proves unpack AND decode AND their composition
+    bit-exactly. All bytes stay executor-local in one mapInPandas —
+    the 100 TB shape for bulk scanned-document ingest."""
+    import numpy as np
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.archive import (
+        build_zip,
+        iter_zip_members,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 128)
+        .select("doc_id")
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "member_name": [], "px_sum": [], "n_px": []}
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                members = []
+                for k in range(2):
+                    page = (
+                        (did * 11 + k * 5 + np.arange(192, dtype=np.int64) * 19)
+                        % 256
+                    ).astype(np.uint8).reshape(16, 12)
+                    members.append(
+                        (
+                            f"page{k}.tif",
+                            encode_tiff(
+                                page,
+                                compression=5 if k % 2 else 1,
+                                big_endian=bool(did % 2),
+                            ),
+                        )
+                    )
+                payload = build_zip(members, deflate=not did % 2)
+                for name, blob in iter_zip_members(payload):  # REAL bytes
+                    px = decode_tiff(blob)[:, :, 0].astype(np.int64)
+                    out["doc_id"].append(did)
+                    out["member_name"].append(name)
+                    out["px_sum"].append(int(px.sum()))
+                    out["n_px"].append(int(px.size))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _decode, "doc_id bigint, member_name string, px_sum bigint, n_px bigint"
+    )
+
+
+@query(
     "q_tiff_stats",
     oracle="""
     WITH px AS (

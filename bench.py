@@ -129,6 +129,7 @@ HEADLINE = [
     "q_bmp_stats",
     "q_tiff_stats",
     "q_zip_ingest",
+    "q_archive_decode",
 ]
 
 
