@@ -130,15 +130,15 @@ _DRIVER_SEEN = frozenset({
 # oracle key is green in the local full-oracle DuckDB sweep and the
 # builder's sf0.1 scale-parity sweep).  The driver samples EXACTLY the
 # first 50 keys of queries(), so the head is 49 unseen oracle keys
-# (40 from the r05 backlog + the nine new r06 decode/ingest lanes:
+# (39 from the r05 backlog + the ten new r06 decode/ingest lanes:
 # q_jpeg_progressive_stats, q_wav_energy, q_flac_energy, q_mjpeg_stats,
 # q_gif_stats, q_bmp_stats, q_tiff_stats, q_zip_ingest,
-# q_archive_decode) in verdict order (q_tfidf / q_oov_rate /
+# q_archive_decode, q_pdf_extract) in verdict order (q_tfidf / q_oov_rate /
 # q_bpe_pair_counts first, then the timeseries/stats/geo/graph tail in
 # registration order) plus the q_stream_ewma rows-only gate lane (first
-# in the r05 queue).  Slots 51+ queue the five displaced oracle keys
-# (q_link_prediction, q_shortest_path, q_interval_coverage,
-# q_event_runs, q_calendar_fill), ask-#7's
+# in the r05 queue).  Slots 51+ queue the six displaced oracle keys
+# (q_degree_histogram, q_link_prediction, q_shortest_path,
+# q_interval_coverage, q_event_runs, q_calendar_fill), ask-#7's
 # rows-only recall/stream lanes, then the remaining unseen oracle keys
 # for the r07 window, then
 # the last rows-only sinks.  (Counts asserted by the check below.)
@@ -147,7 +147,7 @@ _PRIORITY = [
     "q_stream_ewma", "q_tfidf", "q_oov_rate", "q_bpe_pair_counts",
     "q_jpeg_progressive_stats", "q_wav_energy", "q_flac_energy",
     "q_mjpeg_stats", "q_gif_stats", "q_bmp_stats", "q_tiff_stats",
-    "q_zip_ingest", "q_archive_decode",
+    "q_zip_ingest", "q_archive_decode", "q_pdf_extract",
     "q_holt_linear", "q_clamped_balance", "q_minmax_scale", "q_regr_ols",
     "q_chi_square", "q_mad_outliers", "q_readability", "q_rolling_median",
     "q_cusum", "q_twap", "q_ohlc_bars", "q_winsorize",
@@ -158,10 +158,10 @@ _PRIORITY = [
     "q_diversity_index", "q_weighted_sample", "q_vacuum_retention",
     "q_geo_radius_join", "q_geo_nearest", "q_geo_tile_agg",
     "q_geo_pipeline", "q_bucketed_join", "q_data_quality_report",
-    "q_triangle_count", "q_degree_histogram",
+    "q_triangle_count",
     # --- ask #7 rows-only recall/stream lanes + r07 window head ---
-    "q_link_prediction", "q_shortest_path", "q_interval_coverage",
-    "q_event_runs", "q_calendar_fill",
+    "q_degree_histogram", "q_link_prediction", "q_shortest_path",
+    "q_interval_coverage", "q_event_runs", "q_calendar_fill",
     "q_debounce", "q_hour_bitmap", "q_peak_concurrency", "q_embedding_neardup", "q_knn_ivf", "q_knn_pq", "q_lsh_recall", "q_ivf_recall", "q_pq_recall",
     "q_ivfpq_recall", "q_kmeans_converged", "q_stream_join",
     "q_stream_static", "q_stream_tumbling", "q_stream_dedup",

@@ -57,11 +57,15 @@ def _content_stream(lines: list[str]) -> bytes:
     return b"\n".join(out)
 
 
-def pdf_bytes_from_lines(lines: list[str]) -> bytes:
+def pdf_bytes_from_lines(lines: list[str], compress: bool = False) -> bytes:
     """Serialize paragraphs into a valid single-font PDF 1.4 file:
     catalog → page tree → N pages, each with its own content stream, one
     shared Helvetica font object, correct xref offsets, trailer. Pure
-    function of ``lines`` (fixed object numbering, no timestamps)."""
+    function of ``lines`` (fixed object numbering, no timestamps;
+    zlib level is pinned so ``compress=True`` stays deterministic too).
+    ``compress=True`` FlateDecode-encodes each content stream — the
+    layout real-world writers emit, and the fixture path for
+    :func:`extract_pdf_text`'s inflate branch."""
     pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
     if not pages:
         pages = [[]]
@@ -86,9 +90,18 @@ def pdf_bytes_from_lines(lines: list[str]) -> bytes:
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
             % (PAGE_W, PAGE_H, 5 + 2 * i)
         )
-        objects.append(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
-        )
+        if compress:
+            import zlib
+
+            flate = zlib.compress(stream, 6)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(flate), flate)
+            )
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+            )
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]  # object 0 is the free head
@@ -108,14 +121,40 @@ def pdf_bytes_from_lines(lines: list[str]) -> bytes:
     return bytes(buf)
 
 
-def extract_pdf_text(payload: bytes) -> list[str]:
-    """Reparse the text lines out of an (uncompressed) PDF produced by
-    this writer — the test-side inverse, so unit tests assert
-    placeholder substitution on the actual artifact bytes."""
-    import re
+class PdfUnsupported(ValueError):
+    """Payload is not a PDF this extractor handles (bad header, broken
+    FlateDecode stream, unsupported stream filter, ...)."""
 
+
+def extract_pdf_text(payload: bytes) -> list[str]:
+    """Reparse the text lines out of a PDF whose content streams use
+    literal-string ``Tj`` show operators — plain or FlateDecode-encoded
+    (r06: the extractor graduated from test helper to source operator;
+    the reference's domain artifacts ARE PDFs, report_generator.py:92).
+    Each ``stream`` object is located with its preceding dictionary; a
+    ``/FlateDecode`` filter is inflated via zlib, any other filter
+    raises :class:`PdfUnsupported`, and corrupt deflate data raises the
+    same typed error instead of ``zlib.error`` — the codec modules'
+    contract, so executor tasks quarantine rather than die."""
+    import re
+    import zlib
+
+    payload = bytes(payload)
+    if not payload.startswith(b"%PDF-"):
+        raise PdfUnsupported("not a PDF header")
     lines: list[str] = []
-    for stream in re.findall(rb"stream\n(.*?)\nendstream", payload, re.S):
+    for dct, stream in re.findall(
+        rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n(.*?)\r?\nendstream",
+        payload,
+        re.S,
+    ):
+        if b"/Filter" in dct:
+            if b"/FlateDecode" not in dct:
+                raise PdfUnsupported(f"unsupported stream filter in {dct[:80]!r}")
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error as e:
+                raise PdfUnsupported(f"broken FlateDecode stream: {e}") from e
         # Escape-aware: consume escaped pairs (\\ \( \)) atomically so a
         # line ending in ')' — written as '\) Tj' — isn't cut at the
         # first literal ') Tj' with a stray trailing backslash (r02

@@ -130,6 +130,7 @@ HEADLINE = [
     "q_tiff_stats",
     "q_zip_ingest",
     "q_archive_decode",
+    "q_pdf_extract",
 ]
 
 

@@ -467,7 +467,7 @@ def test_audience_overlap_self_join_is_equi_never_cartesian(spark, sf_dir):
     assert "Join" in plan  # it IS a join plan, with equi variants only
 
 
-@pytest.mark.parametrize("key", ["q_gif_stats", "q_bmp_stats", "q_tiff_stats", "q_zip_ingest", "q_archive_decode"])
+@pytest.mark.parametrize("key", ["q_gif_stats", "q_bmp_stats", "q_tiff_stats", "q_zip_ingest", "q_archive_decode", "q_pdf_extract"])
 def test_codec_stat_lanes_single_agg_exchange(spark, sf_dir, key):
     """The r06 codec lanes are scan → row-local mapInPandas decode →
     one hash aggregation on doc_id; any second exchange means the

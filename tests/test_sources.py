@@ -479,3 +479,34 @@ def test_chunk_audio_empty_payload_emits_empty_chunk(spark):
     assert r["doc_id"] == 1 and r["chunk_idx"] == 0
     assert bytes(r["chunk_bytes"]) == b""
     assert r["start_ms"] == 0 and r["end_ms"] == 0
+
+
+def test_pdf_flate_roundtrip_and_typed_errors():
+    """r06: the extractor's FlateDecode branch — compressed and plain
+    renders of the same lines extract identically; corrupt deflate and
+    non-PDF payloads raise PdfUnsupported, never zlib.error."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    import pytest
+
+    lines = [f"parcel {i} (tricky) value {i * 7 % 100}" for i in range(60)]
+    plain = pdf_bytes_from_lines(lines, compress=False)
+    flate = pdf_bytes_from_lines(lines, compress=True)
+    assert extract_pdf_text(plain) == lines
+    assert extract_pdf_text(flate) == lines
+    assert len(flate) < len(plain)  # the filter actually compresses
+    with pytest.raises(PdfUnsupported):
+        extract_pdf_text(b"not a pdf at all")
+    bad = bytearray(flate)
+    i = bad.index(b"stream\n") + 8
+    bad[i : i + 5] = b"\xff" * 5
+    with pytest.raises(PdfUnsupported):
+        extract_pdf_text(bytes(bad))
+    # unsupported filter is refused typed, not silently skipped
+    dct = plain.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length", 1)
+    with pytest.raises(PdfUnsupported):
+        extract_pdf_text(dct)
