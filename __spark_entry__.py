@@ -123,49 +123,40 @@ _DRIVER_SEEN = frozenset({
     "q_sql_tpch_q16", "q_sql_tpch_q2", "q_sql_tpch_q20", "q_sql_tpch_q21",
     "q_sql_tpch_q4", "q_sql_tpch_q9", "q_stream_multi", "q_table_checksum",
     "q_target_encode", "q_threshold_metrics",
-})
-
-# VERDICT r05 #1/#7: drain the never-driver-checked backlog (91 unseen
-# oracle keys + 25 unseen rows-only lanes after the r05 snapshot; every
-# oracle key is green in the local full-oracle DuckDB sweep and the
-# builder's sf0.1 scale-parity sweep).  The driver samples EXACTLY the
-# first 50 keys of queries(), so the head is 49 unseen oracle keys
-# (39 from the r05 backlog + the ten new r06 decode/ingest lanes:
-# q_jpeg_progressive_stats, q_wav_energy, q_flac_energy, q_mjpeg_stats,
-# q_gif_stats, q_bmp_stats, q_tiff_stats, q_zip_ingest,
-# q_archive_decode, q_pdf_extract) in verdict order (q_tfidf / q_oov_rate /
-# q_bpe_pair_counts first, then the timeseries/stats/geo/graph tail in
-# registration order) plus the q_stream_ewma rows-only gate lane (first
-# in the r05 queue).  Slots 51+ queue the six displaced oracle keys
-# (q_degree_histogram, q_link_prediction, q_shortest_path,
-# q_interval_coverage, q_event_runs, q_calendar_fill), ask-#7's
-# rows-only recall/stream lanes, then the remaining unseen oracle keys
-# for the r07 window, then
-# the last rows-only sinks.  (Counts asserted by the check below.)
-_PRIORITY = [
-    # --- 50-slot driver window: 49 oracle + 1 rows-only ---
+    # r06 snapshot (CORRECTNESS_r06.json, 49 oracle green + 1 rows-only)
     "q_stream_ewma", "q_tfidf", "q_oov_rate", "q_bpe_pair_counts",
     "q_jpeg_progressive_stats", "q_wav_energy", "q_flac_energy",
     "q_mjpeg_stats", "q_gif_stats", "q_bmp_stats", "q_tiff_stats",
-    "q_zip_ingest", "q_archive_decode", "q_pdf_extract",
-    "q_holt_linear", "q_clamped_balance", "q_minmax_scale", "q_regr_ols",
-    "q_chi_square", "q_mad_outliers", "q_readability", "q_rolling_median",
-    "q_cusum", "q_twap", "q_ohlc_bars", "q_winsorize",
-    "q_telemetry_pipeline", "q_rolling_slope", "q_seasonal_residual",
-    "q_user_features", "q_attribution", "q_autocorr", "q_iqr_outliers",
-    "q_control_chart", "q_ma_crossover", "q_duplicate_payments",
-    "q_purchase_cycle", "q_window_funnel", "q_time_rollup", "q_user_growth",
+    "q_zip_ingest", "q_archive_decode", "q_pdf_extract", "q_holt_linear",
+    "q_clamped_balance", "q_minmax_scale", "q_regr_ols", "q_chi_square",
+    "q_mad_outliers", "q_readability", "q_rolling_median", "q_cusum",
+    "q_twap", "q_ohlc_bars", "q_winsorize", "q_telemetry_pipeline",
+    "q_rolling_slope", "q_seasonal_residual", "q_user_features",
+    "q_attribution", "q_autocorr", "q_iqr_outliers", "q_control_chart",
+    "q_ma_crossover", "q_duplicate_payments", "q_purchase_cycle",
+    "q_window_funnel", "q_time_rollup", "q_user_growth",
     "q_diversity_index", "q_weighted_sample", "q_vacuum_retention",
     "q_geo_radius_join", "q_geo_nearest", "q_geo_tile_agg",
     "q_geo_pipeline", "q_bucketed_join", "q_data_quality_report",
     "q_triangle_count",
-    # --- ask #7 rows-only recall/stream lanes + r07 window head ---
+})
+
+# VERDICT r06 #1: drain the final never-driver-checked oracle backlog
+# (52 unseen oracle keys + 24 unseen rows-only lanes after the r06
+# snapshot; every oracle key is green in the local full-oracle DuckDB
+# sweep and the builder's sf0.01/edge/sf0.1 drives).  The driver samples
+# EXACTLY the first 50 keys of queries(), so the head is 50 of the 52
+# unseen oracle keys in verdict order: the six displaced graph/interval
+# keys first, then the analytics/format-roundtrip/product tail in
+# registration order.  Deferred to the r08 window: q_equidepth_histogram,
+# q_session_paths (the last two unseen oracle keys), any keys newly
+# registered this round, and the 24 rows-only lanes (recall gates,
+# sinks, streaming) — 36 slots, fits one window.
+_PRIORITY = [
+    # --- 50-slot driver window: 50 unseen oracle keys ---
     "q_degree_histogram", "q_link_prediction", "q_shortest_path",
     "q_interval_coverage", "q_event_runs", "q_calendar_fill",
-    "q_debounce", "q_hour_bitmap", "q_peak_concurrency", "q_embedding_neardup", "q_knn_ivf", "q_knn_pq", "q_lsh_recall", "q_ivf_recall", "q_pq_recall",
-    "q_ivfpq_recall", "q_kmeans_converged", "q_stream_join",
-    "q_stream_static", "q_stream_tumbling", "q_stream_dedup",
-    # --- remaining unseen oracle keys (r07 window) ---
+    "q_debounce", "q_hour_bitmap", "q_peak_concurrency",
     "q_map_fns", "q_range_frame", "q_relational_division",
     "q_mode_per_group", "q_skyline", "q_global_rownum", "q_item_pairs",
     "q_share_of_total", "q_topn_plus_other", "q_item_similarity",
@@ -178,12 +169,16 @@ _PRIORITY = [
     "q_rank_normalize", "q_ecdf", "q_fulfillment_latency", "q_ab_test",
     "q_json_rescue", "q_json_flatten", "q_odds_ratio", "q_wilson_interval",
     "q_nps", "q_activity_profile", "q_audience_overlap",
-    "q_weighted_median", "q_equidepth_histogram", "q_session_paths",
-    # --- remaining unseen rows-only lanes ---
-    "q_frame_sample", "q_letter_sink", "q_letter_sink_docx",
-    "q_letter_sink_ref_template", "q_letter_sink_pdf", "q_http_enrich",
-    "q_audio_chunks", "q_quantile_error", "q_hll_shard_merge",
-    "q_html_extract", "q_html_fields_udtf", "q_pagerank",
+    "q_weighted_median",
+    # --- r08 window: last 2 unseen oracle keys, then rows-only lanes ---
+    "q_equidepth_histogram", "q_session_paths",
+    "q_lsh_recall", "q_ivf_recall", "q_pq_recall", "q_ivfpq_recall",
+    "q_knn_ivf", "q_knn_pq", "q_embedding_neardup", "q_kmeans_converged",
+    "q_stream_join", "q_stream_static", "q_stream_tumbling",
+    "q_stream_dedup", "q_pagerank", "q_frame_sample", "q_letter_sink",
+    "q_letter_sink_docx", "q_letter_sink_ref_template", "q_letter_sink_pdf",
+    "q_http_enrich", "q_audio_chunks", "q_quantile_error",
+    "q_hll_shard_merge", "q_html_extract", "q_html_fields_udtf",
 ]
 
 

@@ -303,7 +303,12 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[np.nda
             continue
         if block != 0x2C:
             raise GifUnsupported(f"unknown block introducer 0x{block:02x}")
-        if len(frames) >= min(max_frames or _MAX_FRAMES, _MAX_FRAMES):
+        if max_frames is not None and len(frames) >= max_frames:
+            # Caller asked for a prefix (e.g. decode_gif's first frame):
+            # stop parsing and return what we have — an animated GIF is
+            # valid input, not a malformation (r06 advice).
+            return frames
+        if len(frames) >= _MAX_FRAMES:
             raise GifUnsupported("frame count cap exceeded")
         if pos + 9 > len(data):
             raise GifUnsupported("truncated image descriptor")

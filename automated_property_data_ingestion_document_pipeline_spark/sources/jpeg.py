@@ -584,7 +584,12 @@ def _ac_refine(reader, blk, table, ss, se, al, eob) -> None:
             while k <= se:
                 c = int(blk[k])
                 if c != 0:
-                    if reader.bit():
+                    # (c & bit)==0 guard per T.81 G.1.2.3 / libjpeg
+                    # decode_mcu_AC_refine: a hostile stream whose history
+                    # already has this bit set must not corrupt the
+                    # coefficient (r06 advice; two's-complement & matches
+                    # C semantics for negative c).
+                    if reader.bit() and (c & bit) == 0:
                         blk[k] = c + (bit if c > 0 else -bit)
                 else:
                     if r == 0:
@@ -597,7 +602,7 @@ def _ac_refine(reader, blk, table, ss, se, al, eob) -> None:
     if eob[0] > 0:
         while k <= se:  # correction bits for the remaining nonzeros
             c = int(blk[k])
-            if c != 0 and reader.bit():
+            if c != 0 and reader.bit() and (c & bit) == 0:
                 blk[k] = c + (bit if c > 0 else -bit)
             k += 1
         eob[0] -= 1

@@ -126,15 +126,46 @@ class PdfUnsupported(ValueError):
     FlateDecode stream, unsupported stream filter, ...)."""
 
 
+_MAX_STREAM_BYTES = 1 << 28  # 256 MB per content stream, matching wav._MAX_DATA_BYTES
+
+
+def _stream_length(dct: bytes, payload: bytes) -> int:
+    """Resolve a stream dictionary's /Length to an int. Direct integers
+    are the common case (and what pdf_bytes_from_lines emits); an
+    indirect ``N G R`` reference is resolved by locating object N's body
+    (a bare integer). Anything else is a typed refusal."""
+    import re
+
+    lm = re.search(rb"/Length\s+(\d+)(?:\s+(\d+)\s+R)?", dct)
+    if lm is None:
+        raise PdfUnsupported("stream dictionary without direct /Length")
+    if lm.group(2) is None:
+        return int(lm.group(1))
+    obj_num = int(lm.group(1))
+    om = re.search(
+        rb"(?:^|[\r\n])%d\s+\d+\s+obj\s*(\d+)\s*endobj" % obj_num, payload
+    )
+    if om is None:
+        raise PdfUnsupported(f"unresolvable indirect /Length object {obj_num}")
+    return int(om.group(1))
+
+
 def extract_pdf_text(payload: bytes) -> list[str]:
     """Reparse the text lines out of a PDF whose content streams use
     literal-string ``Tj`` show operators — plain or FlateDecode-encoded
     (r06: the extractor graduated from test helper to source operator;
     the reference's domain artifacts ARE PDFs, report_generator.py:92).
-    Each ``stream`` object is located with its preceding dictionary; a
-    ``/FlateDecode`` filter is inflated via zlib, any other filter
-    raises :class:`PdfUnsupported`, and corrupt deflate data raises the
-    same typed error instead of ``zlib.error`` — the codec modules'
+    Each ``stream`` object is located with its preceding dictionary and
+    sliced to exactly its declared ``/Length`` bytes (r06 advice: the
+    old 'scan to endstream' regex truncated ~1/256 valid compressed
+    streams whose deflate bytes end in 0x0D, and any stream containing
+    an embedded '\\nendstream'); the slice must land on the real
+    ``endstream`` keyword or the payload is refused. A ``/FlateDecode``
+    filter is inflated through a capped ``decompressobj`` (256 MB
+    ceiling — flate-bomb guard, r06 advice; the wav/image/archive bomb
+    caps applied to this family), any other filter raises
+    :class:`PdfUnsupported`, and corrupt deflate data raises the same
+    typed error instead of ``zlib.error`` — the codec modules'
     contract, so executor tasks quarantine rather than die."""
     import re
     import zlib
@@ -143,18 +174,36 @@ def extract_pdf_text(payload: bytes) -> list[str]:
     if not payload.startswith(b"%PDF-"):
         raise PdfUnsupported("not a PDF header")
     lines: list[str] = []
-    for dct, stream in re.findall(
-        rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n(.*?)\r?\nendstream",
-        payload,
-        re.S,
+    consumed_to = 0  # skip false 'stream' matches inside a prior stream's binary body
+    for m in re.finditer(
+        rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n", payload
     ):
+        if m.start() < consumed_to:
+            continue
+        dct = m.group(1)
+        length = _stream_length(dct, payload)
+        if length > _MAX_STREAM_BYTES:
+            raise PdfUnsupported(f"stream /Length {length} exceeds cap")
+        start = m.end()
+        stream = payload[start : start + length]
+        if len(stream) != length or not re.match(
+            rb"(?:\r\n|\r|\n)?endstream", payload[start + length : start + length + 11]
+        ):
+            raise PdfUnsupported("stream /Length does not land on endstream")
+        consumed_to = start + length
         if b"/Filter" in dct:
             if b"/FlateDecode" not in dct:
                 raise PdfUnsupported(f"unsupported stream filter in {dct[:80]!r}")
+            d = zlib.decompressobj()
             try:
-                stream = zlib.decompress(stream)
+                inflated = d.decompress(stream, _MAX_STREAM_BYTES + 1)
             except zlib.error as e:
                 raise PdfUnsupported(f"broken FlateDecode stream: {e}") from e
+            if len(inflated) > _MAX_STREAM_BYTES:
+                raise PdfUnsupported("FlateDecode expansion exceeds 256 MB cap")
+            if not d.eof:
+                raise PdfUnsupported("broken FlateDecode stream: truncated deflate data")
+            stream = inflated
         # Escape-aware: consume escaped pairs (\\ \( \)) atomically so a
         # line ending in ')' — written as '\) Tj' — isn't cut at the
         # first literal ') Tj' with a stray trailing backslash (r02

@@ -8,7 +8,7 @@ from __future__ import annotations
 import __spark_entry__ as entry
 
 
-def test_head_is_50_unseen_with_one_rows_only_lane():
+def test_head_is_50_unseen_oracle_keys():
     q = list(entry.queries())
     oracles = entry.oracle_sql()
     head = q[:50]
@@ -16,7 +16,7 @@ def test_head_is_50_unseen_with_one_rows_only_lane():
     unseen = [k for k in head if k not in entry._DRIVER_SEEN]
     assert len(unseen) == 50, f"driver-seen keys wasting head slots: {set(head) - set(unseen)}"
     rows_only = [k for k in head if k not in oracles]
-    assert rows_only == ["q_stream_ewma"], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_priority_list_has_no_unknown_or_duplicate_keys():

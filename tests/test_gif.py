@@ -254,3 +254,51 @@ def test_resize_image_routes_gif_and_bmp_payloads(spark):
         assert r["decoded"] and (r["height"], r["width"], r["channels"]) == (6, 5, 3)
         assert np.array_equal(decode_png(bytes(r["content"])), expect)
     assert not got[99]["decoded"]
+
+
+def test_animated_gif_first_frame_prefix_not_refused():
+    """r06 advice: decode_gif (max_frames=1) must return the first
+    composited frame of an animated GIF, not raise 'frame count cap
+    exceeded' — an animation is valid input, not a malformation."""
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [7, 7, 7]], np.uint8)
+    f0 = np.full((4, 4), 1, dtype=np.uint8)
+    f1 = np.full((4, 4), 2, dtype=np.uint8)
+    data = encode_gif(f0, pal, frames=[f1, f1])
+    px = decode_gif(data)  # previously raised GifUnsupported
+    assert (px == [255, 0, 0]).all()
+    assert len(decode_gif_frames(data, max_frames=2)) == 2
+    assert len(decode_gif_frames(data)) == 3  # full animation still decodes
+
+
+def test_animated_gif_hard_frame_cap_still_typed():
+    """The _MAX_FRAMES bomb guard survives the max_frames prefix fix."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import gif as gif_mod
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    f = np.zeros((1, 1), dtype=np.uint8)
+    data = encode_gif(f, pal, frames=[f] * 20)
+    old = gif_mod._MAX_FRAMES
+    gif_mod._MAX_FRAMES = 8
+    try:
+        with pytest.raises(GifUnsupported, match="frame count cap"):
+            decode_gif_frames(data)
+        # a prefix request below the cap still succeeds
+        assert len(decode_gif_frames(data, max_frames=3)) == 3
+    finally:
+        gif_mod._MAX_FRAMES = old
+
+
+def test_resize_image_routes_animated_gif(spark):
+    """resize_image must decode (not pass through) animated GIFs now
+    that decode_gif takes the first frame."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import resize_image
+    from automated_property_data_ingestion_document_pipeline_spark.sources.png import decode_png, resize_nearest
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [9, 9, 9]], np.uint8)
+    idx = np.indices((4, 4)).sum(axis=0).astype(np.uint8) % 4
+    f1 = (idx + 1) % 4
+    payload = encode_gif(idx, pal, frames=[f1])
+    df = spark.createDataFrame([(1, payload)], "doc_id bigint, content binary")
+    r = resize_image(df, target_h=6, target_w=5).collect()[0]
+    assert r["decoded"] and (r["height"], r["width"], r["channels"]) == (6, 5, 3)
+    assert np.array_equal(decode_png(bytes(r["content"])), resize_nearest(pal[idx], 6, 5))

@@ -519,3 +519,32 @@ def test_fuzz_progressive_streams_stay_typed():
             decode_jpeg(bytes(data))
         except JpegUnsupported:
             pass
+
+
+def test_ac_refine_guards_already_set_correction_bit():
+    """r06 advice: T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine only
+    applies a correction bit when (coef & bit) == 0 — a hostile stream
+    whose history already carries the bit must not corrupt the
+    coefficient. Exercised directly on the EOB-tail correction loop
+    (no Huffman table needed when eob > 0)."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.jpeg import _ac_refine
+
+    class _OnesReader:
+        def bit(self):
+            return 1
+
+        def bits(self, n):
+            return (1 << n) - 1
+
+    blk = np.zeros(64, dtype=np.int32)
+    blk[1] = 3    # bit 1 already set -> guard must skip (was 3 -> 5 before fix)
+    blk[2] = 1    # bit 1 clear -> correction applies: 1 -> 3
+    blk[3] = -2   # negative with bit set in two's complement -> skip
+    blk[4] = -3   # negative, bit clear (-3 & 2 == 0, libjpeg semantics) -> -3 -> -5
+    eob = [1]
+    _ac_refine(_OnesReader(), blk, table=None, ss=1, se=5, al=1, eob=eob)
+    assert blk[1] == 3
+    assert blk[2] == 3
+    assert blk[3] == -2
+    assert blk[4] == -5
+    assert eob == [0]

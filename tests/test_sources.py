@@ -510,3 +510,77 @@ def test_pdf_flate_roundtrip_and_typed_errors():
     dct = plain.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length", 1)
     with pytest.raises(PdfUnsupported):
         extract_pdf_text(dct)
+
+
+def test_pdf_extract_slices_streams_by_length():
+    """r06 advice pdf_sink.py:147/155 — the extractor slices each stream
+    to exactly its declared /Length instead of regex-scanning for
+    'endstream' in binary data. Repros: (a) a valid deflate stream whose
+    compressed bytes end in 0x0D (the old '\\r?\\nendstream' regex ate
+    the 0x0D and broke ~1/256 streams); (b) binary data containing an
+    embedded '\\nendstream'; (c) flate-bomb expansion capped at 256 MB;
+    (d) /Length that doesn't land on 'endstream' is a typed refusal;
+    (e) an indirect '/Length N 0 R' reference resolves."""
+    import random
+    import zlib
+
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        _content_stream,
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    # (a) brute a content whose pinned-level deflate ends in 0x0D
+    rng = random.Random(7)
+    lines = None
+    for _ in range(100000):
+        cand = ["pay " + "".join(rng.choice("abcdefgh ") for _ in range(20))]
+        if zlib.compress(_content_stream(cand), 6)[-1:] == b"\r":
+            lines = cand
+            break
+    assert lines is not None
+    assert extract_pdf_text(pdf_bytes_from_lines(lines, compress=True)) == lines
+
+    # (b) trailing garbage containing 'endstream' inside the declared length
+    raw = _content_stream(["abc"])
+    evil = zlib.compress(raw, 6) + b"\nendstream fake"
+    body = b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream" % (
+        len(evil),
+        evil,
+    )
+    pdf = b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n"
+    assert extract_pdf_text(pdf) == ["abc"]
+
+    # (c) flate bomb: 300 MB of zeros in a small stream must be refused typed
+    bomb = zlib.compress(b"\0" * (300 * 1024 * 1024), 1)
+    body = b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream" % (
+        len(bomb),
+        bomb,
+    )
+    with pytest.raises(PdfUnsupported, match="expansion exceeds"):
+        extract_pdf_text(b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n")
+
+    # (c') truncated deflate still typed under the decompressobj path
+    trunc = zlib.compress(raw, 6)[:-4]
+    body = b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream" % (
+        len(trunc),
+        trunc,
+    )
+    with pytest.raises(PdfUnsupported, match="FlateDecode"):
+        extract_pdf_text(b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n")
+
+    # (d) /Length not landing on endstream
+    body = b"<< /Length 5 >>\nstream\n" + raw + b"\nendstream"
+    with pytest.raises(PdfUnsupported, match="endstream"):
+        extract_pdf_text(b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n")
+
+    # (e) indirect /Length resolution
+    raw2 = _content_stream(["indirect length line"])
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 2 0 R >>\nstream\n" + raw2
+        + b"\nendstream\nendobj\n2 0 obj\n" + str(len(raw2)).encode() + b"\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == ["indirect length line"]
