@@ -746,12 +746,50 @@ def ivfpq_topk(
     )
 
 
+def centroid_assign(
+    df: DataFrame,
+    num_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "_cell",
+) -> DataFrame:
+    """Assign every vector to its nearest of ``num_cells`` k-means
+    centroids — the IVF coarse-quantizer re-used as a standalone
+    clustering step (the exact sample/train/assign pattern of
+    :func:`ivf_candidate_pairs`): codebook trained driver-side on a
+    BOUNDED deterministic sample (≤4096 rows via hash-ordered
+    TakeOrdered — no unbounded collect), assignment a row-local
+    Arrow-batched matmul against the closed-over codebook. Zero
+    exchanges beyond the scan; the output column is a plain int cell id
+    usable as any downstream groupBy/join key."""
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)).asc(), F.col(id_col).asc())
+        .limit(4096)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r[vec_col]] for r in sample_rows])
+    cents = _kmeans_codebook(X, num_cells)
+    cents_n = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy())
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series((Vn @ cents_n.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, cell_of(F.col(vec_col)))
+
+
 def semantic_dedup(
     df: DataFrame,
     cluster_col: str = "label",
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recluster_cells: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop every vector that has
     a LOWER-id neighbor above ``threshold`` cosine *within its cluster*
@@ -765,7 +803,23 @@ def semantic_dedup(
     the corpus' own label, or :func:`centroid-assign <ivf_topk>` output
     at 100 TB. Cosine is rounded to 6 places before thresholding, the
     same boundary contract as :func:`cosine_pairs`.
+
+    ``recluster_cells`` is the productized scale knob from the sf1.0
+    study (PERFORMANCE.md §64, VERDICT r06 ask #6): with FIXED upstream
+    labels, sum(|cluster|^2) grows quadratically as the corpus grows —
+    measured 164 s at sf1.0 vs 15.4 s after re-clustering at granularity
+    tracking the corpus (~√N cells keeps expected cluster size √N, so
+    total pair cost stays ~linear). Pass an int to REPLACE the cluster
+    column with a :func:`centroid_assign` cell id at that granularity
+    before the pair stage — same dominance semantics, corpus-tracking
+    cost. The caller picks the cell count (≈√(corpus rows)); it is an
+    explicit knob, not an extra count() job hidden in the operator.
     """
+    if recluster_cells is not None:
+        df = centroid_assign(
+            df, recluster_cells, vec_col=vec_col, id_col=id_col, out_col="_semcell"
+        )
+        cluster_col = "_semcell"
     # norms computed ONCE per vector on the linear-sized join inputs,
     # not inside the cluster-quadratic pair stage (identical doubles;
     # the pairwise filter drops from 3 O(d) folds to 1 — measured 5.1 s
@@ -797,7 +851,7 @@ def semantic_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return df.join(dominated, id_col, "left_anti")
+    return df.join(dominated, id_col, "left_anti").drop("_semcell")
 
 
 def sq8_quantize_params(corpus: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:

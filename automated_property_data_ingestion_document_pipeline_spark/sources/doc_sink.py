@@ -307,6 +307,69 @@ def render_letters_from_template(
     )
 
 
+class DocxUnsupported(ValueError):
+    """Payload is not a DOCX this extractor handles (not a zip, missing
+    word/document.xml, malformed XML, oversized part, ...) — the codec
+    modules' typed-error contract, so executor tasks quarantine rather
+    than die on hostile bytes."""
+
+
+_MAX_PART_BYTES = 1 << 28  # 256 MB per zip part, matching the archive/pdf caps
+
+
+def extract_docx_text(payload: bytes) -> list[str]:
+    """The READ half of S7 (r07): reparse the paragraph texts out of
+    OOXML bytes — one string per ``<w:p>`` in document order, all
+    ``<w:t>`` run texts concatenated (Word fragments a paragraph across
+    runs at spell-check/revision boundaries; see
+    ``_SPLIT_RUN_PLACEHOLDER_RE``), ``<w:tab>``/``<w:br>`` mapped to
+    tab/newline. Inverse of :func:`docx_bytes_from_lines` and of
+    docxtpl's render (report_generator.py:70-89): what the writer put
+    in comes back out. Typed errors per the codec-module contract;
+    the part-size pre-check bounds per-task memory from the zip's
+    claimed size before decompression (the archive.py bomb-cap
+    pattern)."""
+    import xml.etree.ElementTree as ET
+    import zlib
+
+    try:
+        z = zipfile.ZipFile(io.BytesIO(bytes(payload)))
+    except (zipfile.BadZipFile, ValueError, OSError) as e:
+        raise DocxUnsupported(f"not a zip container: {e}") from e
+    with z:
+        try:
+            info = z.getinfo("word/document.xml")
+        except KeyError:
+            raise DocxUnsupported("no word/document.xml part") from None
+        if info.file_size > _MAX_PART_BYTES:
+            raise DocxUnsupported(
+                f"document.xml claims {info.file_size} bytes, over the cap"
+            )
+        try:
+            xml_bytes = z.read("word/document.xml")
+        except (zipfile.BadZipFile, zlib.error, EOFError, NotImplementedError, OSError) as e:
+            raise DocxUnsupported(f"broken document.xml member: {e}") from e
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError as e:
+        raise DocxUnsupported(f"malformed document.xml: {e}") from e
+    paras: list[str] = []
+    for p in root.iter():
+        if p.tag.rsplit("}", 1)[-1] != "p":
+            continue
+        parts: list[str] = []
+        for node in p.iter():
+            local = node.tag.rsplit("}", 1)[-1]
+            if local == "t":
+                parts.append(node.text or "")
+            elif local == "tab":
+                parts.append("\t")
+            elif local in ("br", "cr"):
+                parts.append("\n")
+        paras.append("".join(parts))
+    return paras
+
+
 REFERENCE_TEMPLATE_PATH = (
     "/root/reference/real_estate_backend/templates/template.docx"
 )
@@ -320,6 +383,14 @@ def load_reference_template_bytes() -> bytes:
     if os.path.exists(REFERENCE_TEMPLATE_PATH):
         with open(REFERENCE_TEMPLATE_PATH, "rb") as f:
             return f.read()
+    return build_split_run_template_bytes()
+
+
+def build_split_run_template_bytes() -> bytes:
+    """A .docx template carrying the 11 reference placeholder lines with
+    ``{{parcel_id}}`` run-fragmented exactly like Word does it (SURVEY
+    §5.1) — the environment-independent fixture for the split-run
+    substitution path and the template-render→extract roundtrip."""
     lines = [
         ln.replace(
             "{{parcel_id}}",

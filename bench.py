@@ -131,6 +131,10 @@ HEADLINE = [
     "q_zip_ingest",
     "q_archive_decode",
     "q_pdf_extract",
+    # round-7: the S7 read half (OOXML zip+XML parse) and the
+    # end-to-end letter render→extract roundtrip (DOCX + PDF writers)
+    "q_docx_extract",
+    "q_letter_roundtrip",
 ]
 
 

