@@ -332,9 +332,11 @@ def extract_docx_text(payload: bytes) -> list[str]:
     import xml.etree.ElementTree as ET
     import zlib
 
+    # NotImplementedError: _RealGetContents rejects extract_version >
+    # MAX_EXTRACT_VERSION at open time (fuzz-found)
     try:
         z = zipfile.ZipFile(io.BytesIO(bytes(payload)))
-    except (zipfile.BadZipFile, ValueError, OSError) as e:
+    except (zipfile.BadZipFile, ValueError, OSError, NotImplementedError) as e:
         raise DocxUnsupported(f"not a zip container: {e}") from e
     with z:
         try:
@@ -345,9 +347,15 @@ def extract_docx_text(payload: bytes) -> list[str]:
             raise DocxUnsupported(
                 f"document.xml claims {info.file_size} bytes, over the cap"
             )
+        # ValueError: bogus central-directory offsets surface as negative
+        # seeks inside ZipExtFile; RuntimeError: encrypted members —
+        # both found by the 10k fuzz sweep, both quarantine-typed
         try:
             xml_bytes = z.read("word/document.xml")
-        except (zipfile.BadZipFile, zlib.error, EOFError, NotImplementedError, OSError) as e:
+        except (
+            zipfile.BadZipFile, zlib.error, EOFError, NotImplementedError,
+            OSError, ValueError, RuntimeError,
+        ) as e:
             raise DocxUnsupported(f"broken document.xml member: {e}") from e
     try:
         root = ET.fromstring(xml_bytes)

@@ -65,8 +65,13 @@ def main() -> None:
     except (OSError, ValueError, KeyError):
         pass
 
+    keys = HEADLINE
+    subset = [k for k in os.environ.get("SPARK_GRAFT_KEYS", "").split(",") if k]
+    if subset:
+        keys = subset  # family-scoped follow-through runs (r07 ask #5)
+
     results = {}
-    for key in HEADLINE:
+    for key in keys:
         pre = stage_totals(spark)
         t0 = time.perf_counter()
         df = QUERIES[key](spark, SF_DIR)

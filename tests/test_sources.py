@@ -680,3 +680,54 @@ def test_letter_roundtrip_pdf_degrade_contract():
     assert [len(g) for g in got] == [len(ln) for ln in lines]
     assert got[0] == "Client: ??????"
     assert got[1] == "Client: café über"  # latin-1 glyphs survive exactly
+
+
+def test_fuzz_docx_streams_stay_typed():
+    """600-stream seeded canary for extract_docx_text (a 12k sweep ran
+    clean in development — it caught three stdlib-zipfile escape
+    classes before typing: negative-seek ValueError from bogus
+    central-directory offsets, encrypted-member RuntimeError, and
+    open-time NotImplementedError for extract_version > 6.3)."""
+    import numpy as np
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import (
+        DocxUnsupported,
+        docx_bytes_from_lines,
+        extract_docx_text,
+        render_docx,
+    )
+
+    rng = np.random.default_rng(707)
+    ctx = {
+        "date": "March 5, 2025", "name": "X", "address": "Y",
+        "property_under_appraisal": "Z", "parcel_id": "VA-1",
+        "fee": "$1.00", "due_signing": "$0.50", "due_completion": "$0.50",
+    }
+    bases = [
+        bytearray(render_docx(ctx)),
+        bytearray(docx_bytes_from_lines(["a", "b&c", "  d  "])),
+    ]
+    for rep in range(400):
+        data = bytearray(bases[rep % 2])
+        for _ in range(rng.integers(1, 8)):
+            op = rng.integers(0, 3)
+            if op == 0 and len(data) > 1:
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+            elif op == 1 and len(data) > 4:
+                data = data[: rng.integers(1, len(data))]
+            else:
+                at = int(rng.integers(0, max(len(data), 1)))
+                data.insert(min(at, len(data)), int(rng.integers(0, 256)))
+        try:
+            out = extract_docx_text(bytes(data))
+            assert isinstance(out, list) and all(isinstance(x, str) for x in out)
+        except DocxUnsupported:
+            pass
+    for _ in range(200):
+        garbage = b"PK\x03\x04" + bytes(
+            rng.integers(0, 256, size=rng.integers(0, 400), dtype=np.uint8)
+        )
+        try:
+            extract_docx_text(garbage)
+        except DocxUnsupported:
+            pass
