@@ -486,3 +486,21 @@ def test_letter_roundtrip_broadcast_join_map_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_centroid_assign_zero_exchanges(spark, sf_dir):
+    """r07: the semantic-dedup recluster knob's assignment stage must
+    stay a pure map — scan → Arrow-batched matmul projection, zero
+    exchanges (the codebook is closed over, not joined). An Exchange
+    here means re-clustering stopped being free at the plan level."""
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+    from automated_property_data_ingestion_document_pipeline_spark.operators.similarity import (
+        centroid_assign,
+    )
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    plan = centroid_assign(emb, 7)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    # the assignment is Arrow-batched, never row-at-a-time Python
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
