@@ -140,3 +140,55 @@ def pagerank(
             (F.lit(1.0 - damping) + F.lit(damping) * F.col("csum")).alias("rank"),
         ).localCheckpoint(eager=True)
     return ranks
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 8,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank in EXACT fixed-point integer arithmetic — the portable
+    twin of :func:`pagerank`. The float form is rows-only at the driver
+    because double partial sums are order-dependent; here every rank is
+    a BIGINT in units of ``1/scale`` and every update is integer-only
+    (damping 0.85 as the exact rational 17/20, the teleport term as
+    ``3 * scale // 20``), so partial aggregation order cannot change a
+    single bit and any engine reproduces the output exactly.
+
+    Per-node rank starts at ``scale`` (the float form's 1.0); each
+    iteration is ``base + 17 * sum(rank // odeg) // 20`` — floor
+    division at both sites, on values that are strictly positive, so
+    Spark's ``div`` (truncate) and an oracle's floor-div agree. The
+    plan shape is identical to the float form: two shuffles per
+    iteration with ``localCheckpoint`` lineage cuts. Overflow bound:
+    one node's contribution sum is at most the graph's total mass
+    ``|V| * scale``, and the ``* 17`` step needs that under 2^63 —
+    ``scale = 10**12`` is safe to ~5e5 nodes; pass ``scale = 10**9``
+    for larger graphs (still 9 exact decimal digits of rank)."""
+    base = 3 * scale // 20
+    ce = canonical_edges(edges, src, dst)
+    both = ce.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
+        ce.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    outdeg = both.groupBy("s").agg(F.count("*").alias("odeg"))
+    adj = both.join(outdeg, "s").localCheckpoint(eager=True)
+    ranks = outdeg.select(
+        F.col("s").alias("node"), F.lit(scale).cast("long").alias("rank_fp")
+    )
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj["s"] == ranks["node"])
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank_fp div odeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = contrib.select(
+            "node",
+            (F.lit(base) + F.expr("(17 * csum) div 20")).cast("long").alias("rank_fp"),
+        ).localCheckpoint(eager=True)
+    return ranks

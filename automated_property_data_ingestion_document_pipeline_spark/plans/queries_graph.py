@@ -89,6 +89,46 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 4).alias("rank"))
 
 
+_PR_SCALE = 10**12
+_PR_BASE = 3 * _PR_SCALE // 20  # (1 - 0.85) * scale, exact
+
+
+def _pagerank_oracle_sql(iterations: int = 8) -> str:
+    """Unrolled fixed-point power iteration: r_{i+1}(d) = base +
+    17 * SUM(r_i(s) // odeg(s)) // 20 over in-edges — every step BIGINT
+    floor arithmetic, so DuckDB reproduces Spark bit-for-bit."""
+    ctes = [
+        f"ce AS ({_CANON_SQL})",
+        "be AS (SELECT u AS s, v AS d FROM ce UNION ALL SELECT v, u FROM ce)",
+        "outdeg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS odeg FROM be GROUP BY s)",
+        "adj AS (SELECT be.s, be.d, o.odeg FROM be JOIN outdeg o ON o.s = be.s)",
+        f"r0 AS (SELECT s AS node, CAST({_PR_SCALE} AS BIGINT) AS rank_fp FROM outdeg)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"r{i + 1} AS (SELECT a.d AS node, "
+            f"CAST({_PR_BASE} + (17 * SUM(r.rank_fp // a.odeg)) // 20 AS BIGINT)"
+            f" AS rank_fp FROM adj a JOIN r{i} r ON r.node = a.s GROUP BY a.d)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, rank_fp FROM r{iterations}"
+    )
+
+
+@query("q_pagerank_portable", oracle=_pagerank_oracle_sql())
+def q_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The float q_pagerank's PORTABLE twin — 8 damped power iterations
+    in exact fixed-point BIGINT arithmetic (damping as the rational
+    17/20, ranks in units of 1e-12), so partial-sum order cannot change
+    a bit and the driver value-hashes the full iterative algorithm:
+    degree computation, contribution floor-divides, damped update, all
+    8 rounds. Same two-shuffles-per-iteration plan and localCheckpoint
+    lineage hygiene as the production float lane (operators/graph.py);
+    upgrades the graph family's last rows-only algorithm to
+    oracle-backed, the q_minhash_portable pattern applied to iteration."""
+    return graph.pagerank_fixedpoint(_edges(spark, sf_dir), "a", "b")
+
+
 @query(
     "q_link_prediction",
     oracle=f"""

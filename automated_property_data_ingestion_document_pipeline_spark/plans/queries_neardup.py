@@ -267,3 +267,154 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " as bigint))"
         ).cast("int").alias("popcount"),
     )
+
+
+# -- embedding near-dup, portable twin -----------------------------------------
+#
+# The production lane (q_embedding_neardup, plans/queries_advanced.py)
+# buckets on xxhash-seeded random hyperplanes — engine-specific, so its
+# driver check is rows-only. This twin makes the ENTIRE pipeline
+# portable, the q_minhash_portable pattern applied to vectors:
+#
+# - the hyperplane matrix is a ±1 sign table derived from md5 in PYTHON
+#   at module load (planes are data-independent constants) and embedded
+#   as literals in BOTH the Spark plan and the oracle SQL;
+# - every signature dot product runs on FLOOR(x * 1e6) BIGINT-quantized
+#   components, so the sums are exact integers (|sum| ≤ 64·1e7 « 2^53 —
+#   even an engine that accumulates in double is exact) and the sign
+#   bits cannot depend on partial-aggregation order;
+# - candidate pairs come from a bucket equi-join (never all pairs), and
+#   the exact-cosine verify reuses the hoisted-norm arithmetic the
+#   oracle-green q_cosine_pairs already pinned (§61 operand-tree rule).
+#
+# Output is the per-bucket audit (vectors, candidate pairs, verified
+# near-dups ≥ 0.25, max cosine): deterministic, never empty (every
+# bucket with a vector emits a row), and one value hash covers
+# quantization, signature, bucketing, candidate generation, and the
+# verify — upgrading embedding near-dup from rows-only to oracle-backed.
+
+_NDP_PLANES = 4
+_NDP_DIM = 64
+_NDP_Q = 1_000_000.0
+
+
+def _ndp_sign(p: int, i: int) -> int:
+    import hashlib
+
+    return 1 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] < "8" else -1
+
+
+_NDP_SIGNS = [
+    [_ndp_sign(p, i) for i in range(_NDP_DIM)] for p in range(_NDP_PLANES)
+]
+
+
+def _ndp_oracle() -> str:
+    bits = "\n               + ".join(
+        f"(CASE WHEN list_dot_product(q, {_NDP_SIGNS[p]}::BIGINT[]) >= 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(_NDP_PLANES)
+    )
+    return f"""
+    WITH q0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_NDP_Q}) AS BIGINT)) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_NDP_DIM}),
+    base AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               CAST({bits} AS INT) AS bucket
+        FROM q0),
+    pair AS (
+        SELECT a.bucket,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM base a JOIN base b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pa AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN cos_sim >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_neardup,
+               MAX(cos_sim) AS max_cos
+        FROM pair GROUP BY bucket),
+    va AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vec
+           FROM base GROUP BY bucket)
+    SELECT va.bucket, va.n_vec,
+           COALESCE(pa.n_cand, 0) AS n_cand,
+           COALESCE(pa.n_neardup, 0) AS n_neardup,
+           pa.max_cos
+    FROM va LEFT JOIN pa ON pa.bucket = va.bucket
+    """
+
+
+@query("q_embedding_neardup_portable", oracle=_ndp_oracle())
+def q_embedding_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH embedding near-dup with a PORTABLE deterministic
+    hyperplane matrix, value-verified end to end (see block comment):
+    BIGINT-quantized signature dots → 4-bit bucket → bucket equi-join
+    candidates → hoisted-norm exact-cosine verify at 0.25 → per-bucket
+    audit. Scale shape matches the production lane: signatures are
+    map-only, candidates are bounded by bucket occupancy (never all
+    pairs), the verify runs only inside buckets."""
+    from automated_property_data_ingestion_document_pipeline_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    e = (
+        catalog.load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == _NDP_DIM)
+    )
+    iemb = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(_NDP_Q))
+    )
+    bucket = None
+    for p in range(_NDP_PLANES):
+        sv = F.array(*[F.lit(s) for s in _NDP_SIGNS[p]])
+        dot_p = F.aggregate(
+            F.zip_with(iemb, sv, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bit = (dot_p >= 0).cast("int") * (2 ** p)
+        bucket = bit if bucket is None else bucket + bit
+    base = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        norm(F.col("embedding")).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    a = base.select(
+        "bucket",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    b = base.select(
+        "bucket",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    cos = F.round(
+        cosine_with_norms(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+    )
+    pa = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.sum(F.when(cos >= 0.25, 1).otherwise(0)).cast("long").alias("n_neardup"),
+            F.max(cos).alias("max_cos"),
+        )
+    )
+    va = base.groupBy("bucket").agg(F.count("*").alias("n_vec"))
+    return va.join(pa, "bucket", "left").select(
+        "bucket",
+        "n_vec",
+        F.coalesce("n_cand", F.lit(0).cast("long")).alias("n_cand"),
+        F.coalesce("n_neardup", F.lit(0).cast("long")).alias("n_neardup"),
+        "max_cos",
+    )

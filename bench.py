@@ -135,6 +135,11 @@ HEADLINE = [
     # end-to-end letter render→extract roundtrip (DOCX + PDF writers)
     "q_docx_extract",
     "q_letter_roundtrip",
+    # round-7: portable twins upgrading the last rows-only algorithm
+    # families (iterative graph rank, sign-LSH embedding near-dup) to
+    # oracle-backed
+    "q_pagerank_portable",
+    "q_embedding_neardup_portable",
 ]
 
 

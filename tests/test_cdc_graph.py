@@ -102,3 +102,34 @@ def test_pagerank_star_hub_dominates(spark):
     e = _df(spark, "a long, b long", [(0, i) for i in range(1, 9)])
     ranks = {r.node: r.rank for r in graph.pagerank(e, "a", "b").collect()}
     assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 2
+
+
+def test_pagerank_fixedpoint_matches_float_and_is_exact(spark):
+    """The portable twin must (a) track the float form to within the
+    accumulated floor error (8 iterations × ≤1 unit per floor at scale
+    1e-12 — far under 1e-6 of rank), (b) keep the float form's symmetry
+    EXACTLY (integer arithmetic: symmetric nodes get the same BIGINT,
+    not merely close doubles), and (c) be bit-stable across runs."""
+    e = _df(spark, "a long, b long", [(1, 2), (2, 3), (3, 4), (4, 5)])
+    fp = {r.node: r.rank_fp for r in graph.pagerank_fixedpoint(e, "a", "b").collect()}
+    fl = {r.node: r.rank for r in graph.pagerank(e, "a", "b").collect()}
+    assert set(fp) == set(fl)
+    for n in fp:
+        assert abs(fp[n] / 1e12 - fl[n]) < 1e-6, (n, fp[n], fl[n])
+    assert fp[1] == fp[5] and fp[2] == fp[4]  # exact, not approximate
+    fp2 = {r.node: r.rank_fp for r in graph.pagerank_fixedpoint(e, "a", "b").collect()}
+    assert fp == fp2
+
+
+def test_pagerank_fixedpoint_small_scale_knob(spark):
+    """scale=10**9 (the large-graph overflow knob) keeps ordering and
+    stays within its coarser quantization of the float ranks."""
+    e = _df(spark, "a long, b long", [(0, i) for i in range(1, 9)])
+    fp = {
+        r.node: r.rank_fp
+        for r in graph.pagerank_fixedpoint(e, "a", "b", scale=10**9).collect()
+    }
+    fl = {r.node: r.rank for r in graph.pagerank(e, "a", "b").collect()}
+    assert max(fp, key=fp.get) == 0
+    for n in fp:
+        assert abs(fp[n] / 1e9 - fl[n]) < 1e-3

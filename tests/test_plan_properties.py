@@ -476,6 +476,20 @@ def test_codec_stat_lanes_single_agg_exchange(spark, sf_dir, key):
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
 
 
+def test_embedding_neardup_portable_bucket_join_never_cartesian(spark, sf_dir):
+    """r07: the portable sign-LSH near-dup lane's candidate stage must
+    be an EQUI join on the bucket id — a cartesian/nested-loop here
+    means the LSH bucketing collapsed to all-pairs, the exact blowup
+    the signature exists to avoid. Budget: one exchange for the bucket
+    join + one for the per-bucket aggregate (the audit join of the two
+    tiny aggregates may broadcast for free)."""
+    plan = plan_of(spark, sf_dir, "q_embedding_neardup_portable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+
+
 def test_letter_roundtrip_broadcast_join_map_only(spark, sf_dir):
     """q_letter_roundtrip (r07): fee gate → customer enrichment must be
     a broadcast hash join with the render/extract roundtrip row-local —
