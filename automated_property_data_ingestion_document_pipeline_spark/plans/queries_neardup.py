@@ -296,6 +296,10 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NDP_PLANES = 4
 _NDP_DIM = 64
 _NDP_Q = 1_000_000.0
+# pair-space split per bucket (finding 79): purely a distribution knob —
+# the output is salt-invariant, so the oracle never sees it. 8 × 16
+# buckets = 128 join cells, comfortably feeding 32 cores.
+_NDP_SALTS = 8
 
 
 def _ndp_sign(p: int, i: int) -> int:
@@ -304,16 +308,19 @@ def _ndp_sign(p: int, i: int) -> int:
     return 1 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] < "8" else -1
 
 
-_NDP_SIGNS = [
-    [_ndp_sign(p, i) for i in range(_NDP_DIM)] for p in range(_NDP_PLANES)
-]
+def _ndp_signs(planes: int) -> list[list[int]]:
+    return [[_ndp_sign(p, i) for i in range(_NDP_DIM)] for p in range(planes)]
 
 
-def _ndp_oracle() -> str:
+_NDP_SIGNS = _ndp_signs(_NDP_PLANES)
+
+
+def _ndp_oracle(planes: int = _NDP_PLANES) -> str:
+    signs = _ndp_signs(planes)
     bits = "\n               + ".join(
-        f"(CASE WHEN list_dot_product(q, {_NDP_SIGNS[p]}::BIGINT[]) >= 0"
+        f"(CASE WHEN list_dot_product(q, {signs[p]}::BIGINT[]) >= 0"
         f" THEN {2 ** p} ELSE 0 END)"
-        for p in range(_NDP_PLANES)
+        for p in range(planes)
     )
     return f"""
     WITH q0 AS (
@@ -347,20 +354,23 @@ def _ndp_oracle() -> str:
     """
 
 
-@query("q_embedding_neardup_portable", oracle=_ndp_oracle())
-def q_embedding_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH embedding near-dup with a PORTABLE deterministic
-    hyperplane matrix, value-verified end to end (see block comment):
-    BIGINT-quantized signature dots → 4-bit bucket → bucket equi-join
-    candidates → hoisted-norm exact-cosine verify at 0.25 → per-bucket
-    audit. Scale shape matches the production lane: signatures are
-    map-only, candidates are bounded by bucket occupancy (never all
-    pairs), the verify runs only inside buckets."""
+def embedding_neardup_portable_lane(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: int = _NDP_PLANES,
+    salts: int = _NDP_SALTS,
+) -> DataFrame:
+    """The lane body, parameterized on the GRANULARITY knob (finding
+    79 / the §64 lesson): per-bucket verify cost is Σ n_b² with
+    n_b ≈ N / 2^planes, so plane count must track corpus size — each
+    extra plane halves the quadratic stage. The registered oracle key
+    pins planes=4 (its static SQL twin); scale callers raise it."""
     from automated_property_data_ingestion_document_pipeline_spark.functions.vectors import (
         cosine_with_norms,
         norm,
     )
 
+    signs = _ndp_signs(planes)
     e = (
         catalog.load(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
@@ -370,8 +380,8 @@ def q_embedding_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(_NDP_Q))
     )
     bucket = None
-    for p in range(_NDP_PLANES):
-        sv = F.array(*[F.lit(s) for s in _NDP_SIGNS[p]])
+    for p in range(planes):
+        sv = F.array(*[F.lit(s) for s in signs[p]])
         dot_p = F.aggregate(
             F.zip_with(iemb, sv, lambda x, y: x * y),
             F.lit(0).cast("long"),
@@ -385,23 +395,35 @@ def q_embedding_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(F.col("embedding")).alias("nrm"),
         bucket.alias("bucket"),
     )
+    # SALTED bucket join (finding 79): 2^planes buckets cap the equi-join's
+    # parallelism at 16 tasks — and when the corpus side fits the broadcast
+    # threshold the quadratic verify inherits the SCAN's partitioning (ONE
+    # file split at sf1.0 → 111 s on one core). Salting splits each
+    # bucket's pair space S ways: the a-side carries salt = id % S, the
+    # b-side replicates across all S salts, and pair (x, y) matches in
+    # exactly one (bucket, salt) cell — the OUTPUT is invariant (the
+    # oracle never sees the salt), only the distribution changes. The
+    # explicit repartition on the probe side is load-bearing: Spark sizes
+    # the b side PRE-explode and broadcasts it, so without the exchange
+    # the quadratic stage inherits however few splits the scan produced.
     a = base.select(
         "bucket",
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("_va"),
         F.col("nrm").alias("_na"),
-    )
+        (F.col("vec_id") % salts).cast("int").alias("salt"),
+    ).repartition("bucket", "salt")
     b = base.select(
         "bucket",
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("_vb"),
         F.col("nrm").alias("_nb"),
-    )
+    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(salts)])))
     cos = F.round(
         cosine_with_norms(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
     )
     pa = (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("bucket")
         .agg(
@@ -418,3 +440,17 @@ def q_embedding_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_neardup", F.lit(0).cast("long")).alias("n_neardup"),
         "max_cos",
     )
+
+
+@query("q_embedding_neardup_portable", oracle=_ndp_oracle())
+def q_embedding_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH embedding near-dup with a PORTABLE deterministic
+    hyperplane matrix, value-verified end to end (see block comment):
+    BIGINT-quantized signature dots → 4-bit bucket → salted bucket
+    equi-join candidates → hoisted-norm exact-cosine verify at 0.25 →
+    per-bucket audit. Scale shape matches the production lane:
+    signatures are map-only, candidates are bounded by bucket occupancy
+    (never all pairs), the verify runs only inside buckets; plane count
+    is the corpus-tracking granularity knob (finding 79) — this oracle
+    key pins planes=4 to keep its SQL twin static."""
+    return embedding_neardup_portable_lane(spark, sf_dir)

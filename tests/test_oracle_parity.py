@@ -87,3 +87,19 @@ def test_entry_smoke(spark):
         "total_fees_fmt",
         "latest_order_fmt",
     ]
+
+
+def test_embedding_neardup_granularity_knob_parity(spark, duck):
+    """Finding 79's granularity knob: the lane at planes=5 (a NON-default
+    value, so this can't pass by accident of the registered key) must
+    match the parameterized oracle generator at the same plane count —
+    proving the knob changes only granularity, never the algorithm."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_neardup import (
+        _ndp_oracle,
+        embedding_neardup_portable_lane,
+    )
+
+    sdf = embedding_neardup_portable_lane(spark, SF_DIR, planes=5).toPandas()
+    odf = duck.execute(_ndp_oracle(planes=5)).fetchdf()
+    assert len(sdf) == len(odf) == 32  # 2^5 buckets, all occupied at sf0.001
+    assert normalize(sdf).equals(normalize(odf))
