@@ -85,6 +85,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep the AppStatusStore complete for long benchmark sessions:
+        # the default 1000-stage retention EVICTS old stages mid-run, so
+        # whole-app shuffle snapshots (bench.shuffle_snapshot) go
+        # NON-MONOTONIC and a stage-heavy iterative key late in the run
+        # records a negative exchanges_exec/shuffle_write_mb delta
+        # (finding 80: q_pagerank_portable at headline position 72,
+        # ~2000 app stages). Static conf, bookkeeping-only.
+        .config("spark.ui.retainedStages", "20000")
+        .config("spark.ui.retainedJobs", "20000")
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.warehouse.dir", warehouse)
     )

@@ -341,12 +341,15 @@ def main() -> None:
     else:
         detail_doc["keys_filter"] = KEYS_FILTER
         print(json.dumps(detail_doc), file=sys.stderr)
-    out = json.dumps(line)
+    # compact separators (r07: 72 keys at 2 decimals overflowed even
+    # after the regressions trim — ", "/": " padding alone is ~230
+    # chars at this key count; compact JSON is still JSON to the driver)
+    out = json.dumps(line, separators=(",", ":"))
     if len(out) >= 1850 and "regressions" in line:
         # last-resort trim: the full regression set lives in
         # BENCH_DETAIL's delta_x either way
         del line["regressions"]
-        out = json.dumps(line)
+        out = json.dumps(line, separators=(",", ":"))
     # hard guard: the driver records only a 2000-char stdout tail; the
     # spec line must never overflow it again (r03 lesson)
     assert len(out) < 1900, f"bench line {len(out)} chars would overflow driver tail"
