@@ -20,6 +20,7 @@ as doc_sink.docx_bytes_from_lines).
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -150,67 +151,366 @@ def _stream_length(dct: bytes, payload: bytes) -> int:
     return int(om.group(1))
 
 
-def extract_pdf_text(payload: bytes) -> list[str]:
-    """Reparse the text lines out of a PDF whose content streams use
-    literal-string ``Tj`` show operators — plain or FlateDecode-encoded
-    (r06: the extractor graduated from test helper to source operator;
-    the reference's domain artifacts ARE PDFs, report_generator.py:92).
-    Each ``stream`` object is located with its preceding dictionary and
-    sliced to exactly its declared ``/Length`` bytes (r06 advice: the
-    old 'scan to endstream' regex truncated ~1/256 valid compressed
-    streams whose deflate bytes end in 0x0D, and any stream containing
-    an embedded '\\nendstream'); the slice must land on the real
-    ``endstream`` keyword or the payload is refused. A ``/FlateDecode``
-    filter is inflated through a capped ``decompressobj`` (256 MB
-    ceiling — flate-bomb guard, r06 advice; the wav/image/archive bomb
-    caps applied to this family), any other filter raises
-    :class:`PdfUnsupported`, and corrupt deflate data raises the same
-    typed error instead of ``zlib.error`` — the codec modules'
-    contract, so executor tasks quarantine rather than die."""
+_MAX_DICT_BYTES = 1 << 20  # a single object dictionary longer than 1 MB is hostile
+
+
+def _dict_span(payload: bytes, at: int) -> int:
+    """Return the index just past the ``>>`` closing the dictionary whose
+    ``<<`` starts at ``at``, skipping literal strings (escape-aware) and
+    hex strings so a ``<<`` inside ``/Title (…)`` can't unbalance the
+    scan. Typed refusal on truncation or a hostile 1 MB+ dictionary."""
+    i, depth, end = at, 0, min(len(payload), at + _MAX_DICT_BYTES)
+    while i < end:
+        two = payload[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        elif payload[i : i + 1] == b"(":
+            i += 1
+            while i < end:
+                c = payload[i : i + 1]
+                if c == b"\\":
+                    i += 2
+                elif c == b")":
+                    i += 1
+                    break
+                else:
+                    i += 1
+        elif payload[i : i + 1] == b"<":  # hex string
+            j = payload.find(b">", i + 1)
+            i = (j + 1) if j != -1 else end
+        else:
+            i += 1
+    raise PdfUnsupported("unterminated or oversized object dictionary")
+
+
+def _pages(payload: bytes) -> list[tuple[list[int], bytes]]:
+    """(content object numbers, page dictionary bytes) for every
+    ``/Type /Page`` dictionary, in document order (single ``N G R``
+    refs and array-of-refs ``/Contents`` both supported). Empty when
+    the payload has no page dictionaries — the walk-every-stream
+    fallback's trigger."""
+    import re
+
+    pages: list[tuple[list[int], bytes]] = []
+    for om in re.finditer(rb"\d+\s+\d+\s+obj\b", payload):
+        i = om.end()
+        while payload[i : i + 1] in b" \t\r\n":
+            i += 1
+        if payload[i : i + 2] != b"<<":
+            continue
+        try:
+            dct = payload[i : _dict_span(payload, i)]
+        except PdfUnsupported:
+            continue  # a non-page object with a hostile dict is not ours to refuse
+        if not re.search(rb"/Type\s*/Page(?![0-9A-Za-z])", dct):
+            continue
+        cm = re.search(
+            rb"/Contents\s*(?:(\d+)\s+\d+\s+R|\[((?:\s*\d+\s+\d+\s+R)+)\s*\])", dct
+        )
+        if cm is None:
+            raise PdfUnsupported("page dictionary without /Contents reference")
+        nums = [int(cm.group(1))] if cm.group(1) else [
+            int(n) for n in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(2))
+        ]
+        pages.append((nums, dct))
+    return pages
+
+
+def _stream_body(payload: bytes, dct: bytes, start: int) -> tuple[bytes, int]:
+    """Slice a stream to its declared /Length from ``start`` (just past
+    the ``stream`` EOL), validate the ``endstream`` landing, inflate a
+    /FlateDecode filter through the capped decompressobj (r06 advice —
+    flate-bomb guard), refuse any other filter. Returns (bytes, end)."""
     import re
     import zlib
+
+    length = _stream_length(dct, payload)
+    if length > _MAX_STREAM_BYTES:
+        raise PdfUnsupported(f"stream /Length {length} exceeds cap")
+    stream = payload[start : start + length]
+    if len(stream) != length or not re.match(
+        rb"(?:\r\n|\r|\n)?endstream", payload[start + length : start + length + 11]
+    ):
+        raise PdfUnsupported("stream /Length does not land on endstream")
+    if b"/Filter" in dct:
+        if b"/FlateDecode" not in dct:
+            raise PdfUnsupported(f"unsupported stream filter in {dct[:80]!r}")
+        d = zlib.decompressobj()
+        try:
+            inflated = d.decompress(stream, _MAX_STREAM_BYTES + 1)
+        except zlib.error as e:
+            raise PdfUnsupported(f"broken FlateDecode stream: {e}") from e
+        if len(inflated) > _MAX_STREAM_BYTES:
+            raise PdfUnsupported("FlateDecode expansion exceeds 256 MB cap")
+        if not d.eof:
+            raise PdfUnsupported("broken FlateDecode stream: truncated deflate data")
+        stream = inflated
+    return stream, start + length
+
+
+def _object_stream(payload: bytes, num: int) -> bytes:
+    """Locate object ``num``'s stream body (dict scanned with balanced
+    ``<< >>``, body sliced/validated/inflated by :func:`_stream_body`)."""
+    import re
+
+    om = re.search(rb"(?:^|[\r\n])%d\s+\d+\s+obj\b" % num, payload)
+    if om is None:
+        raise PdfUnsupported(f"missing content object {num}")
+    i = om.end()
+    while payload[i : i + 1] in b" \t\r\n":
+        i += 1
+    if payload[i : i + 2] != b"<<":
+        raise PdfUnsupported(f"content object {num} has no stream dictionary")
+    dend = _dict_span(payload, i)
+    sm = re.match(rb"\s*stream\r?\n", payload[dend : dend + 16])
+    if sm is None:
+        raise PdfUnsupported(f"content object {num} has no stream body")
+    body, _ = _stream_body(payload, payload[i:dend], dend + sm.end())
+    return body
+
+
+def _object_dict(payload: bytes, num: int) -> bytes:
+    """Object ``num``'s dictionary bytes (balanced ``<< >>`` scan)."""
+    import re
+
+    om = re.search(rb"(?:^|[\r\n])%d\s+\d+\s+obj\b" % num, payload)
+    if om is None:
+        raise PdfUnsupported(f"missing object {num}")
+    i = om.end()
+    while payload[i : i + 1] in b" \t\r\n":
+        i += 1
+    if payload[i : i + 2] != b"<<":
+        raise PdfUnsupported(f"object {num} is not a dictionary")
+    return payload[i : _dict_span(payload, i)]
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (PDF §9.10.3) into (code byte
+    width, {code → unicode}). Handles ``bfchar``, both ``bfrange``
+    forms (incrementing scalar and explicit array), and takes the code
+    width from ``codespacerange`` (default 2 — Identity-H CIDs).
+    Destination hex is UTF-16BE."""
+    import re
+
+    def uni(hx: bytes) -> str:
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+
+    width = 2
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data)
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec):
+            mapping[int(src, 16)] = uni(dst)
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        entries = re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>)*\s*\])",
+            sec,
+        )
+        for lo_h, hi_h, dst in entries:
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if hi - lo > 0xFFFF:
+                raise PdfUnsupported("hostile bfrange span")
+            if dst.startswith(b"["):
+                arr = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for i, d in enumerate(arr[: hi - lo + 1]):
+                    mapping[lo + i] = uni(d)
+            else:
+                start = int(dst[1:-1], 16)
+                base_w = len(dst) - 2
+                for i in range(hi - lo + 1):
+                    mapping[lo + i] = uni(b"%0*X" % (base_w, start + i))
+    return width, mapping
+
+
+def _page_fonts(
+    payload: bytes, page_dct: bytes
+) -> "dict[bytes, tuple[int, dict[int, str]] | None]":
+    """Resource-name → parsed ToUnicode CMap (or None) for one page:
+    /Resources (inline or ref) → /Font (inline or ref) → each
+    ``/Fn N 0 R`` font object's /ToUnicode stream. A font without a
+    CMap maps to None — literal strings through it still extract
+    (WinAnsi bytes); hex strings through it are a typed refusal."""
+    import re
+
+    def sub_dict(container: bytes, key: bytes) -> bytes | None:
+        km = re.search(key + rb"\s*(?:(\d+)\s+\d+\s+R|<<)", container)
+        if km is None:
+            return None
+        if km.group(1):
+            return _object_dict(payload, int(km.group(1)))
+        start = km.end() - 2
+        return container[start:_dict_span(container, start)]
+
+    res = sub_dict(page_dct, rb"/Resources")
+    fdict = sub_dict(res, rb"/Font") if res is not None else None
+    fonts: "dict[bytes, tuple[int, dict[int, str]] | None]" = {}
+    if fdict is None:
+        return fonts
+    for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fdict):
+        try:
+            font = _object_dict(payload, int(num))
+        except PdfUnsupported:
+            continue
+        if not re.search(rb"/Type\s*/Font", font):
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font)
+        fonts[name] = (
+            _parse_tounicode(_object_stream(payload, int(tm.group(1))))
+            if tm
+            else None
+        )
+    return fonts
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    """PDF literal-string unescape (spec §7.3.4.2): ``\\n \\r \\t \\b
+    \\f`` map to their controls, ``\\ooo`` octal (1–3 digits) to that
+    byte, backslash-EOL is a line continuation (dropped), and any other
+    escaped char is itself — which keeps the writer's own ``\\( \\) \\\\``
+    behavior bit-identical to the pre-r07 single-pass unescape."""
+    import re
+
+    _C = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c"}
+
+    def sub(m: "re.Match[bytes]") -> bytes:
+        g = m.group(1)
+        if g[:1].isdigit():
+            return bytes([int(g, 8) & 0xFF])
+        if g in (b"\n", b"\r", b"\r\n"):
+            return b""
+        return _C.get(g, g)
+
+    return re.sub(rb"\\([0-7]{1,3}|\r\n|.)", sub, raw, flags=re.S).decode("latin-1")
+
+
+# escape-aware literal string and hex string, as reusable units
+_LITSTR = rb"\(((?:[^\\)]|\\.)*)\)"
+_LITSTR_NC = rb"\((?:[^\\)]|\\.)*\)"
+_HEXSTR = rb"<([0-9A-Fa-f\s]*)>"
+_HEXSTR_NC = rb"<[0-9A-Fa-f\s]*>"
+# a content stream's text-relevant tokens, in document order: font
+# select (Tf), literal/hex Tj, and TJ arrays; string units inside an
+# array are matched ATOMICALLY so a ']' inside one cannot terminate the
+# array early
+_TEXT_OP = re.compile(
+    rb"/(\w+)\s+[0-9.]+\s+Tf"
+    + rb"|" + _LITSTR + rb"\s*Tj"
+    + rb"|" + _HEXSTR + rb"\s*Tj"
+    + rb"|\[((?:" + _LITSTR_NC + rb"|" + _HEXSTR_NC + rb"|\s|-?\d+(?:\.\d+)?)*)\]\s*TJ",
+    re.S,
+)
+_TJ_ITEM = re.compile(_LITSTR + rb"|" + _HEXSTR, re.S)
+
+
+def _decode_hex_codes(h: bytes, cmap: "tuple[int, dict[int, str]] | None") -> str:
+    """Decode a hex show-string through the active font's ToUnicode
+    CMap. Hex strings carry GLYPH/CID codes (LibreOffice subset fonts),
+    not character bytes — without a CMap there is no defensible text,
+    so that's a typed refusal, not a latin-1 guess."""
+    if cmap is None:
+        raise PdfUnsupported("hex show-string with no ToUnicode CMap for active font")
+    width, mapping = cmap
+    hx = bytes(h).translate(None, b" \t\r\n")
+    if len(hx) % 2:  # spec: odd final digit behaves as if followed by 0
+        hx += b"0"
+    raw = bytes.fromhex(hx.decode("ascii"))
+    step = max(width, 1)
+    out = []
+    for i in range(0, len(raw), step):
+        code = int.from_bytes(raw[i : i + step], "big")
+        out.append(mapping.get(code, "�"))
+    return "".join(out)
+
+
+def _text_ops(
+    stream: bytes,
+    fonts: "dict[bytes, tuple[int, dict[int, str]] | None] | None" = None,
+) -> list[str]:
+    """Extract show-text operators from one content stream, in operator
+    order: literal-string ``Tj`` (the writer's own form), hex-string
+    ``Tj``, and array ``TJ`` (what Word/LibreOffice emit — strings
+    concatenated, kern numbers dropped). Literal strings are WinAnsi ≈
+    latin-1 bytes, escape-aware per :func:`_pdf_unescape` (consume
+    escaped pairs atomically so a line ending in ')' — written
+    '\\) Tj' — isn't cut at the first literal ') Tj', r02 advice);
+    hex strings decode through the ACTIVE font's ToUnicode CMap
+    (``fonts`` maps resource name → parsed CMap), tracked via ``Tf``."""
+    out: list[str] = []
+    active: "tuple[int, dict[int, str]] | None" = None
+    for m in _TEXT_OP.finditer(stream):
+        if m.group(1) is not None:  # Tf font select
+            active = (fonts or {}).get(m.group(1))
+        elif m.group(2) is not None:  # literal Tj
+            out.append(_pdf_unescape(m.group(2)))
+        elif m.group(3) is not None:  # hex Tj
+            out.append(_decode_hex_codes(m.group(3), active))
+        else:  # TJ array
+            parts = []
+            for im in _TJ_ITEM.finditer(m.group(4)):
+                if im.group(1) is not None:
+                    parts.append(_pdf_unescape(im.group(1)))
+                else:
+                    parts.append(_decode_hex_codes(im.group(2), active))
+            out.append("".join(parts))
+    return out
+
+
+def extract_pdf_text(payload: bytes) -> list[str]:
+    """Reparse the text lines out of a PDF's PAGE CONTENT streams —
+    plain or FlateDecode-encoded, ``Tj`` or ``TJ`` show operators (r06:
+    the extractor graduated from test helper to source operator; r07:
+    it reads REAL Word/LibreOffice output — the reference's actual
+    shipped artifacts in reports/, report_generator.py:92).
+
+    Streams are TARGETED: every ``/Type /Page`` dictionary's
+    ``/Contents`` object(s) are located (document order, single-ref and
+    array forms), so font programs and image XObjects — present in any
+    real-world PDF, usually DCTDecode — are never touched, neither
+    inflated nor refused. A payload with no page dictionaries falls back
+    to the pre-r07 walk of every stream (minimal/fixture PDFs). Each
+    stream is sliced to exactly its declared ``/Length`` (r06 advice:
+    'scan to endstream' truncated ~1/256 compressed streams), must land
+    on the real ``endstream``, and inflates through a 256 MB-capped
+    ``decompressobj`` (flate-bomb guard). A non-Flate filter on a
+    CONTENT stream, corrupt deflate, or a broken xref/object graph all
+    raise typed :class:`PdfUnsupported` — the codec modules' contract,
+    so executor tasks quarantine rather than die."""
+    import re
 
     payload = bytes(payload)
     if not payload.startswith(b"%PDF-"):
         raise PdfUnsupported("not a PDF header")
-    lines: list[str] = []
+    pages = _pages(payload)
+    if pages:
+        lines: list[str] = []
+        done: set[int] = set()
+        for nums, page_dct in pages:
+            fonts = _page_fonts(payload, page_dct)
+            for num in nums:
+                if num in done:
+                    continue
+                done.add(num)
+                lines.extend(_text_ops(_object_stream(payload, num), fonts))
+        return lines
+    # no page dicts: legacy fallback — walk every stream object
+    lines = []
     consumed_to = 0  # skip false 'stream' matches inside a prior stream's binary body
-    for m in re.finditer(
-        rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n", payload
-    ):
+    for m in re.finditer(rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n", payload):
         if m.start() < consumed_to:
             continue
-        dct = m.group(1)
-        length = _stream_length(dct, payload)
-        if length > _MAX_STREAM_BYTES:
-            raise PdfUnsupported(f"stream /Length {length} exceeds cap")
-        start = m.end()
-        stream = payload[start : start + length]
-        if len(stream) != length or not re.match(
-            rb"(?:\r\n|\r|\n)?endstream", payload[start + length : start + length + 11]
-        ):
-            raise PdfUnsupported("stream /Length does not land on endstream")
-        consumed_to = start + length
-        if b"/Filter" in dct:
-            if b"/FlateDecode" not in dct:
-                raise PdfUnsupported(f"unsupported stream filter in {dct[:80]!r}")
-            d = zlib.decompressobj()
-            try:
-                inflated = d.decompress(stream, _MAX_STREAM_BYTES + 1)
-            except zlib.error as e:
-                raise PdfUnsupported(f"broken FlateDecode stream: {e}") from e
-            if len(inflated) > _MAX_STREAM_BYTES:
-                raise PdfUnsupported("FlateDecode expansion exceeds 256 MB cap")
-            if not d.eof:
-                raise PdfUnsupported("broken FlateDecode stream: truncated deflate data")
-            stream = inflated
-        # Escape-aware: consume escaped pairs (\\ \( \)) atomically so a
-        # line ending in ')' — written as '\) Tj' — isn't cut at the
-        # first literal ') Tj' with a stray trailing backslash (r02
-        # advice). Single-pass unescape for the same reason: sequential
-        # replace() would re-interpret the backslash of '\\('.
-        for m in re.findall(rb"\(((?:[^\\)]|\\.)*)\) Tj", stream, re.S):
-            lines.append(re.sub(rb"\\(.)", rb"\1", m).decode("latin-1"))
+        stream, consumed_to = _stream_body(payload, m.group(1), m.end())
+        lines.extend(_text_ops(stream))
     return lines
 
 

@@ -1,0 +1,100 @@
+"""The repo's extractors against the reference's ACTUAL shipped
+artifacts: every DOCX and PDF the reference app ever generated into
+real_estate_backend/reports/ (25 python-docx files; 7 Word-exported
+PDFs with WinAnsi literal strings and 18 LibreOffice PDFs with
+subset-font hex glyph strings + ToUnicode CMaps). This is the
+end-state parity claim for the S7/S8 read halves — not "reads files
+like the reference's", but "reads the reference's files" — and the
+strongest real-world fuzz available for the typed-contract codecs.
+
+Plus a mutation fuzz over one real Word PDF: the r07 parsing paths
+(page targeting, balanced-dict scan, CMap parse, hex strings) must
+never escape an untyped exception on corrupted real-world bytes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import pytest
+
+from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import extract_docx_text
+from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+    PdfUnsupported,
+    extract_pdf_text,
+)
+
+REPORTS = "/root/reference/real_estate_backend/reports"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REPORTS), reason="reference artifact corpus not mounted"
+)
+
+
+def _files(ext: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(REPORTS, f"*.{ext}")))
+
+
+@pytest.mark.parametrize("path", _files("docx"), ids=os.path.basename)
+def test_reference_docx_extracts_real_text(path):
+    lines = extract_docx_text(open(path, "rb").read())
+    text = " ".join(lines)
+    assert len(lines) > 5
+    # every reference report is an agreement/engagement letter
+    assert "Agreement" in text or "agreement" in text or "Engagement" in text
+
+
+@pytest.mark.parametrize("path", _files("pdf"), ids=os.path.basename)
+def test_reference_pdf_extracts_real_text(path):
+    lines = extract_pdf_text(open(path, "rb").read())
+    text = " ".join(lines)
+    assert len(lines) > 10
+    assert "Agreement" in text or "agreement" in text
+    # the CMap path must produce REAL text, not glyph soup: the firm's
+    # name appears in every letter body
+    assert "Hammonds" in text
+
+
+def test_reference_corpus_is_complete():
+    """25 + 25: if the corpus shrinks or grows the parametrized counts
+    above silently change — pin them."""
+    assert len(_files("docx")) == 25
+    assert len(_files("pdf")) == 25
+
+
+def test_reference_pdf_mutation_fuzz_stays_typed():
+    """500 random byte-corruptions of a real Word PDF: extract must
+    return a list or raise typed PdfUnsupported — never zlib.error,
+    ValueError, IndexError, or an infinite scan (the codec-family
+    contract, applied to the r07 page-targeting/CMap paths)."""
+    base = open(os.path.join(REPORTS, "Agreement_John_Doe.pdf"), "rb").read()
+    rng = random.Random(79)
+    for trial in range(500):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            out = extract_pdf_text(bytes(b))
+        except PdfUnsupported:
+            continue
+        assert isinstance(out, list), trial
+
+
+def test_reference_docx_mutation_fuzz_stays_typed():
+    """Same contract for the DOCX read half over real python-docx
+    bytes (zip container corruption is the common real-world failure)."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import DocxUnsupported
+
+    base = open(os.path.join(REPORTS, "Agreement_John_Doe.docx"), "rb").read()
+    rng = random.Random(80)
+    for trial in range(500):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            out = extract_docx_text(bytes(b))
+        except DocxUnsupported:
+            continue
+        assert isinstance(out, list), trial
