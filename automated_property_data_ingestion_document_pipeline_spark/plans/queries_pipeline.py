@@ -1164,15 +1164,16 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text EXTRACTION, VALUE-verified (r06 — the read half of S8;
     the reference's domain artifacts ARE PDFs, report_generator.py:
     92-103): each document's 50 deterministic parcel-record lines are
-    rendered to a REAL two-page PDF by the S8 writer (FlateDecode-
-    compressed content streams for odd doc_ids, plain for even — both
-    layouts real-world writers emit), then sources/pdf_sink.py's
-    extractor walks the stream objects, inflates where the dictionary
-    says /FlateDecode, and reparses the literal-string Tj operators
-    escape-aware. The oracle rebuilds the same strings in pure SQL —
-    it never sees a PDF — so a hash match proves render, (de)compress,
-    page split at the 46-line boundary, and escape round-trip at once.
-    Row-local mapInPandas; 4 ints per doc leave the executor."""
+    rendered to a REAL two-page PDF by the S8 writer and extracted
+    back. doc_id % 4 cycles the container through every layout real
+    writers emit AND every extractor path (r07): plain Tj, FlateDecode
+    Tj, FlateDecode TJ arrays (Word's form), and FlateDecode hex
+    strings through an identity /ToUnicode CMap (LibreOffice's
+    subset-font form) — so the driver's one hash VALUE-verifies page
+    targeting, inflate, TJ array parsing, CMap decode, and escape
+    round-trip at once. The oracle rebuilds the same strings in pure
+    SQL — it never sees a PDF. Row-local mapInPandas; 4 ints per doc
+    leave the executor."""
     import pandas as pd
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
@@ -1195,7 +1196,12 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"parcel {did} record {k} value {(did * 7 + k * 13) % 1000}"
                     for k in range(50)
                 ]
-                payload = pdf_bytes_from_lines(lines, compress=bool(did % 2))
+                form = did % 4  # 0: plain Tj, 1: flate Tj, 2: flate TJ, 3: flate hex+CMap
+                payload = pdf_bytes_from_lines(
+                    lines,
+                    compress=form != 0,
+                    text_op={2: "TJ", 3: "hex"}.get(form, "Tj"),
+                )
                 got = extract_pdf_text(payload)  # the REAL bytes
                 out["doc_id"].append(did)
                 out["n_lines"].append(len(got))

@@ -43,9 +43,14 @@ def _pdf_escape(text: str) -> bytes:
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def _content_stream(lines: list[str]) -> bytes:
+def _content_stream(lines: list[str], text_op: str = "Tj") -> bytes:
     """One page's content: a text object positioning each line with the
-    TL/T* leading machinery (PDF 1.4 §5.3)."""
+    TL/T* leading machinery (PDF 1.4 §5.3). ``text_op`` picks the show
+    form (r07 — so every extractor path has a writer fixture): ``Tj``
+    literal strings (default, the pre-r07 layout), ``TJ`` array form
+    with a kern between two string halves (what Word emits), ``hex``
+    hex strings of 1-byte codes (the LibreOffice subset-font shape;
+    pairs with the writer's identity /ToUnicode CMap)."""
     out = [
         b"BT",
         b"/F1 %d Tf" % FONT_SIZE,
@@ -53,12 +58,42 @@ def _content_stream(lines: list[str]) -> bytes:
         b"%d %d Td" % (MARGIN, PAGE_H - MARGIN),
     ]
     for ln in lines:
-        out.append(b"(" + _pdf_escape(ln) + b") Tj T*")
+        if text_op == "TJ":
+            half = len(ln) // 2
+            out.append(
+                b"[(" + _pdf_escape(ln[:half]) + b") -2 ("
+                + _pdf_escape(ln[half:]) + b")] TJ T*"
+            )
+        elif text_op == "hex":
+            raw = ln.encode("latin-1", errors="replace")
+            out.append(b"<" + raw.hex().encode("ascii") + b"> Tj T*")
+        else:
+            out.append(b"(" + _pdf_escape(ln) + b") Tj T*")
     out.append(b"ET")
     return b"\n".join(out)
 
 
-def pdf_bytes_from_lines(lines: list[str], compress: bool = False) -> bytes:
+# minimal identity ToUnicode CMap: 1-byte codes 00–FF → U+0000–U+00FF
+# (PDF §9.10.3; the shape real subset-font writers emit, with the
+# identity mapping so the writer's latin-1 bytes survive the roundtrip)
+_IDENTITY_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+1 beginbfrange
+<00> <FF> <0000>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def pdf_bytes_from_lines(
+    lines: list[str], compress: bool = False, text_op: str = "Tj"
+) -> bytes:
     """Serialize paragraphs into a valid single-font PDF 1.4 file:
     catalog → page tree → N pages, each with its own content stream, one
     shared Helvetica font object, correct xref offsets, trailer. Pure
@@ -66,14 +101,19 @@ def pdf_bytes_from_lines(lines: list[str], compress: bool = False) -> bytes:
     zlib level is pinned so ``compress=True`` stays deterministic too).
     ``compress=True`` FlateDecode-encodes each content stream — the
     layout real-world writers emit, and the fixture path for
-    :func:`extract_pdf_text`'s inflate branch."""
+    :func:`extract_pdf_text`'s inflate branch. ``text_op`` (r07) picks
+    the show-operator form per :func:`_content_stream` — ``"hex"``
+    additionally attaches the identity /ToUnicode CMap to the font, so
+    every extractor path (Tj, TJ arrays, hex+CMap) has a first-party
+    deterministic fixture."""
     pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
     if not pages:
         pages = [[]]
     n_pages = len(pages)
 
     # object numbering: 1 catalog, 2 pages-tree, 3 font,
-    # then per page i: 4+2i page, 5+2i content
+    # then per page i: 4+2i page, 5+2i content; hex mode appends the
+    # CMap stream as the final object (4 + 2*n_pages)
     objects: list[bytes] = []
     page_ids = [4 + 2 * i for i in range(n_pages)]
     kids = " ".join(f"{pid} 0 R" for pid in page_ids)
@@ -81,11 +121,12 @@ def pdf_bytes_from_lines(lines: list[str], compress: bool = False) -> bytes:
     objects.append(
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids.encode(), n_pages)
     )
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
-    )
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding"
+    if text_op == "hex":
+        font += b" /ToUnicode %d 0 R" % (4 + 2 * n_pages)
+    objects.append(font + b" >>")
     for i, page_lines in enumerate(pages):
-        stream = _content_stream(page_lines)
+        stream = _content_stream(page_lines, text_op)
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
@@ -103,6 +144,11 @@ def pdf_bytes_from_lines(lines: list[str], compress: bool = False) -> bytes:
             objects.append(
                 b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
             )
+    if text_op == "hex":
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(_IDENTITY_CMAP), _IDENTITY_CMAP)
+        )
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]  # object 0 is the free head

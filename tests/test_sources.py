@@ -731,3 +731,26 @@ def test_fuzz_docx_streams_stay_typed():
             extract_docx_text(garbage)
         except DocxUnsupported:
             pass
+
+
+def test_pdf_all_render_forms_roundtrip_bit_identical():
+    """r07: every writer render form × compression — plain/flate ×
+    Tj/TJ-array/hex+CMap — must extract back to the exact input lines.
+    This is the first-party fixture for every extractor path the
+    reference-artifact corpus exercises (finding 81), driver-verified
+    via q_pdf_extract's doc_id % 4 form cycle."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    lines = [f"line {i} with (parens) \\back and tail-{i % 7}" for i in range(100)]
+    for compress in (False, True):
+        for op in ("Tj", "TJ", "hex"):
+            got = extract_pdf_text(
+                pdf_bytes_from_lines(lines, compress=compress, text_op=op)
+            )
+            assert got == lines, (compress, op)
+    for op in ("Tj", "TJ", "hex"):  # degenerate lines through the TJ split
+        odd = ["", "x", "ab"]
+        assert extract_pdf_text(pdf_bytes_from_lines(odd, text_op=op)) == odd, op
