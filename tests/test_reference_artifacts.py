@@ -98,3 +98,47 @@ def test_reference_docx_mutation_fuzz_stays_typed():
         except DocxUnsupported:
             continue
         assert isinstance(out, list), trial
+
+
+def test_reference_pdf_libreoffice_mutation_fuzz_stays_typed():
+    """500 corruptions of a LIBREOFFICE PDF — the hex-string/CMap-heavy
+    shape — so the r07 CMap parser and hex decoder see hostile bytes,
+    not just the Word literal-string layout."""
+    base = open(os.path.join(REPORTS, "Engagement_Letter_Ram.pdf"), "rb").read()
+    rng = random.Random(81)
+    for trial in range(500):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            out = extract_pdf_text(bytes(b))
+        except PdfUnsupported:
+            continue
+        assert isinstance(out, list), trial
+
+
+def test_pdf_render_forms_roundtrip_hypothesis():
+    """Property form of the six-roundtrip pin: arbitrary latin-1 text
+    lines (parens, backslashes, brackets, angle chars, controls) must
+    survive plain/flate x Tj/TJ/hex bit-identically. Brackets and '<'
+    inside literal strings are the TJ-array and hex-string parsers'
+    adversarial cases — a string unit must never be terminated by
+    them."""
+    from hypothesis import given, settings, strategies as st
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import pdf_bytes_from_lines
+
+    line = st.text(
+        st.sampled_from('ab()\\[]<>0123456789 Tj TJ\t'), min_size=0, max_size=40
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(line, min_size=0, max_size=8), st.booleans())
+    def check(lines, compress):
+        for op in ("Tj", "TJ", "hex"):
+            got = extract_pdf_text(
+                pdf_bytes_from_lines(lines, compress=compress, text_op=op)
+            )
+            assert got == lines, (op, compress)
+
+    check()
