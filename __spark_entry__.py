@@ -139,21 +139,7 @@ _DRIVER_SEEN = frozenset({
     "q_geo_radius_join", "q_geo_nearest", "q_geo_tile_agg",
     "q_geo_pipeline", "q_bucketed_join", "q_data_quality_report",
     "q_triangle_count",
-})
-
-# VERDICT r06 #1: drain the final never-driver-checked oracle backlog
-# (52 unseen oracle keys + 24 unseen rows-only lanes after the r06
-# snapshot; every oracle key is green in the local full-oracle DuckDB
-# sweep and the builder's sf0.01/edge/sf0.1 drives).  The driver samples
-# EXACTLY the first 50 keys of queries(), so the head is 50 of the 52
-# unseen oracle keys in verdict order: the six displaced graph/interval
-# keys first, then the analytics/format-roundtrip/product tail in
-# registration order.  Deferred to the r08 window: q_equidepth_histogram,
-# q_session_paths (the last two unseen oracle keys), any keys newly
-# registered this round, and the 24 rows-only lanes (recall gates,
-# sinks, streaming) — 36 slots, fits one window.
-_PRIORITY = [
-    # --- 50-slot driver window: 50 unseen oracle keys ---
+    # r07 snapshot (CORRECTNESS_r07.json, 50/50 oracle green)
     "q_degree_histogram", "q_link_prediction", "q_shortest_path",
     "q_interval_coverage", "q_event_runs", "q_calendar_fill",
     "q_debounce", "q_hour_bitmap", "q_peak_concurrency",
@@ -170,8 +156,22 @@ _PRIORITY = [
     "q_json_rescue", "q_json_flatten", "q_odds_ratio", "q_wilson_interval",
     "q_nps", "q_activity_profile", "q_audience_overlap",
     "q_weighted_median",
-    # --- r08 window: last 2 unseen oracle keys, then rows-only lanes ---
+})
+
+# VERDICT r07 #1: close the driver ledger — witness the final 30
+# never-driver-checked keys.  Head of the 50-slot window: the 6 unseen
+# oracle keys (2 displaced in r07 + the 4 r07-growth keys), then every
+# rows-only lane (recall gates, sinks, streaming, float pagerank), then
+# any keys newly registered this round (they auto-queue after _PRIORITY
+# via the unseen_oracle/unseen_rows buckets in _driver_order).  30 keys
+# + r08 growth fits one window with slots to spare → after r08 the
+# complete registry is driver-proven.
+_PRIORITY = [
+    # --- 6 unseen oracle keys ---
     "q_equidepth_histogram", "q_session_paths",
+    "q_docx_extract", "q_letter_roundtrip",
+    "q_pagerank_portable", "q_embedding_neardup_portable",
+    # --- 24 rows-only lanes, never driver-run ---
     "q_lsh_recall", "q_ivf_recall", "q_pq_recall", "q_ivfpq_recall",
     "q_knn_ivf", "q_knn_pq", "q_embedding_neardup", "q_kmeans_converged",
     "q_stream_join", "q_stream_static", "q_stream_tumbling",
