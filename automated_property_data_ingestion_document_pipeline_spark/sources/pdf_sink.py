@@ -176,22 +176,22 @@ class PdfUnsupported(ValueError):
 _MAX_STREAM_BYTES = 1 << 28  # 256 MB per content stream, matching wav._MAX_DATA_BYTES
 
 
-def _stream_length(dct: bytes, payload: bytes) -> int:
+def _stream_length(dct: bytes, idx: "_ObjIndex") -> int:
     """Resolve a stream dictionary's /Length to an int. Direct integers
     are the common case (and what pdf_bytes_from_lines emits); an
-    indirect ``N G R`` reference is resolved by locating object N's body
-    (a bare integer). Anything else is a typed refusal."""
+    indirect ``N G R`` reference is resolved through the object index
+    (object N's body is a bare integer). Anything else is a typed
+    refusal."""
     import re
 
-    lm = re.search(rb"/Length\s+(\d+)(?:\s+(\d+)\s+R)?", dct)
+    lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?:\s+(\d+)\s+R)?", dct)
     if lm is None:
         raise PdfUnsupported("stream dictionary without direct /Length")
     if lm.group(2) is None:
         return int(lm.group(1))
     obj_num = int(lm.group(1))
-    om = re.search(
-        rb"(?:^|[\r\n])%d\s+\d+\s+obj\s*(\d+)\s*endobj" % obj_num, payload
-    )
+    body = idx.locate(obj_num)
+    om = re.match(rb"\s*(\d+)\s*endobj", idx.payload[body : body + 48])
     if om is None:
         raise PdfUnsupported(f"unresolvable indirect /Length object {obj_num}")
     return int(om.group(1))
@@ -235,17 +235,162 @@ def _dict_span(payload: bytes, at: int) -> int:
     raise PdfUnsupported("unterminated or oversized object dictionary")
 
 
-def _pages(payload: bytes) -> list[tuple[list[int], bytes]]:
+class _ObjIndex:
+    """Offset index over a PDF's indirect objects (r07 advice: resolve
+    by the xref chain, not the first byte-scan match).
+
+    Primary source: the classic trailer/xref chain, walked newest-first
+    from the final ``startxref`` (PDF §7.5.4/§7.5.5 — the newest table's
+    entry per object number wins, so an incremental update's stale
+    generation can never shadow the live one, and objects the newest
+    table marks free stop resolving at all). Word's hybrid-reference
+    trailers (empty ``0 0`` table + ``/XRefStm`` + ``/Prev``) resolve
+    through the ``/Prev`` classic chain. Every chain offset is validated
+    to land on ``N G obj``; invalid entries drop to the backstop.
+
+    Backstop (xref-less fixtures, PDF 1.5 xref *streams*, damaged
+    tables): a consumed-region-aware linear scan that skips declared
+    stream bodies — so a ``\\nN 0 obj`` byte pattern inside a
+    FlateDecode body can't shadow a real object — keeping the highest
+    generation and, within a generation, the LAST occurrence (appended
+    incremental updates win)."""
+
+    __slots__ = ("payload", "_offsets")
+
+    def __init__(self, payload: bytes):
+        self.payload = payload
+        offsets = self._scan()
+        chain, freed = self._xref_chain()
+        offsets.update(chain)
+        for num in freed:
+            offsets.pop(num, None)
+        self._offsets = offsets
+
+    def locate(self, num: int) -> int:
+        """Offset just past object ``num``'s ``N G obj`` token."""
+        off = self._offsets.get(num)
+        if off is None:
+            raise PdfUnsupported(f"missing object {num}")
+        return off
+
+    def objects_in_order(self) -> list[tuple[int, int]]:
+        """(object number, body offset) pairs in file-byte order — the
+        document order _pages relies on."""
+        return sorted(self._offsets.items(), key=lambda kv: kv[1])
+
+    def _scan(self) -> dict[int, int]:
+        import re
+
+        payload = self.payload
+        best: dict[int, tuple[int, int]] = {}  # num -> (gen, body offset)
+        consumed_to = 0
+        for m in re.finditer(rb"(?:^|[\r\n])(\d+)\s+(\d+)\s+obj\b", payload):
+            if m.start() < consumed_to:
+                continue
+            num, gen, body = int(m.group(1)), int(m.group(2)), m.end()
+            prev = best.get(num)
+            if prev is None or gen >= prev[0]:
+                best[num] = (gen, body)
+            # mark this object's stream body consumed so byte patterns
+            # inside it can't masquerade as object headers
+            i = body
+            while payload[i : i + 1] in b" \t\r\n":
+                i += 1
+            if payload[i : i + 2] != b"<<":
+                continue
+            try:
+                dend = _dict_span(payload, i)
+            except PdfUnsupported:
+                continue
+            sm = re.match(rb"\s*stream\r?\n", payload[dend : dend + 16])
+            if sm is None:
+                continue
+            lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", payload[i:dend])
+            if lm is not None:
+                consumed_to = dend + sm.end() + int(lm.group(1))
+            else:  # indirect /Length: best-effort skip to the next endstream
+                j = payload.find(b"endstream", dend + sm.end())
+                consumed_to = j if j != -1 else len(payload)
+        return {num: off for num, (gen, off) in best.items()}
+
+    def _xref_chain(self) -> tuple[dict[int, int], set[int]]:
+        import re
+
+        payload = self.payload
+        sx = payload.rfind(b"startxref")
+        if sx == -1:
+            return {}, set()
+        m = re.match(rb"startxref\s+(\d+)", payload[sx : sx + 64])
+        if m is None:
+            return {}, set()
+        pos, seen = int(m.group(1)), set()
+        entries: dict[int, tuple[int, bytes]] = {}  # newest table wins
+        while pos not in seen and 0 <= pos < len(payload):
+            seen.add(pos)
+            if not payload.startswith(b"xref", pos):
+                break  # PDF 1.5 xref stream — the scan backstop covers it
+            i = pos + 4
+            while True:
+                sm = re.match(
+                    rb"[ \t\r\n]*(\d+)[ \t]+(\d+)[ \t]*(?:\r\n|\r|\n)",
+                    payload[i : i + 48],
+                )
+                if sm is None:
+                    break
+                first, count = int(sm.group(1)), int(sm.group(2))
+                if count > 8_000_000:  # hostile table
+                    return {}, set()
+                i += sm.end()
+                for k in range(count):
+                    em = re.match(
+                        rb"(\d{10})[ ](\d{5})[ ]([nf])[ \r\n]{0,3}",
+                        payload[i : i + 21],
+                    )
+                    if em is None:
+                        return {}, set()
+                    num = first + k
+                    if num not in entries:
+                        entries[num] = (int(em.group(1)), em.group(3))
+                    i += em.end()
+            tm = re.search(rb"trailer", payload[i : i + 64])
+            if tm is None:
+                break
+            tstart = payload.find(b"<<", i + tm.end())
+            if tstart == -1:
+                break
+            try:
+                trailer = payload[tstart : _dict_span(payload, tstart)]
+            except PdfUnsupported:
+                break
+            pm = re.search(rb"/Prev\s+(\d+)", trailer)
+            if pm is None:
+                break
+            pos = int(pm.group(1))
+        out: dict[int, int] = {}
+        freed: set[int] = set()
+        for num, (off, typ) in entries.items():
+            if typ == b"f":
+                freed.add(num)
+                continue
+            vm = re.match(rb"(\d+)\s+\d+\s+obj\b", payload[off : off + 48])
+            if vm is not None and int(vm.group(1)) == num:
+                out[num] = off + vm.end()
+        return out, freed
+
+
+def _pages(idx: "_ObjIndex") -> list[tuple[list[int], bytes]]:
     """(content object numbers, page dictionary bytes) for every
     ``/Type /Page`` dictionary, in document order (single ``N G R``
-    refs and array-of-refs ``/Contents`` both supported). Empty when
-    the payload has no page dictionaries — the walk-every-stream
-    fallback's trigger."""
+    refs and array-of-refs ``/Contents`` both supported; /Contents is
+    OPTIONAL per the spec — a blank page contributes no lines, r07
+    advice). Empty when the payload has no page dictionaries — the
+    walk-every-stream fallback's trigger."""
     import re
 
+    payload = idx.payload
     pages: list[tuple[list[int], bytes]] = []
-    for om in re.finditer(rb"\d+\s+\d+\s+obj\b", payload):
-        i = om.end()
+    for _num, body in idx.objects_in_order():
+        i = body
         while payload[i : i + 1] in b" \t\r\n":
             i += 1
         if payload[i : i + 2] != b"<<":
@@ -257,18 +402,19 @@ def _pages(payload: bytes) -> list[tuple[list[int], bytes]]:
         if not re.search(rb"/Type\s*/Page(?![0-9A-Za-z])", dct):
             continue
         cm = re.search(
-            rb"/Contents\s*(?:(\d+)\s+\d+\s+R|\[((?:\s*\d+\s+\d+\s+R)+)\s*\])", dct
+            rb"/Contents\s*(?:(\d+)\s+\d+\s+R|\[((?:\s*\d+\s+\d+\s+R)*)\s*\])", dct
         )
         if cm is None:
-            raise PdfUnsupported("page dictionary without /Contents reference")
-        nums = [int(cm.group(1))] if cm.group(1) else [
-            int(n) for n in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(2))
-        ]
+            nums: list[int] = []  # blank page — valid, contributes nothing
+        elif cm.group(1):
+            nums = [int(cm.group(1))]
+        else:
+            nums = [int(n) for n in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(2))]
         pages.append((nums, dct))
     return pages
 
 
-def _stream_body(payload: bytes, dct: bytes, start: int) -> tuple[bytes, int]:
+def _stream_body(idx: "_ObjIndex", dct: bytes, start: int) -> tuple[bytes, int]:
     """Slice a stream to its declared /Length from ``start`` (just past
     the ``stream`` EOL), validate the ``endstream`` landing, inflate a
     /FlateDecode filter through the capped decompressobj (r06 advice —
@@ -276,7 +422,8 @@ def _stream_body(payload: bytes, dct: bytes, start: int) -> tuple[bytes, int]:
     import re
     import zlib
 
-    length = _stream_length(dct, payload)
+    payload = idx.payload
+    length = _stream_length(dct, idx)
     if length > _MAX_STREAM_BYTES:
         raise PdfUnsupported(f"stream /Length {length} exceeds cap")
     stream = payload[start : start + length]
@@ -300,15 +447,14 @@ def _stream_body(payload: bytes, dct: bytes, start: int) -> tuple[bytes, int]:
     return stream, start + length
 
 
-def _object_stream(payload: bytes, num: int) -> bytes:
-    """Locate object ``num``'s stream body (dict scanned with balanced
-    ``<< >>``, body sliced/validated/inflated by :func:`_stream_body`)."""
+def _object_stream(idx: "_ObjIndex", num: int) -> bytes:
+    """Locate object ``num``'s stream body via the object index (dict
+    scanned with balanced ``<< >>``, body sliced/validated/inflated by
+    :func:`_stream_body`)."""
     import re
 
-    om = re.search(rb"(?:^|[\r\n])%d\s+\d+\s+obj\b" % num, payload)
-    if om is None:
-        raise PdfUnsupported(f"missing content object {num}")
-    i = om.end()
+    payload = idx.payload
+    i = idx.locate(num)
     while payload[i : i + 1] in b" \t\r\n":
         i += 1
     if payload[i : i + 2] != b"<<":
@@ -317,18 +463,14 @@ def _object_stream(payload: bytes, num: int) -> bytes:
     sm = re.match(rb"\s*stream\r?\n", payload[dend : dend + 16])
     if sm is None:
         raise PdfUnsupported(f"content object {num} has no stream body")
-    body, _ = _stream_body(payload, payload[i:dend], dend + sm.end())
+    body, _ = _stream_body(idx, payload[i:dend], dend + sm.end())
     return body
 
 
-def _object_dict(payload: bytes, num: int) -> bytes:
+def _object_dict(idx: "_ObjIndex", num: int) -> bytes:
     """Object ``num``'s dictionary bytes (balanced ``<< >>`` scan)."""
-    import re
-
-    om = re.search(rb"(?:^|[\r\n])%d\s+\d+\s+obj\b" % num, payload)
-    if om is None:
-        raise PdfUnsupported(f"missing object {num}")
-    i = om.end()
+    payload = idx.payload
+    i = idx.locate(num)
     while payload[i : i + 1] in b" \t\r\n":
         i += 1
     if payload[i : i + 2] != b"<<":
@@ -380,7 +522,7 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
 
 
 def _page_fonts(
-    payload: bytes, page_dct: bytes
+    idx: "_ObjIndex", page_dct: bytes
 ) -> "dict[bytes, tuple[int, dict[int, str]] | None]":
     """Resource-name → parsed ToUnicode CMap (or None) for one page:
     /Resources (inline or ref) → /Font (inline or ref) → each
@@ -394,7 +536,7 @@ def _page_fonts(
         if km is None:
             return None
         if km.group(1):
-            return _object_dict(payload, int(km.group(1)))
+            return _object_dict(idx, int(km.group(1)))
         start = km.end() - 2
         return container[start:_dict_span(container, start)]
 
@@ -405,14 +547,14 @@ def _page_fonts(
         return fonts
     for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fdict):
         try:
-            font = _object_dict(payload, int(num))
+            font = _object_dict(idx, int(num))
         except PdfUnsupported:
             continue
         if not re.search(rb"/Type\s*/Font", font):
             continue
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font)
         fonts[name] = (
-            _parse_tounicode(_object_stream(payload, int(tm.group(1))))
+            _parse_tounicode(_object_stream(idx, int(tm.group(1))))
             if tm
             else None
         )
@@ -440,23 +582,36 @@ def _pdf_unescape(raw: bytes) -> str:
     return re.sub(rb"\\([0-7]{1,3}|\r\n|.)", sub, raw, flags=re.S).decode("latin-1")
 
 
-# escape-aware literal string and hex string, as reusable units
-_LITSTR = rb"\(((?:[^\\)]|\\.)*)\)"
-_LITSTR_NC = rb"\((?:[^\\)]|\\.)*\)"
-_HEXSTR = rb"<([0-9A-Fa-f\s]*)>"
-_HEXSTR_NC = rb"<[0-9A-Fa-f\s]*>"
-# a content stream's text-relevant tokens, in document order: font
-# select (Tf), literal/hex Tj, and TJ arrays; string units inside an
-# array are matched ATOMICALLY so a ']' inside one cannot terminate the
-# array early
-_TEXT_OP = re.compile(
-    rb"/(\w+)\s+[0-9.]+\s+Tf"
-    + rb"|" + _LITSTR + rb"\s*Tj"
-    + rb"|" + _HEXSTR + rb"\s*Tj"
-    + rb"|\[((?:" + _LITSTR_NC + rb"|" + _HEXSTR_NC + rb"|\s|-?\d+(?:\.\d+)?)*)\]\s*TJ",
-    re.S,
-)
-_TJ_ITEM = re.compile(_LITSTR + rb"|" + _HEXSTR, re.S)
+def _lit_span(stream: bytes, i: int) -> tuple[bytes, int]:
+    """Raw bytes of the literal string opening at ``stream[i] == '('``
+    plus the index just past its closing ``)``. Depth-counting AND
+    escape-aware: PDF §7.3.4.2 permits balanced UNESCAPED parentheses
+    inside literal strings — pdflatex emits ``(a (b) c) Tj`` — which a
+    flat regex truncated at the first ``)`` (r07 advice). Inner parens
+    stay verbatim in the span; :func:`_pdf_unescape` leaves them
+    intact."""
+    depth, j, n = 1, i + 1, len(stream)
+    while j < n:
+        c = stream[j]
+        if c == 0x5C:  # backslash consumes the next char atomically
+            j += 2
+        elif c == 0x28:  # (
+            depth += 1
+            j += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return stream[i + 1 : j], j + 1
+            j += 1
+        else:
+            j += 1
+    raise PdfUnsupported("unterminated literal string")
+
+
+# a content-stream token that is not a delimiter (PDF §7.2.2 regular
+# characters); numbers are PDF reals — no exponent form in the spec
+_TOKEN_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)$")
 
 
 def _decode_hex_codes(h: bytes, cmap: "tuple[int, dict[int, str]] | None") -> str:
@@ -470,7 +625,10 @@ def _decode_hex_codes(h: bytes, cmap: "tuple[int, dict[int, str]] | None") -> st
     hx = bytes(h).translate(None, b" \t\r\n")
     if len(hx) % 2:  # spec: odd final digit behaves as if followed by 0
         hx += b"0"
-    raw = bytes.fromhex(hx.decode("ascii"))
+    try:
+        raw = bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfUnsupported(f"invalid hex show-string: {e}") from e
     step = max(width, 1)
     out = []
     for i in range(0, len(raw), step):
@@ -483,32 +641,103 @@ def _text_ops(
     stream: bytes,
     fonts: "dict[bytes, tuple[int, dict[int, str]] | None] | None" = None,
 ) -> list[str]:
-    """Extract show-text operators from one content stream, in operator
-    order: literal-string ``Tj`` (the writer's own form), hex-string
-    ``Tj``, and array ``TJ`` (what Word/LibreOffice emit — strings
-    concatenated, kern numbers dropped). Literal strings are WinAnsi ≈
-    latin-1 bytes, escape-aware per :func:`_pdf_unescape` (consume
-    escaped pairs atomically so a line ending in ')' — written
-    '\\) Tj' — isn't cut at the first literal ') Tj', r02 advice);
-    hex strings decode through the ACTIVE font's ToUnicode CMap
-    (``fonts`` maps resource name → parsed CMap), tracked via ``Tf``."""
+    """Extract show-text operators from one content stream with a small
+    operand-stack interpreter (PDF §7.8.2: operands accumulate, each
+    operator consumes them all). Show forms covered: literal/hex ``Tj``
+    (the writer's own form), ``'`` and ``\"`` move-show variants, and
+    array ``TJ`` (what Word/LibreOffice emit — strings concatenated,
+    kern numbers dropped). Literal strings are WinAnsi ≈ latin-1 bytes,
+    lexed depth-aware so §7.3.4.2's balanced unescaped parens survive
+    (r07 advice) and unescaped via :func:`_pdf_unescape`; hex strings
+    decode through the ACTIVE font's ToUnicode CMap (``fonts`` maps
+    resource name → parsed CMap), tracked via ``Tf``. Dict operands
+    (BDC property lists) and inline images (``BI…EI``) are skipped;
+    a byte no token can start is a typed refusal."""
     out: list[str] = []
     active: "tuple[int, dict[int, str]] | None" = None
-    for m in _TEXT_OP.finditer(stream):
-        if m.group(1) is not None:  # Tf font select
-            active = (fonts or {}).get(m.group(1))
-        elif m.group(2) is not None:  # literal Tj
-            out.append(_pdf_unescape(m.group(2)))
-        elif m.group(3) is not None:  # hex Tj
-            out.append(_decode_hex_codes(m.group(3), active))
-        else:  # TJ array
-            parts = []
-            for im in _TJ_ITEM.finditer(m.group(4)):
-                if im.group(1) is not None:
-                    parts.append(_pdf_unescape(im.group(1)))
-                else:
-                    parts.append(_decode_hex_codes(im.group(2), active))
-            out.append("".join(parts))
+    fonts = fonts or {}
+    pending: list[tuple[str, object]] = []  # operand stack: (kind, value)
+    arr: "list[tuple[str, object]] | None" = None  # open array accumulator
+
+    def push(item: tuple[str, object]) -> None:
+        (pending if arr is None else arr).append(item)
+
+    def shown(item: tuple[str, object]) -> str:
+        kind, val = item
+        if kind == "str":
+            return _pdf_unescape(val)  # type: ignore[arg-type]
+        return _decode_hex_codes(val, active)  # type: ignore[arg-type]
+
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i]
+        if c in b" \t\r\n\x00\x0c":
+            i += 1
+        elif c == 0x28:  # ( literal string
+            raw, i = _lit_span(stream, i)
+            push(("str", raw))
+        elif c == 0x3C:  # < hex string or << dict operand
+            if stream[i : i + 2] == b"<<":
+                i = _dict_span(stream, i)
+                push(("dict", None))
+            else:
+                j = stream.find(b">", i + 1)
+                if j == -1:
+                    raise PdfUnsupported("unterminated hex string")
+                push(("hex", stream[i + 1 : j]))
+                i = j + 1
+        elif c == 0x5B:  # [
+            arr = []
+            i += 1
+        elif c == 0x5D:  # ]
+            pending.append(("arr", arr if arr is not None else []))
+            arr = None
+            i += 1
+        elif c == 0x2F:  # / name
+            m = _TOKEN_RE.match(stream, i + 1)
+            push(("name", m.group(0) if m else b""))
+            i = m.end() if m else i + 1
+        elif c == 0x25:  # % comment to EOL
+            j = stream.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c in b"{}":  # PostScript-function braces: not content ops
+            i += 1
+        else:
+            m = _TOKEN_RE.match(stream, i)
+            if m is None:  # a lone ')' or '>' — malformed stream
+                raise PdfUnsupported(
+                    f"unexpected byte {stream[i:i + 1]!r} in content stream"
+                )
+            tok = m.group(0)
+            i = m.end()
+            if _NUM_RE.match(tok):
+                push(("num", tok))
+                continue
+            # operator: interpret, then the operand stack resets
+            if tok in (b"Tj", b"'", b'"'):
+                strs = [p for p in pending if p[0] in ("str", "hex")]
+                if strs:
+                    out.append(shown(strs[-1]))
+            elif tok == b"TJ":
+                if pending and pending[-1][0] == "arr":
+                    items = pending[-1][1]
+                    out.append(
+                        "".join(
+                            shown(p)
+                            for p in items  # type: ignore[union-attr]
+                            if p[0] in ("str", "hex")
+                        )
+                    )
+            elif tok == b"Tf":
+                names = [p[1] for p in pending if p[0] == "name"]
+                if names:
+                    active = fonts.get(names[-1])  # type: ignore[arg-type]
+            elif tok == b"BI":  # inline image: skip to EI
+                em = re.search(rb"\sEI(?=\s|$)", stream[i:])
+                if em is None:
+                    raise PdfUnsupported("unterminated inline image")
+                i += em.end()
+            pending.clear()
     return out
 
 
@@ -537,17 +766,18 @@ def extract_pdf_text(payload: bytes) -> list[str]:
     payload = bytes(payload)
     if not payload.startswith(b"%PDF-"):
         raise PdfUnsupported("not a PDF header")
-    pages = _pages(payload)
+    idx = _ObjIndex(payload)
+    pages = _pages(idx)
     if pages:
         lines: list[str] = []
         done: set[int] = set()
         for nums, page_dct in pages:
-            fonts = _page_fonts(payload, page_dct)
+            fonts = _page_fonts(idx, page_dct)
             for num in nums:
                 if num in done:
                     continue
                 done.add(num)
-                lines.extend(_text_ops(_object_stream(payload, num), fonts))
+                lines.extend(_text_ops(_object_stream(idx, num), fonts))
         return lines
     # no page dicts: legacy fallback — walk every stream object
     lines = []
@@ -555,7 +785,7 @@ def extract_pdf_text(payload: bytes) -> list[str]:
     for m in re.finditer(rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n", payload):
         if m.start() < consumed_to:
             continue
-        stream, consumed_to = _stream_body(payload, m.group(1), m.end())
+        stream, consumed_to = _stream_body(idx, m.group(1), m.end())
         lines.extend(_text_ops(stream))
     return lines
 

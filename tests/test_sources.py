@@ -754,3 +754,189 @@ def test_pdf_all_render_forms_roundtrip_bit_identical():
     for op in ("Tj", "TJ", "hex"):  # degenerate lines through the TJ split
         odd = ["", "x", "ab"]
         assert extract_pdf_text(pdf_bytes_from_lines(odd, text_op=op)) == odd, op
+
+
+def test_pdf_incremental_update_latest_generation_wins():
+    """r07 advice pdf_sink.py:303 — an incrementally-updated PDF (spec
+    §7.5.6: appended replacement object + new xref section whose trailer
+    /Prev links the old one) must extract the NEW page text. The
+    pre-fix first-regex-match scan resolved the stale first-generation
+    object."""
+    import re
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    base = pdf_bytes_from_lines(["old text"])
+    assert extract_pdf_text(base) == ["old text"]
+    old_xref_at = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    new_stream = b"BT (new text) Tj ET"
+    upd = bytearray(base)
+    new_obj_at = len(upd)
+    upd += b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(new_stream),
+        new_stream,
+    )
+    new_xref_at = len(upd)
+    upd += b"xref\n0 1\n0000000000 65535 f \n5 1\n%010d 00000 n \n" % new_obj_at
+    upd += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (old_xref_at, new_xref_at)
+    )
+    assert extract_pdf_text(bytes(upd)) == ["new text"]
+
+
+def test_pdf_freed_object_stops_resolving():
+    """An object the NEWEST xref section marks free ('f') must not
+    resolve to its stale bytes: repoint the page's /Contents at a new
+    object, free the old one, and the old text must be gone."""
+    import re
+
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    base = pdf_bytes_from_lines(["old text"])
+    old_xref_at = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    stream = b"BT (fresh) Tj ET"
+    upd = bytearray(base)
+    # replacement page (obj 4) points at new content obj 6; old obj 5 freed
+    page_at = len(upd)
+    upd += (
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>\nendobj\n"
+    )
+    content_at = len(upd)
+    upd += b"6 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(stream),
+        stream,
+    )
+    new_xref_at = len(upd)
+    upd += b"xref\n0 1\n0000000000 65535 f \n4 3\n"
+    upd += b"%010d 00000 n \n" % page_at
+    upd += b"0000000000 00001 f \n"  # obj 5: freed
+    upd += b"%010d 00000 n \n" % content_at
+    upd += (
+        b"trailer\n<< /Size 7 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (old_xref_at, new_xref_at)
+    )
+    got = extract_pdf_text(bytes(upd))
+    assert got == ["fresh"]
+    # and object 5 itself is gone from the index
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import _ObjIndex
+
+    with pytest.raises(PdfUnsupported, match="missing object 5"):
+        _ObjIndex(bytes(upd)).locate(5)
+
+
+def test_pdf_obj_header_inside_stream_body_cannot_shadow():
+    """r07 advice — a '\\nN 0 obj' byte pattern inside a declared
+    stream body must not shadow the real object N, in BOTH resolution
+    modes: (a) xref-less scan (consumed-region tracking skips it), and
+    (b) via the writer's xref table (offsets are authoritative)."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+    )
+
+    decoy = b"\n4 0 obj\n<< /Length 14 >>\nstream\n(EVIL) Tj\nendstream\nendobj\n"
+    content = b"BT (good) Tj ET"
+    # decoy object header hides inside object 9's declared stream body,
+    # BEFORE the real object 4 in file order; no startxref anywhere
+    pdf = b"%PDF-1.4\n"
+    pdf += b"9 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(decoy),
+        decoy,
+    )
+    pdf += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pdf += b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pdf += (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>\nendobj\n"
+    )
+    pdf += b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(content),
+        content,
+    )
+    assert extract_pdf_text(pdf) == ["good"]
+
+
+def test_pdf_balanced_unescaped_parens_extract():
+    """r07 advice pdf_sink.py:444 — PDF §7.3.4.2 permits balanced
+    UNESCAPED parentheses in literal strings (pdflatex emits them); the
+    depth-counting lexer must round-trip them instead of truncating at
+    the first ')'."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    pdf = pdf_bytes_from_lines(["stub  ok"])  # same width as the injected form
+    raw = pdf.replace(b"(stub  ok) Tj", b"(a (b) c) Tj")
+    assert raw != pdf
+    assert extract_pdf_text(raw) == ["a (b) c"]
+    # nested two deep, inside a TJ array
+    pdf2 = pdf_bytes_from_lines(["stub   ok2"], text_op="TJ")
+    raw2 = pdf2.replace(b"[(stub ) -2 (  ok2)] TJ", b"[(a ((b)) ) -2 (c) ] TJ")
+    assert raw2 != pdf2
+    assert extract_pdf_text(raw2) == ["a ((b)) c"]
+
+
+def test_pdf_page_without_contents_is_blank_not_refused():
+    """r07 advice pdf_sink.py:263 — /Contents is optional per the spec;
+    a blank page contributes no lines instead of quarantining the
+    document."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    pdf = pdf_bytes_from_lines(["x"])
+    raw = pdf.replace(b"/Contents 5 0 R", b"               ")  # same-width pad
+    assert raw != pdf
+    assert extract_pdf_text(raw) == []
+    # a blank page among real pages drops only its own lines
+    many = pdf_bytes_from_lines([f"line {i}" for i in range(50)])  # 2 pages
+    raw2 = many.replace(b"/Contents 5 0 R", b"               ")
+    assert raw2 != many
+    assert extract_pdf_text(raw2) == [f"line {i}" for i in range(46, 50)]
+
+
+def test_pdf_content_interpreter_quote_ops_comments_and_dicts():
+    """The operand-stack interpreter handles the ' and \" show forms,
+    %-comments, BDC dictionary operands, and inline images — all legal
+    content a flat regex scanner silently misfiled."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    stream = (
+        b"BT /F1 11 Tf % select font\n"
+        b"(first) Tj\n"
+        b"(second) '\n"
+        b'3 1.5 (third) "\n'
+        b"/OC << /MCID 0 /Nested << /X (not)shown) >> >> BDC\n"
+        b"BI /W 2 /H 1 /BPC 8 /CS /G ID \x00\xff)( EI\n"
+        b"[(fou) -2 (rth)] TJ ET"
+    )
+    base = pdf_bytes_from_lines(["pad"])
+    old = b"<< /Length 22 >>\nstream\nBT\n/F1 11 Tf\n14 TL\n72 720 Td\n(pad) Tj T*\nET\nendstream"
+    # rebuild object 5 wholesale with the exotic stream
+    import re
+
+    m = re.search(rb"5 0 obj\n<< /Length \d+ >>\nstream\n.*?\nendstream\nendobj\n", base, re.S)
+    assert m is not None
+    repl = b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(stream),
+        stream,
+    )
+    raw = base[: m.start()] + repl + base[m.end() :]
+    # the xref offsets after object 5 are now stale → validation drops
+    # them and the scan backstop resolves; text still extracts in order
+    assert extract_pdf_text(raw) == ["first", "second", "third", "fourth"]
