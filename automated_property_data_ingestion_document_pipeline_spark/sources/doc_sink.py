@@ -361,20 +361,50 @@ def extract_docx_text(payload: bytes) -> list[str]:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as e:
         raise DocxUnsupported(f"malformed document.xml: {e}") from e
+    # r07 advice: a <w:p> nested inside another <w:p> (w:txbxContent
+    # text boxes, which Word emits) must not be counted twice — each
+    # run belongs to its NEAREST enclosing paragraph only. One walk:
+    # the outer paragraph collects its own runs, nested paragraphs are
+    # queued and emitted as their own entries right after it.
     paras: list[str] = []
-    for p in root.iter():
-        if p.tag.rsplit("}", 1)[-1] != "p":
-            continue
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def _walk_p(p) -> None:
         parts: list[str] = []
-        for node in p.iter():
-            local = node.tag.rsplit("}", 1)[-1]
-            if local == "t":
-                parts.append(node.text or "")
-            elif local == "tab":
-                parts.append("\t")
-            elif local in ("br", "cr"):
-                parts.append("\n")
+        nested: list = []
+
+        def _collect(node) -> None:
+            for child in node:
+                local = _local(child.tag)
+                if local == "p":
+                    nested.append(child)
+                elif local == "t":
+                    parts.append(child.text or "")
+                elif local == "tab":
+                    parts.append("\t")
+                elif local in ("br", "cr"):
+                    parts.append("\n")
+                else:
+                    _collect(child)
+
+        _collect(p)
         paras.append("".join(parts))
+        for q in nested:
+            _walk_p(q)
+
+    def _top_ps(node) -> None:
+        for child in node:
+            if _local(child.tag) == "p":
+                _walk_p(child)
+            else:
+                _top_ps(child)
+
+    try:
+        _top_ps(root)
+    except RecursionError:  # hostile deep nesting stays a typed refusal
+        raise DocxUnsupported("pathologically nested document.xml") from None
     return paras
 
 

@@ -940,3 +940,45 @@ def test_pdf_content_interpreter_quote_ops_comments_and_dicts():
     # the xref offsets after object 5 are now stale → validation drops
     # them and the scan backstop resolves; text still extracts in order
     assert extract_pdf_text(raw) == ["first", "second", "third", "fourth"]
+
+
+def test_docx_nested_paragraph_counted_once():
+    """r07 advice doc_sink.py:365 — a <w:p> nested inside another <w:p>
+    (Word's w:txbxContent text boxes) must contribute each run exactly
+    once: outer text to the outer paragraph, nested text as its own
+    paragraph, never merged-AND-duplicated."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import (
+        DocxUnsupported,
+        extract_docx_text,
+    )
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    xml = (
+        f'<w:document xmlns:w="{W}"><w:body>'
+        "<w:p><w:r><w:t>outer-a </w:t></w:r>"
+        "<w:pict><w:txbxContent>"
+        "<w:p><w:r><w:t>boxed text</w:t></w:r></w:p>"
+        "</w:txbxContent></w:pict>"
+        "<w:r><w:t>outer-b</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>second</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", xml)
+    got = extract_docx_text(buf.getvalue())
+    assert got == ["outer-a outer-b", "boxed text", "second"], got
+
+    # hostile 3000-deep nesting is a typed refusal, not a RecursionError
+    deep = "<w:p>" * 3000 + "<w:r><w:t>x</w:t></w:r>" + "</w:p>" * 3000
+    xml2 = f'<w:document xmlns:w="{W}"><w:body>{deep}</w:body></w:document>'.encode()
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.writestr("word/document.xml", xml2)
+    with pytest.raises(DocxUnsupported, match="nested"):
+        extract_docx_text(buf2.getvalue())
