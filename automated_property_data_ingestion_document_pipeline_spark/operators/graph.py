@@ -147,7 +147,7 @@ def pagerank_fixedpoint(
     src: str,
     dst: str,
     iterations: int = 8,
-    scale: int = 10**12,
+    scale: int | None = None,
 ) -> DataFrame:
     """PageRank in EXACT fixed-point integer arithmetic — the portable
     twin of :func:`pagerank`. The float form is rows-only at the driver
@@ -162,18 +162,45 @@ def pagerank_fixedpoint(
     division at both sites, on values that are strictly positive, so
     Spark's ``div`` (truncate) and an oracle's floor-div agree. The
     plan shape is identical to the float form: two shuffles per
-    iteration with ``localCheckpoint`` lineage cuts. Overflow bound:
-    one node's contribution sum is at most the graph's total mass
-    ``|V| * scale``, and the ``* 17`` step needs that under 2^63 —
-    ``scale = 10**12`` is safe to ~5e5 nodes; pass ``scale = 10**9``
-    for larger graphs (still 9 exact decimal digits of rank)."""
-    base = 3 * scale // 20
+    iteration with ``localCheckpoint`` lineage cuts.
+
+    Overflow bound, ENFORCED (r07 advice — Spark's non-ANSI long
+    arithmetic wraps silently while a BIGINT oracle errors, a
+    silent-corruption/oracle-divergence pair): one node's contribution
+    sum is at most the graph's total mass ``|V| * scale``, and the
+    ``* 17`` damping step needs that under 2^63. ``scale=None`` (the
+    default) auto-derives the largest power of 10 satisfying the bound,
+    capped at 10**12 (so every graph up to ~5.4e5 nodes keeps the
+    12-digit unit and larger graphs degrade gracefully — 10**9 still
+    carries 9 exact decimal digits of rank). An EXPLICIT ``scale``
+    (the static-SQL-oracle contract, which bakes the unit into the
+    replayed CTE) is validated against the same bound and raises a
+    typed ``ValueError`` instead of wrapping. Node counting is one
+    ``countDistinct`` over the checkpointed adjacency — an O(|V|)
+    aggregate, not a collect."""
     ce = canonical_edges(edges, src, dst)
     both = ce.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
         ce.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
     outdeg = both.groupBy("s").agg(F.count("*").alias("odeg"))
     adj = both.join(outdeg, "s").localCheckpoint(eager=True)
+    n_nodes = adj.select(F.countDistinct("s").alias("n")).first()["n"] or 1
+    scale_max = (2**63 - 1) // (17 * n_nodes)
+    if scale is None:
+        scale = 10**12
+        while scale > scale_max:
+            scale //= 10
+        if scale < 10**6:
+            raise ValueError(
+                f"pagerank_fixedpoint: |V|={n_nodes} leaves under 6 exact "
+                f"decimal digits of rank at the 2^63 bound; shard the graph"
+            )
+    elif scale > scale_max:
+        raise ValueError(
+            f"pagerank_fixedpoint overflow: 17 * |V|({n_nodes}) * "
+            f"scale({scale}) exceeds 2^63; max safe scale is {scale_max}"
+        )
+    base = 3 * scale // 20
     ranks = outdeg.select(
         F.col("s").alias("node"), F.lit(scale).cast("long").alias("rank_fp")
     )

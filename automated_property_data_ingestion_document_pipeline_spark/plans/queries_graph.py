@@ -125,8 +125,11 @@ def q_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 rounds. Same two-shuffles-per-iteration plan and localCheckpoint
     lineage hygiene as the production float lane (operators/graph.py);
     upgrades the graph family's last rows-only algorithm to
-    oracle-backed, the q_minhash_portable pattern applied to iteration."""
-    return graph.pagerank_fixedpoint(_edges(spark, sf_dir), "a", "b")
+    oracle-backed, the q_minhash_portable pattern applied to iteration.
+    ``scale`` is EXPLICIT because the static oracle bakes the 1e-12
+    unit into the replayed CTE; the operator validates it against the
+    2^63 bound and raises typed instead of wrapping (r07 advice)."""
+    return graph.pagerank_fixedpoint(_edges(spark, sf_dir), "a", "b", scale=_PR_SCALE)
 
 
 @query(

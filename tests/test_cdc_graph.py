@@ -133,3 +133,41 @@ def test_pagerank_fixedpoint_small_scale_knob(spark):
     assert max(fp, key=fp.get) == 0
     for n in fp:
         assert abs(fp[n] / 1e9 - fl[n]) < 1e-3
+
+
+def test_pagerank_fixedpoint_overflow_bound_enforced(spark):
+    """r07 advice graph.py:145 / verdict ask #4: the 2^63 bound is
+    enforced, not documented. An explicit scale that 17·|V|·scale would
+    overflow raises typed ValueError (never wrapped ranks); the default
+    auto-derives a smaller power of 10 that satisfies the bound and
+    still runs; small graphs keep the full 1e-12 unit so driver-corpus
+    output is unchanged."""
+    import pytest
+
+    # 600k nodes: a star forest of 60 hubs × 10k leaves (120k edges is
+    # plenty to carry the |V| mass; built distributed, not collected)
+    from pyspark.sql import functions as F
+
+    n_hubs, leaves = 60, 10_000
+    e = (
+        spark.range(n_hubs * leaves)
+        .select(
+            (F.col("id") % n_hubs).alias("a"),
+            (F.lit(n_hubs) + F.col("id")).alias("b"),
+        )
+    )
+    with pytest.raises(ValueError, match="max safe scale"):
+        graph.pagerank_fixedpoint(e, "a", "b", scale=10**12, iterations=1)
+    # default auto-derives: 17 * 600060 * scale < 2^63 → scale = 10**11
+    ranks = graph.pagerank_fixedpoint(e, "a", "b", iterations=1)
+    one = ranks.filter(F.col("node") == 0).first()
+    assert one is not None and one.rank_fp > 10**11  # hub rank > 1.0 in 1e-11 units
+
+    # small graph: auto-derived default == explicit 10**12, bit-identical
+    small = _df(spark, "a long, b long", [(1, 2), (2, 3), (3, 4), (4, 5)])
+    auto = {r.node: r.rank_fp for r in graph.pagerank_fixedpoint(small, "a", "b").collect()}
+    pinned = {
+        r.node: r.rank_fp
+        for r in graph.pagerank_fixedpoint(small, "a", "b", scale=10**12).collect()
+    }
+    assert auto == pinned
