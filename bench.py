@@ -140,6 +140,10 @@ HEADLINE = [
     # oracle-backed
     "q_pagerank_portable",
     "q_embedding_neardup_portable",
+    # round-8: the real-template render→extract lane and the
+    # archive-of-reports S9×S8 composition
+    "q_ref_template_extract",
+    "q_report_archive_extract",
 ]
 
 

@@ -518,3 +518,22 @@ def test_centroid_assign_zero_exchanges(spark, sf_dir):
     # the assignment is Arrow-batched, never row-at-a-time Python
     assert "ArrowEvalPython" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan
+
+
+def test_ref_template_extract_map_only(spark, sf_dir):
+    """r08: the real-template render→extract lane is scan → row-local
+    mapInPandas — zero exchanges; template bytes ride the task closure,
+    never a join. An Exchange here means the artifact roundtrip stopped
+    being embarrassingly parallel."""
+    plan = plan_of(spark, sf_dir, "q_ref_template_extract")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
+
+
+def test_report_archive_extract_map_only(spark, sf_dir):
+    """r08: the ZIP-of-PDF-reports composition (S9 × S8) is scan →
+    row-local mapInPandas — zip pack/unpack, PDF render and xref-indexed
+    extract all inside one task; zero exchanges."""
+    plan = plan_of(spark, sf_dir, "q_report_archive_extract")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
