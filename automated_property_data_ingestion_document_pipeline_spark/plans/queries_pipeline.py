@@ -1165,20 +1165,25 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's domain artifacts ARE PDFs, report_generator.py:
     92-103): each document's 50 deterministic parcel-record lines are
     rendered to a REAL two-page PDF by the S8 writer and extracted
-    back. doc_id % 4 cycles the container through every layout real
-    writers emit AND every extractor path (r07): plain Tj, FlateDecode
-    Tj, FlateDecode TJ arrays (Word's form), and FlateDecode hex
-    strings through an identity /ToUnicode CMap (LibreOffice's
-    subset-font form) — so the driver's one hash VALUE-verifies page
-    targeting, inflate, TJ array parsing, CMap decode, and escape
-    round-trip at once. The oracle rebuilds the same strings in pure
-    SQL — it never sees a PDF. Row-local mapInPandas; 4 ints per doc
-    leave the executor."""
+    back. doc_id % 5 cycles the container through every layout real
+    writers emit AND every extractor path: plain Tj, FlateDecode Tj,
+    FlateDecode TJ arrays (Word's form), FlateDecode hex strings
+    through an identity /ToUnicode CMap (LibreOffice's subset-font
+    form) — and (r08) an INCREMENTALLY-UPDATED container whose first
+    generation is decoy text superseded by an appended update + /Prev
+    xref chain (the signed/edited-file shape): an extractor that
+    resolves objects by first byte-scan match extracts the stale decoy
+    and FAILS the hash, so the driver's one value hash now witnesses
+    page targeting, inflate, TJ parsing, CMap decode, escape
+    round-trip, AND latest-generation object resolution. The oracle
+    rebuilds the same strings in pure SQL — it never sees a PDF.
+    Row-local mapInPandas; 4 ints per doc leave the executor."""
     import pandas as pd
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
         extract_pdf_text,
         pdf_bytes_from_lines,
+        pdf_bytes_with_incremental_update,
     )
 
     d = (
@@ -1196,12 +1201,17 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"parcel {did} record {k} value {(did * 7 + k * 13) % 1000}"
                     for k in range(50)
                 ]
-                form = did % 4  # 0: plain Tj, 1: flate Tj, 2: flate TJ, 3: flate hex+CMap
-                payload = pdf_bytes_from_lines(
-                    lines,
-                    compress=form != 0,
-                    text_op={2: "TJ", 3: "hex"}.get(form, "Tj"),
-                )
+                # 0: plain Tj, 1: flate Tj, 2: flate TJ, 3: flate
+                # hex+CMap, 4: incremental update superseding decoy text
+                form = did % 5
+                if form == 4:
+                    payload = pdf_bytes_with_incremental_update(lines)
+                else:
+                    payload = pdf_bytes_from_lines(
+                        lines,
+                        compress=form != 0,
+                        text_op={2: "TJ", 3: "hex"}.get(form, "Tj"),
+                    )
                 got = extract_pdf_text(payload)  # the REAL bytes
                 out["doc_id"].append(did)
                 out["n_lines"].append(len(got))

@@ -168,6 +168,64 @@ def pdf_bytes_from_lines(
     return bytes(buf)
 
 
+def pdf_incremental_update(base: bytes, replacements: "dict[int, bytes]") -> bytes:
+    """Append an incremental update (PDF §7.5.6) to ``base``: each
+    object number in ``replacements`` gets a new generation-0 body
+    appended after ``%%EOF``, plus a new xref section whose trailer
+    ``/Prev`` links the previous one — the container shape
+    signed/edited PDFs carry in the wild, and the first-party fixture
+    for the extractor's latest-generation-wins object resolution
+    (PERFORMANCE.md finding 82)."""
+    import re
+
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", base):
+        pass
+    if m is None:
+        raise ValueError("base has no startxref to chain from")
+    prev_xref = int(m.group(1))
+    sm = re.search(rb"/Size\s+(\d+)", base[base.rfind(b"trailer") :])
+    size = int(sm.group(1)) if sm else max(replacements) + 2
+    out = bytearray(base)
+    offs: dict[int, int] = {}
+    for num, body in sorted(replacements.items()):
+        offs[num] = len(out)
+        out += b"%d 0 obj\n%s\nendobj\n" % (num, body)
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for num, off in sorted(offs.items()):
+        out += b"%d 1\n%010d 00000 n \n" % (num, off)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, prev_xref, xref_at)
+    )
+    return bytes(out)
+
+
+def pdf_bytes_with_incremental_update(
+    lines: list[str], decoy: str = "SUPERSEDED"
+) -> bytes:
+    """A PDF whose FIRST generation shows ``decoy`` on every line and
+    whose appended incremental update replaces every page content
+    stream with the real ``lines``. An extractor that resolves objects
+    by first byte-scan match extracts the stale decoy text — the
+    failure mode the xref-chain index exists to prevent, made
+    driver-visible via q_pdf_extract's form cycle."""
+    n = max(len(lines), 1)
+    base = pdf_bytes_from_lines([decoy] * n)
+    pages = [
+        lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)
+    ] or [[]]
+    repl: dict[int, bytes] = {}
+    for i, page_lines in enumerate(pages):
+        stream = _content_stream(page_lines)
+        repl[5 + 2 * i] = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+            len(stream),
+            stream,
+        )
+    return pdf_incremental_update(base, repl)
+
+
 class PdfUnsupported(ValueError):
     """Payload is not a PDF this extractor handles (bad header, broken
     FlateDecode stream, unsupported stream filter, ...)."""

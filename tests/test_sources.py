@@ -982,3 +982,21 @@ def test_docx_nested_paragraph_counted_once():
         z.writestr("word/document.xml", xml2)
     with pytest.raises(DocxUnsupported, match="nested"):
         extract_docx_text(buf2.getvalue())
+
+
+def test_pdf_incremental_update_fixture_roundtrip():
+    """r08: the incremental-update writer fixture (q_pdf_extract form
+    4) — the decoy first generation is physically present in the bytes,
+    the appended update supersedes every page content stream, and the
+    extractor returns only the updated text. A first-match scan
+    resolver would return the decoy."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_with_incremental_update,
+    )
+
+    for n in (1, 3, 50, 93):  # 1 and 2 and 3 page shapes
+        lines = [f"row {k} ok" for k in range(n)]
+        pdf = pdf_bytes_with_incremental_update(lines)
+        assert pdf.count(b"SUPERSEDED") == n
+        assert extract_pdf_text(pdf) == lines, n
