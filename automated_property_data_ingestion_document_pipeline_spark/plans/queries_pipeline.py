@@ -1169,20 +1169,25 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     writers emit AND every extractor path: plain Tj, FlateDecode Tj,
     FlateDecode TJ arrays (Word's form), FlateDecode hex strings
     through an identity /ToUnicode CMap (LibreOffice's subset-font
-    form) — and (r08) an INCREMENTALLY-UPDATED container whose first
-    generation is decoy text superseded by an appended update + /Prev
-    xref chain (the signed/edited-file shape): an extractor that
-    resolves objects by first byte-scan match extracts the stale decoy
-    and FAILS the hash, so the driver's one value hash now witnesses
-    page targeting, inflate, TJ parsing, CMap decode, escape
-    round-trip, AND latest-generation object resolution. The oracle
-    rebuilds the same strings in pure SQL — it never sees a PDF.
-    Row-local mapInPandas; 4 ints per doc leave the executor."""
+    form) — and (r08) two container layouts only the xref-chain index
+    resolves: an INCREMENTALLY-UPDATED file whose first generation is
+    decoy text superseded by an appended update + /Prev chain (the
+    signed/edited-file shape — a first-byte-scan-match resolver
+    extracts the stale decoy and FAILS the hash) and the PDF 1.5
+    MODERN layout (page/font dicts compressed inside /Type /ObjStm,
+    cross-reference as a /Type /XRef binary stream, PNG predictor 12
+    alternating by did // 6 — what current Word/LibO exports look like). The
+    driver's one value hash therefore witnesses page targeting,
+    inflate, TJ parsing, CMap decode, escape round-trip,
+    latest-generation resolution, AND xref-stream/ObjStm decode. The
+    oracle rebuilds the same strings in pure SQL — it never sees a
+    PDF. Row-local mapInPandas; 4 ints per doc leave the executor."""
     import pandas as pd
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
         extract_pdf_text,
         pdf_bytes_from_lines,
+        pdf_bytes_modern,
         pdf_bytes_with_incremental_update,
     )
 
@@ -1202,10 +1207,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for k in range(50)
                 ]
                 # 0: plain Tj, 1: flate Tj, 2: flate TJ, 3: flate
-                # hex+CMap, 4: incremental update superseding decoy text
-                form = did % 5
+                # hex+CMap, 4: incremental update superseding decoy
+                # text, 5: PDF 1.5 ObjStm + xref stream (predictor 12
+                # alternating by did // 6)
+                form = did % 6
                 if form == 4:
                     payload = pdf_bytes_with_incremental_update(lines)
+                elif form == 5:
+                    payload = pdf_bytes_modern(lines, predictor=(did // 6) % 2 == 0)
                 else:
                     payload = pdf_bytes_from_lines(
                         lines,

@@ -168,6 +168,110 @@ def pdf_bytes_from_lines(
     return bytes(buf)
 
 
+def pdf_bytes_modern(
+    lines: list[str], predictor: bool = False, text_op: str = "Tj"
+) -> bytes:
+    """The PDF 1.5 container layout every modern Word/LibreOffice export
+    uses (first-party fixture for the extractor's xref-stream + ObjStm
+    path, finding 86): catalog, page tree, font, and page dictionaries
+    live COMPRESSED inside a /Type /ObjStm object stream (§7.5.7);
+    content streams stay regular; the cross-reference is a /Type /XRef
+    STREAM (§7.5.8) with /W [1 2 2] binary rows — optionally PNG
+    /Predictor 12 up-filtered, the form real writers emit — and the
+    trailer dictionary folded into the xref stream's own dict. Same
+    document model and determinism as :func:`pdf_bytes_from_lines`."""
+    import zlib
+
+    pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
+    if not pages:
+        pages = [[]]
+    n = len(pages)
+    # numbering: 1 ObjStm container; members 2 catalog, 3 pages tree,
+    # 4 font, 5..4+n page dicts; regular: 5+n..4+2n contents, 5+2n xref
+    members: list[tuple[int, bytes]] = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (
+            3,
+            b"<< /Type /Pages /Kids [%s] /Count %d >>"
+            % (" ".join(f"{5 + i} 0 R" for i in range(n)).encode(), n),
+        ),
+        (
+            4,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+        ),
+    ]
+    for i in range(n):
+        members.append(
+            (
+                5 + i,
+                b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 %d %d] "
+                b"/Resources << /Font << /F1 4 0 R >> >> /Contents %d 0 R >>"
+                % (PAGE_W, PAGE_H, 5 + n + i),
+            )
+        )
+    header, bodies, off = [], [], 0
+    for num, body in members:
+        header.append(b"%d %d" % (num, off))
+        bodies.append(body)
+        off += len(body) + 1
+    stm_head = b" ".join(header) + b"\n"
+    stm = stm_head + b"\n".join(bodies) + b"\n"
+    stm_flate = zlib.compress(stm, 6)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    offsets[1] = len(buf)
+    buf += (
+        b"1 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(members), len(stm_head), len(stm_flate), stm_flate)
+    )
+    for i, page_lines in enumerate(pages):
+        content = zlib.compress(_content_stream(page_lines, text_op), 6)
+        offsets[5 + n + i] = len(buf)
+        buf += (
+            b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\n"
+            b"stream\n%s\nendstream\nendobj\n"
+            % (5 + n + i, len(content), content)
+        )
+    xref_num = 5 + 2 * n
+    xref_at = len(buf)
+    offsets[xref_num] = xref_at
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num == 1 or num in offsets:
+            t, f2, f3 = 1, offsets.get(num, 0), 0
+        else:  # ObjStm member: container 1, index within
+            t, f2, f3 = 2, 1, num - 2
+        rows += bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+    if predictor:
+        rowlen = 5
+        filtered = bytearray()
+        prev = bytearray(rowlen)
+        for r in range(0, len(rows), rowlen):
+            row = rows[r : r + rowlen]
+            filtered += b"\x02" + bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(rowlen)
+            )
+            prev = row
+        xdata = zlib.compress(bytes(filtered), 6)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 5 >>"
+    else:
+        xdata = zlib.compress(bytes(rows), 6)
+        parms = b""
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 2] /Root 2 0 R "
+        b"/Length %d /Filter /FlateDecode%s >>\nstream\n%s\nendstream\nendobj\n"
+        % (xref_num, size, len(xdata), parms, xdata)
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(buf)
+
+
 def pdf_incremental_update(base: bytes, replacements: "dict[int, bytes]") -> bytes:
     """Append an incremental update (PDF §7.5.6) to ``base``: each
     object number in ``replacements`` gets a new generation-0 body
@@ -248,8 +352,12 @@ def _stream_length(dct: bytes, idx: "_ObjIndex") -> int:
     if lm.group(2) is None:
         return int(lm.group(1))
     obj_num = int(lm.group(1))
-    body = idx.locate(obj_num)
-    om = re.match(rb"\s*(\d+)\s*endobj", idx.payload[body : body + 48])
+    inline = idx.inline_body(obj_num)
+    if inline is not None:
+        om = re.match(rb"\s*(\d+)\s*$", inline[:48])
+    else:
+        body = idx.locate(obj_num)
+        om = re.match(rb"\s*(\d+)\s*endobj", idx.payload[body : body + 48])
     if om is None:
         raise PdfUnsupported(f"unresolvable indirect /Length object {obj_num}")
     return int(om.group(1))
@@ -293,48 +401,157 @@ def _dict_span(payload: bytes, at: int) -> int:
     raise PdfUnsupported("unterminated or oversized object dictionary")
 
 
+_MAX_OBJSTM_OBJECTS = 65536  # /N cap — a hostile object stream is refused typed
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row filters over fixed-width byte rows (PDF §7.4.4.4
+    via RFC 2083; xref streams are written with /Predictor 12 by real
+    writers): each row is one filter-type byte + ``columns`` data bytes,
+    bpp = 1. Filters 0 none / 1 sub / 2 up / 3 average / 4 paeth."""
+    rowlen = columns + 1
+    if columns <= 0 or len(data) % rowlen:
+        raise PdfUnsupported("predictor data not row-aligned")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), rowlen):
+        ftype = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if ftype == 0:
+            pass
+        elif ftype == 1:
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ftype == 2:
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise PdfUnsupported(f"unsupported PNG predictor filter {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _ObjIndex:
     """Offset index over a PDF's indirect objects (r07 advice: resolve
     by the xref chain, not the first byte-scan match).
 
-    Primary source: the classic trailer/xref chain, walked newest-first
-    from the final ``startxref`` (PDF §7.5.4/§7.5.5 — the newest table's
-    entry per object number wins, so an incremental update's stale
-    generation can never shadow the live one, and objects the newest
-    table marks free stop resolving at all). Word's hybrid-reference
-    trailers (empty ``0 0`` table + ``/XRefStm`` + ``/Prev``) resolve
-    through the ``/Prev`` classic chain. Every chain offset is validated
-    to land on ``N G obj``; invalid entries drop to the backstop.
+    Primary source: the cross-reference chain, walked newest-first from
+    the final ``startxref`` — CLASSIC trailer/xref tables (PDF
+    §7.5.4/§7.5.5) and (r08) cross-reference STREAMS (§7.5.8: /W field
+    widths, /Index subsections, optional PNG /Predictor) both handled,
+    chained through ``/Prev`` and Word's hybrid ``/XRefStm`` pointers.
+    The newest entry per object number wins, so an incremental update's
+    stale generation can never shadow the live one, and objects the
+    newest section marks free stop resolving at all. Type-2 entries
+    (§7.5.8.3) resolve through OBJECT STREAMS (§7.5.7): each /ObjStm
+    container is inflated once, its ``num offset`` header parsed, and
+    member bodies are indexed as inline bytes — so PDF 1.5 files whose
+    page/font dictionaries live compressed (every modern Word/LibO
+    export) resolve first-class instead of falling to the
+    walk-every-stream path. Every type-1 offset is validated to land on
+    ``N G obj``; invalid entries drop to the backstop.
 
-    Backstop (xref-less fixtures, PDF 1.5 xref *streams*, damaged
-    tables): a consumed-region-aware linear scan that skips declared
-    stream bodies — so a ``\\nN 0 obj`` byte pattern inside a
-    FlateDecode body can't shadow a real object — keeping the highest
-    generation and, within a generation, the LAST occurrence (appended
-    incremental updates win)."""
+    Backstop (xref-less fixtures, damaged tables): a
+    consumed-region-aware linear scan that skips declared stream bodies
+    — so a ``\\nN 0 obj`` byte pattern inside a FlateDecode body can't
+    shadow a real object — keeping the highest generation and, within a
+    generation, the LAST occurrence (appended incremental updates
+    win)."""
 
-    __slots__ = ("payload", "_offsets")
+    __slots__ = ("payload", "_offsets", "_inline", "_inline_order")
 
     def __init__(self, payload: bytes):
         self.payload = payload
         offsets = self._scan()
-        chain, freed = self._xref_chain()
+        chain, freed, stm_refs = self._xref_chain()
         offsets.update(chain)
         for num in freed:
             offsets.pop(num, None)
         self._offsets = offsets
+        self._inline: dict[int, bytes] = {}
+        self._inline_order: list[int] = []
+        self._extract_objstm(stm_refs)
 
     def locate(self, num: int) -> int:
-        """Offset just past object ``num``'s ``N G obj`` token."""
+        """Offset just past object ``num``'s ``N G obj`` token (regular
+        objects only; ObjStm members have no file offset — consumers
+        branch on :meth:`inline_body` first)."""
         off = self._offsets.get(num)
         if off is None:
             raise PdfUnsupported(f"missing object {num}")
         return off
 
-    def objects_in_order(self) -> list[tuple[int, int]]:
-        """(object number, body offset) pairs in file-byte order — the
-        document order _pages relies on."""
-        return sorted(self._offsets.items(), key=lambda kv: kv[1])
+    def inline_body(self, num: int) -> "bytes | None":
+        """Object ``num``'s body bytes when it lives inside an object
+        stream; None for regular objects."""
+        return self._inline.get(num)
+
+    def objects_in_order(self) -> "list[tuple[int, int | None]]":
+        """(object number, body offset | None-for-inline) pairs in
+        document order — regular objects by file-byte position, ObjStm
+        members after them in container/index order."""
+        regular = sorted(self._offsets.items(), key=lambda kv: kv[1])
+        return [*regular, *((n, None) for n in self._inline_order)]
+
+    def _extract_objstm(self, stm_refs: "dict[int, tuple[int, int]]") -> None:
+        """Resolve type-2 xref entries: inflate each referenced /ObjStm
+        container once (caps enforced), parse its ``num offset`` header
+        pairs, slice member bodies. A broken container is a typed
+        refusal only for its own members at use time (they simply stay
+        missing), matching the per-object quarantine philosophy."""
+        import re
+
+        if not stm_refs:
+            return
+        by_container: dict[int, list[tuple[int, int]]] = {}
+        for num, (container, idx_in) in stm_refs.items():
+            by_container.setdefault(container, []).append((idx_in, num))
+        for container, members in sorted(by_container.items()):
+            if container not in self._offsets:
+                continue
+            try:
+                body = _object_stream(self, container)
+                dct = _object_dict(self, container)
+            except PdfUnsupported:
+                continue
+            if not re.search(rb"/Type\s*/ObjStm\b", dct):
+                continue
+            nm = re.search(rb"/N\s+(\d+)", dct)
+            fm = re.search(rb"/First\s+(\d+)", dct)
+            if nm is None or fm is None:
+                continue
+            n, first = int(nm.group(1)), int(fm.group(1))
+            if n > _MAX_OBJSTM_OBJECTS or first > len(body):
+                raise PdfUnsupported("hostile object stream header")
+            pairs = re.findall(rb"(\d+)\s+(\d+)", body[:first])[:n]
+            bounds = [int(o) for _, o in pairs] + [len(body) - first]
+            claimed = {idx: num for idx, num in members}
+            for i, (num_b, _off) in enumerate(pairs):
+                num = int(num_b)
+                # only index members the xref chain actually points here
+                # (newest-wins: a superseded copy inside an old ObjStm
+                # must not resurrect), and never shadow a regular object
+                if claimed.get(i) != num or num in self._offsets:
+                    continue
+                start, end = first + bounds[i], first + bounds[i + 1]
+                if not 0 <= start <= end <= len(body):
+                    continue
+                self._inline[num] = body[start:end]
+                self._inline_order.append(num)
 
     def _scan(self) -> dict[int, int]:
         import re
@@ -371,69 +588,192 @@ class _ObjIndex:
                 consumed_to = j if j != -1 else len(payload)
         return {num: off for num, (gen, off) in best.items()}
 
-    def _xref_chain(self) -> tuple[dict[int, int], set[int]]:
+    def _xref_chain(
+        self,
+    ) -> "tuple[dict[int, int], set[int], dict[int, tuple[int, int]]]":
+        """Walk the cross-reference chain newest-first. Returns
+        (validated num→body-offset for type-1 entries, freed numbers,
+        type-2 num→(objstm container, index) refs). Classic sections
+        queue their trailer's /XRefStm (hybrid files) then /Prev; xref
+        streams queue their /Prev. A malformed section stops the walk
+        (scan backstop takes over) without discarding sections already
+        parsed."""
         import re
 
         payload = self.payload
         sx = payload.rfind(b"startxref")
         if sx == -1:
-            return {}, set()
+            return {}, set(), {}
         m = re.match(rb"startxref\s+(\d+)", payload[sx : sx + 64])
         if m is None:
-            return {}, set()
-        pos, seen = int(m.group(1)), set()
-        entries: dict[int, tuple[int, bytes]] = {}  # newest table wins
-        while pos not in seen and 0 <= pos < len(payload):
+            return {}, set(), {}
+        queue, seen = [int(m.group(1))], set()
+        # newest section wins per object number, across ALL entry kinds
+        entries: dict[int, tuple[bytes, int, int]] = {}  # num -> (kind, f2, f3)
+        while queue:
+            pos = queue.pop(0)
+            if pos in seen or not 0 <= pos < len(payload):
+                continue
             seen.add(pos)
-            if not payload.startswith(b"xref", pos):
-                break  # PDF 1.5 xref stream — the scan backstop covers it
-            i = pos + 4
-            while True:
-                sm = re.match(
-                    rb"[ \t\r\n]*(\d+)[ \t]+(\d+)[ \t]*(?:\r\n|\r|\n)",
-                    payload[i : i + 48],
-                )
-                if sm is None:
-                    break
-                first, count = int(sm.group(1)), int(sm.group(2))
-                if count > 8_000_000:  # hostile table
-                    return {}, set()
-                i += sm.end()
-                for k in range(count):
-                    em = re.match(
-                        rb"(\d{10})[ ](\d{5})[ ]([nf])[ \r\n]{0,3}",
-                        payload[i : i + 21],
-                    )
-                    if em is None:
-                        return {}, set()
-                    num = first + k
-                    if num not in entries:
-                        entries[num] = (int(em.group(1)), em.group(3))
-                    i += em.end()
-            tm = re.search(rb"trailer", payload[i : i + 64])
-            if tm is None:
-                break
-            tstart = payload.find(b"<<", i + tm.end())
-            if tstart == -1:
-                break
-            try:
-                trailer = payload[tstart : _dict_span(payload, tstart)]
-            except PdfUnsupported:
-                break
-            pm = re.search(rb"/Prev\s+(\d+)", trailer)
-            if pm is None:
-                break
-            pos = int(pm.group(1))
+            if payload.startswith(b"xref", pos):
+                nxt = self._parse_classic_section(pos, entries)
+            else:
+                nxt = self._parse_xref_stream(pos, entries)
+            queue.extend(nxt)
         out: dict[int, int] = {}
         freed: set[int] = set()
-        for num, (off, typ) in entries.items():
-            if typ == b"f":
+        stm_refs: dict[int, tuple[int, int]] = {}
+        for num, (kind, f2, f3) in entries.items():
+            if kind == b"f":
                 freed.add(num)
-                continue
-            vm = re.match(rb"(\d+)\s+\d+\s+obj\b", payload[off : off + 48])
-            if vm is not None and int(vm.group(1)) == num:
-                out[num] = off + vm.end()
-        return out, freed
+            elif kind == b"s":  # lives in object stream f2 at index f3
+                stm_refs[num] = (f2, f3)
+            else:
+                vm = re.match(rb"(\d+)\s+\d+\s+obj\b", payload[f2 : f2 + 48])
+                if vm is not None and int(vm.group(1)) == num:
+                    out[num] = f2 + vm.end()
+        return out, freed, stm_refs
+
+    def _parse_classic_section(
+        self, pos: int, entries: "dict[int, tuple[bytes, int, int]]"
+    ) -> list[int]:
+        """One classic ``xref`` table + trailer at ``pos``; fills
+        ``entries`` (first writer per num wins — newest-first walk) and
+        returns follow-up positions (/XRefStm first, then /Prev)."""
+        import re
+
+        payload = self.payload
+        i = pos + 4
+        while True:
+            sm = re.match(
+                rb"[ \t\r\n]*(\d+)[ \t]+(\d+)[ \t]*(?:\r\n|\r|\n)",
+                payload[i : i + 48],
+            )
+            if sm is None:
+                break
+            first, count = int(sm.group(1)), int(sm.group(2))
+            if count > 8_000_000:  # hostile table
+                return []
+            i += sm.end()
+            for k in range(count):
+                em = re.match(
+                    rb"(\d{10})[ ](\d{5})[ ]([nf])[ \r\n]{0,3}",
+                    payload[i : i + 21],
+                )
+                if em is None:
+                    return []
+                num = first + k
+                if num not in entries:
+                    entries[num] = (em.group(3), int(em.group(1)), 0)
+                i += em.end()
+        tm = re.search(rb"trailer", payload[i : i + 64])
+        if tm is None:
+            return []
+        tstart = payload.find(b"<<", i + tm.end())
+        if tstart == -1:
+            return []
+        try:
+            trailer = payload[tstart : _dict_span(payload, tstart)]
+        except PdfUnsupported:
+            return []
+        nxt = []
+        hm = re.search(rb"/XRefStm\s+(\d+)", trailer)
+        if hm is not None:
+            nxt.append(int(hm.group(1)))
+        pm = re.search(rb"/Prev\s+(\d+)", trailer)
+        if pm is not None:
+            nxt.append(int(pm.group(1)))
+        return nxt
+
+    def _parse_xref_stream(
+        self, pos: int, entries: "dict[int, tuple[bytes, int, int]]"
+    ) -> list[int]:
+        """One cross-reference STREAM object (§7.5.8) at ``pos``:
+        /W-packed binary rows over /Index subsections, FlateDecode with
+        optional PNG /Predictor. /Length must be direct (resolving an
+        indirect length needs the index being built — real writers emit
+        direct). Returns the /Prev follow-up, if any."""
+        import re
+        import zlib
+
+        payload = self.payload
+        om = re.match(rb"(\d+)\s+\d+\s+obj\b", payload[pos : pos + 48])
+        if om is None:
+            return []
+        i = pos + om.end()
+        while payload[i : i + 1] in b" \t\r\n":
+            i += 1
+        if payload[i : i + 2] != b"<<":
+            return []
+        try:
+            dend = _dict_span(payload, i)
+        except PdfUnsupported:
+            return []
+        dct = payload[i:dend]
+        if not re.search(rb"/Type\s*/XRef\b", dct):
+            return []
+        wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", dct)
+        szm = re.search(rb"/Size\s+(\d+)", dct)
+        lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", dct)
+        sm = re.match(rb"\s*stream\r?\n", payload[dend : dend + 16])
+        if wm is None or szm is None or lm is None or sm is None:
+            return []
+        w1, w2, w3 = (int(wm.group(j)) for j in (1, 2, 3))
+        size, length = int(szm.group(1)), int(lm.group(1))
+        rowlen = w1 + w2 + w3
+        if rowlen == 0 or rowlen > 32 or length > _MAX_STREAM_BYTES:
+            return []
+        start = dend + sm.end()
+        data = payload[start : start + length]
+        if len(data) != length:
+            return []
+        if b"/Filter" in dct:
+            if b"/FlateDecode" not in dct:
+                return []
+            d = zlib.decompressobj()
+            try:
+                data = d.decompress(data, _MAX_STREAM_BYTES + 1)
+            except zlib.error:
+                return []
+            if len(data) > _MAX_STREAM_BYTES or not d.eof:
+                return []
+        prm = re.search(rb"/Predictor\s+(\d+)", dct)
+        if prm is not None and int(prm.group(1)) >= 10:
+            cm = re.search(rb"/Columns\s+(\d+)", dct)
+            try:
+                data = _png_unpredict(
+                    data, int(cm.group(1)) if cm else rowlen
+                )
+            except PdfUnsupported:
+                return []
+        index = [0, size]
+        im = re.search(rb"/Index\s*\[((?:\s*\d+)+)\s*\]", dct)
+        if im is not None:
+            index = [int(x) for x in im.group(1).split()]
+        r = 0
+        for first, count in zip(index[0::2], index[1::2]):
+            if count > 8_000_000:
+                return []
+            for k in range(count):
+                row = data[r * rowlen : (r + 1) * rowlen]
+                r += 1
+                if len(row) < rowlen:
+                    return []
+                t = int.from_bytes(row[:w1], "big") if w1 else 1
+                f2 = int.from_bytes(row[w1 : w1 + w2], "big")
+                f3 = int.from_bytes(row[w1 + w2 :], "big")
+                num = first + k
+                if num in entries:
+                    continue
+                if t == 0:
+                    entries[num] = (b"f", f2, f3)
+                elif t == 1:
+                    entries[num] = (b"n", f2, f3)
+                elif t == 2:
+                    entries[num] = (b"s", f2, f3)
+                # unknown types: skip (spec: treat as null reference)
+        pm = re.search(rb"/Prev\s+(\d+)", dct)
+        return [int(pm.group(1))] if pm is not None else []
 
 
 def _pages(idx: "_ObjIndex") -> list[tuple[list[int], bytes]]:
@@ -447,14 +787,19 @@ def _pages(idx: "_ObjIndex") -> list[tuple[list[int], bytes]]:
 
     payload = idx.payload
     pages: list[tuple[list[int], bytes]] = []
-    for _num, body in idx.objects_in_order():
-        i = body
-        while payload[i : i + 1] in b" \t\r\n":
+    for num, body in idx.objects_in_order():
+        if body is None:  # ObjStm member: body bytes start at offset 0
+            src, i = idx.inline_body(num), 0
+            if src is None:
+                continue
+        else:
+            src, i = payload, body
+        while src[i : i + 1] in b" \t\r\n":
             i += 1
-        if payload[i : i + 2] != b"<<":
+        if src[i : i + 2] != b"<<":
             continue
         try:
-            dct = payload[i : _dict_span(payload, i)]
+            dct = src[i : _dict_span(src, i)]
         except PdfUnsupported:
             continue  # a non-page object with a hostile dict is not ours to refuse
         if not re.search(rb"/Type\s*/Page(?![0-9A-Za-z])", dct):
@@ -508,9 +853,12 @@ def _stream_body(idx: "_ObjIndex", dct: bytes, start: int) -> tuple[bytes, int]:
 def _object_stream(idx: "_ObjIndex", num: int) -> bytes:
     """Locate object ``num``'s stream body via the object index (dict
     scanned with balanced ``<< >>``, body sliced/validated/inflated by
-    :func:`_stream_body`)."""
+    :func:`_stream_body`). Spec §7.5.7 forbids streams inside object
+    streams, so an inline member here is a typed refusal."""
     import re
 
+    if idx.inline_body(num) is not None:
+        raise PdfUnsupported(f"object {num} is an ObjStm member, cannot be a stream")
     payload = idx.payload
     i = idx.locate(num)
     while payload[i : i + 1] in b" \t\r\n":
@@ -526,14 +874,18 @@ def _object_stream(idx: "_ObjIndex", num: int) -> bytes:
 
 
 def _object_dict(idx: "_ObjIndex", num: int) -> bytes:
-    """Object ``num``'s dictionary bytes (balanced ``<< >>`` scan)."""
-    payload = idx.payload
-    i = idx.locate(num)
-    while payload[i : i + 1] in b" \t\r\n":
+    """Object ``num``'s dictionary bytes (balanced ``<< >>`` scan) —
+    regular or ObjStm-inline."""
+    src = idx.inline_body(num)
+    i = 0
+    if src is None:
+        src = idx.payload
+        i = idx.locate(num)
+    while src[i : i + 1] in b" \t\r\n":
         i += 1
-    if payload[i : i + 2] != b"<<":
+    if src[i : i + 2] != b"<<":
         raise PdfUnsupported(f"object {num} is not a dictionary")
-    return payload[i : _dict_span(payload, i)]
+    return src[i : _dict_span(src, i)]
 
 
 def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:

@@ -1000,3 +1000,95 @@ def test_pdf_incremental_update_fixture_roundtrip():
         pdf = pdf_bytes_with_incremental_update(lines)
         assert pdf.count(b"SUPERSEDED") == n
         assert extract_pdf_text(pdf) == lines, n
+
+
+def test_pdf_modern_layout_roundtrip_and_robustness():
+    """r08: the PDF 1.5 modern container — page/font dicts compressed
+    inside a /Type /ObjStm, cross-reference as a /Type /XRef binary
+    stream (/W [1 2 2]), optional PNG predictor 12 — roundtrips through
+    the extractor; an embedded DCTDecode image object no longer
+    quarantines the document (pre-r08, a pure-1.5 file fell to the
+    walk-every-stream fallback, which refuses non-Flate filters);
+    hostile ObjStm headers are refused typed."""
+    import re
+    import zlib
+
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_modern,
+    )
+
+    lines = [f"record {k} (with) parens" for k in range(60)]  # 2 pages
+    for pred in (False, True):
+        assert extract_pdf_text(pdf_bytes_modern(lines, predictor=pred)) == lines
+
+    # page dicts are invisible to a raw byte scan — only the ObjStm
+    # path can find them
+    pdf = pdf_bytes_modern(lines)
+    assert not re.search(rb"/Type\s*/Page(?![0-9A-Za-z])", pdf)
+
+    # an appended DCTDecode image stream (not in the xref) must be
+    # ignored by the targeted path, not inflated/refused
+    img = (
+        b"99 0 obj\n<< /Subtype /Image /Filter /DCTDecode /Length 6 >>\n"
+        b"stream\n\xff\xd8\x00\x01\xff\xd9\nendstream\nendobj\n"
+    )
+    sx = pdf.rfind(b"startxref")
+    with_img = pdf[:sx] + img + pdf[sx:]
+    assert extract_pdf_text(with_img) == lines
+
+    # hostile /N: a ten-million-object ObjStm claim is a typed refusal
+    # (hand-built container + xref stream with one type-2 entry)
+    stm = zlib.compress(b"2 0\n<< /Type /Page >>\n", 6)
+    bomb = bytearray(b"%PDF-1.5\n")
+    obj1_at = len(bomb)
+    bomb += (
+        b"1 0 obj\n<< /Type /ObjStm /N 9999999 /First 4 /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(stm), stm)
+    )
+    xref_at = len(bomb)
+    rows = (
+        b"\x00\x00\x00\xff\xff"                       # obj 0: free
+        + b"\x01" + obj1_at.to_bytes(2, "big") + b"\x00\x00"  # obj 1
+        + b"\x02\x00\x01\x00\x00"                     # obj 2: in ObjStm 1 idx 0
+        + b"\x01" + xref_at.to_bytes(2, "big") + b"\x00\x00"  # obj 3: xref
+    )
+    xdata = zlib.compress(rows, 6)
+    bomb += (
+        b"3 0 obj\n<< /Type /XRef /Size 4 /W [1 2 2] /Root 2 0 R /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(xdata), xdata)
+    )
+    bomb += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    with pytest.raises(PdfUnsupported, match="hostile object stream"):
+        extract_pdf_text(bytes(bomb))
+
+
+def test_pdf_modern_layout_mutation_fuzz_stays_typed():
+    """500 random single-byte mutations of a modern-layout (ObjStm +
+    xref stream + predictor) PDF: extract either succeeds or raises
+    typed PdfUnsupported — never zlib.error/IndexError/UnicodeError —
+    the codec quarantine contract over the new container paths."""
+    import random
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_modern,
+    )
+
+    base = bytearray(pdf_bytes_modern([f"line {k}" for k in range(30)], predictor=True))
+    rng = random.Random(808)
+    for _ in range(500):
+        mut = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            out = extract_pdf_text(bytes(mut))
+            assert isinstance(out, list)
+        except PdfUnsupported:
+            pass
