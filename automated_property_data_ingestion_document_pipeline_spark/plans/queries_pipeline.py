@@ -1179,7 +1179,9 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternating by did // 6 — what current Word/LibO exports look like). The
     driver's one value hash therefore witnesses page targeting,
     inflate, TJ parsing, CMap decode, escape round-trip,
-    latest-generation resolution, AND xref-stream/ObjStm decode. The
+    latest-generation resolution, xref-stream/ObjStm decode, AND (r08,
+    forms 6-7 of the doc_id % 8 cycle) the LZWDecode and
+    ASCII85->Flate filter-chain battery. The
     oracle rebuilds the same strings in pure SQL — it never sees a
     PDF. Row-local mapInPandas; 4 ints per doc leave the executor."""
     import pandas as pd
@@ -1209,12 +1211,19 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # 0: plain Tj, 1: flate Tj, 2: flate TJ, 3: flate
                 # hex+CMap, 4: incremental update superseding decoy
                 # text, 5: PDF 1.5 ObjStm + xref stream (predictor 12
-                # alternating by did // 6)
-                form = did % 6
+                # alternating), 6: LZWDecode, 7: [ASCII85 -> Flate]
+                # filter chain
+                form = did % 8
                 if form == 4:
                     payload = pdf_bytes_with_incremental_update(lines)
                 elif form == 5:
-                    payload = pdf_bytes_modern(lines, predictor=(did // 6) % 2 == 0)
+                    payload = pdf_bytes_modern(lines, predictor=(did // 8) % 2 == 0)
+                elif form in (6, 7):
+                    payload = pdf_bytes_from_lines(
+                        lines,
+                        text_op="TJ" if form == 7 else "Tj",
+                        stream_filter={6: "lzw", 7: "a85flate"}[form],
+                    )
                 else:
                     payload = pdf_bytes_from_lines(
                         lines,

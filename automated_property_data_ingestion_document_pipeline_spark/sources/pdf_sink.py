@@ -91,8 +91,43 @@ end
 end"""
 
 
+def _encode_stream_filter(stream: bytes, stream_filter: str) -> tuple[bytes, bytes]:
+    """Encode one content stream for the writer's ``stream_filter``
+    knob; returns (encoded bytes, the /Filter dict fragment). Each form
+    is a first-party fixture for the matching decoder in
+    :func:`_apply_filters` (finding 87)."""
+    import base64
+    import zlib
+
+    if stream_filter == "lzw":
+        from automated_property_data_ingestion_document_pipeline_spark.sources.tiff import (
+            _tiff_lzw_encode,
+        )
+
+        return _tiff_lzw_encode(stream), b" /Filter /LZWDecode"
+    if stream_filter == "a85flate":
+        # encoded flate-first, so DECODE order is A85 then Flate
+        return (
+            base64.a85encode(zlib.compress(stream, 6)) + b"~>",
+            b" /Filter [/ASCII85Decode /FlateDecode]",
+        )
+    if stream_filter == "ahx":
+        return stream.hex().encode("ascii") + b">", b" /Filter /ASCIIHexDecode"
+    if stream_filter == "rle":
+        out = bytearray()
+        for i in range(0, len(stream), 128):
+            chunk = stream[i : i + 128]
+            out += bytes([len(chunk) - 1]) + chunk
+        out.append(128)  # EOD
+        return bytes(out), b" /Filter /RunLengthDecode"
+    raise ValueError(f"unknown stream_filter {stream_filter!r}")
+
+
 def pdf_bytes_from_lines(
-    lines: list[str], compress: bool = False, text_op: str = "Tj"
+    lines: list[str],
+    compress: bool = False,
+    text_op: str = "Tj",
+    stream_filter: "str | None" = None,
 ) -> bytes:
     """Serialize paragraphs into a valid single-font PDF 1.4 file:
     catalog → page tree → N pages, each with its own content stream, one
@@ -132,7 +167,12 @@ def pdf_bytes_from_lines(
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
             % (PAGE_W, PAGE_H, 5 + 2 * i)
         )
-        if compress:
+        if stream_filter is not None:
+            enc, filt = _encode_stream_filter(stream, stream_filter)
+            objects.append(
+                b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(enc), filt, enc)
+            )
+        elif compress:
             import zlib
 
             flate = zlib.compress(stream, 6)
@@ -817,13 +857,239 @@ def _pages(idx: "_ObjIndex") -> list[tuple[list[int], bytes]]:
     return pages
 
 
+def _lzw_decode_pdf(data: bytes, early_change: int = 1) -> bytes:
+    """PDF /LZWDecode (§7.4.4): MSB-first variable-width LZW, 9→12 bit
+    codes, clear 256 / EOD 257. /EarlyChange 1 (the default, and what
+    every real writer emits) bumps the code width one code EARLY —
+    byte-identical to the TIFF 6.0 variant, so the bit reader rides
+    sources/tiff.py's. Output capped at the stream bomb limit."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.tiff import (
+        _CLEAR,
+        _EOI,
+        _MsbBitReader,
+        TiffUnsupported,
+    )
+
+    r = _MsbBitReader(data)
+    out = bytearray()
+    prefix = [0] * 4096
+    suffix = [0] * 4096
+    next_code, width, prev = 258, 9, -1
+    bump_at = (1 << 9) - (1 if early_change else 0)
+
+    def expand(code: int) -> bytes:
+        chain = bytearray()
+        c = code
+        while c >= 256:
+            if len(chain) >= 4096:
+                raise PdfUnsupported("LZW chain loop")
+            chain.append(suffix[c])
+            c = prefix[c]
+        chain.append(c)
+        chain.reverse()
+        return bytes(chain)
+
+    while True:
+        try:
+            code = r.read(width)
+        except TiffUnsupported:  # bit reader exhausted without EOD
+            break
+        if code == _CLEAR:
+            next_code, width, prev = 258, 9, -1
+            bump_at = (1 << 9) - (1 if early_change else 0)
+            continue
+        if code == _EOI:
+            break
+        if prev < 0:
+            if code >= 256:
+                raise PdfUnsupported("first LZW code after clear not a literal")
+            entry = bytes([code])
+        elif code < next_code:
+            entry = expand(code)
+        elif code == next_code and next_code < 4096:
+            e = expand(prev)
+            entry = e + e[:1]  # KwKwK
+        else:
+            raise PdfUnsupported(f"LZW code {code} beyond table ({next_code})")
+        out += entry
+        if len(out) > _MAX_STREAM_BYTES:
+            raise PdfUnsupported("LZWDecode expansion exceeds 256 MB cap")
+        if prev >= 0 and next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = entry[0]
+            next_code += 1
+            if next_code == bump_at and width < 12:
+                width += 1
+                bump_at = (1 << width) - (1 if early_change else 0)
+        prev = code
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """PDF /ASCII85Decode (§7.4.3): base-85 groups ending at ``~>``,
+    whitespace ignored, ``z`` shorthand for four zero bytes."""
+    import base64
+    import re
+
+    end = data.find(b"~>")
+    chunk = data[:end] if end != -1 else data
+    chunk = re.sub(rb"\s+", b"", chunk)
+    try:
+        return base64.a85decode(chunk)
+    except ValueError as e:
+        raise PdfUnsupported(f"broken ASCII85 stream: {e}") from e
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """PDF /ASCIIHexDecode (§7.4.2): hex digits to ``>``, whitespace
+    ignored, odd final digit padded with 0."""
+    end = data.find(b">")
+    hx = bytes(data[:end] if end != -1 else data).translate(None, b" \t\r\n\x0c\x00")
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfUnsupported(f"broken ASCIIHex stream: {e}") from e
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """PDF /RunLengthDecode (§7.4.5): length byte L — 0..127 copies the
+    next L+1 bytes literally, 129..255 repeats the next byte 257-L
+    times, 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        L = data[i]
+        i += 1
+        if L == 128:
+            return bytes(out)
+        if L < 128:
+            chunk = data[i : i + L + 1]
+            if len(chunk) != L + 1:
+                raise PdfUnsupported("truncated RunLength literal run")
+            out += chunk
+            i += L + 1
+        else:
+            if i >= n:
+                raise PdfUnsupported("truncated RunLength repeat run")
+            out += data[i : i + 1] * (257 - L)
+            i += 1
+        if len(out) > _MAX_STREAM_BYTES:
+            raise PdfUnsupported("RunLengthDecode expansion exceeds 256 MB cap")
+    raise PdfUnsupported("RunLength stream missing EOD")
+
+
+def _flate_decode(data: bytes) -> bytes:
+    import zlib
+
+    d = zlib.decompressobj()
+    try:
+        inflated = d.decompress(data, _MAX_STREAM_BYTES + 1)
+    except zlib.error as e:
+        raise PdfUnsupported(f"broken FlateDecode stream: {e}") from e
+    if len(inflated) > _MAX_STREAM_BYTES:
+        raise PdfUnsupported("FlateDecode expansion exceeds 256 MB cap")
+    if not d.eof:
+        raise PdfUnsupported("broken FlateDecode stream: truncated deflate data")
+    return inflated
+
+
+def _decode_parms_list(dct: bytes, n: int) -> "list[bytes | None]":
+    """The /DecodeParms entry aligned to ``n`` filters: a single dict
+    for a single filter, an array of dict/null entries for a chain;
+    absent or malformed → all None."""
+    import re
+
+    km = re.search(rb"/(?:DecodeParms|DP)\s*", dct)
+    if km is None:
+        return [None] * n
+    at = km.end()
+    if dct[at : at + 2] == b"<<":
+        d = dct[at : _dict_span(dct, at)]
+        return [d] if n == 1 else [None] * n
+    if dct[at : at + 1] != b"[":
+        return [None] * n
+    out: "list[bytes | None]" = []
+    i = at + 1
+    while i < len(dct) and len(out) < n:
+        c = dct[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif dct[i : i + 2] == b"<<":
+            j = _dict_span(dct, i)
+            out.append(dct[i:j])
+            i = j
+        elif dct[i : i + 4] == b"null":
+            out.append(None)
+            i += 4
+        elif c == b"]":
+            break
+        else:
+            return [None] * n  # unexpected token — ignore parms wholesale
+    out += [None] * (n - len(out))
+    return out
+
+
+_DECODERS = {
+    b"FlateDecode": _flate_decode,
+    b"Fl": _flate_decode,
+    b"LZWDecode": _lzw_decode_pdf,
+    b"LZW": _lzw_decode_pdf,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"ASCIIHexDecode": _asciihex_decode,
+    b"AHx": _asciihex_decode,
+    b"RunLengthDecode": _runlength_decode,
+    b"RL": _runlength_decode,
+}
+
+
+def _apply_filters(dct: bytes, stream: bytes) -> bytes:
+    """Run a stream's /Filter chain in decode order (§7.4: first-named
+    filter applies first), honoring per-filter /DecodeParms —
+    /EarlyChange on LZW, PNG /Predictor + /Columns on Flate/LZW. Any
+    filter outside the battery (DCTDecode, CCITT, JBIG2, Crypt, …) is
+    a typed refusal — image codecs don't belong in a text extractor."""
+    import re
+
+    fm = re.search(rb"/Filter\s*(/\w+|\[(?:\s*/\w+)*\s*\])", dct)
+    if fm is None:
+        if b"/Filter" in dct:
+            raise PdfUnsupported(f"unparseable /Filter in {dct[:80]!r}")
+        return stream
+    names = re.findall(rb"/(\w+)", fm.group(1))
+    parms = _decode_parms_list(dct, len(names))
+    for name, parm in zip(names, parms):
+        dec = _DECODERS.get(name)
+        if dec is None:
+            raise PdfUnsupported(f"unsupported stream filter /{name.decode()}")
+        if dec is _lzw_decode_pdf:
+            ec = 1
+            if parm is not None:
+                em = re.search(rb"/EarlyChange\s+(\d+)", parm)
+                if em is not None:
+                    ec = int(em.group(1))
+            stream = _lzw_decode_pdf(stream, early_change=ec)
+        else:
+            stream = dec(stream)
+        if parm is not None and dec in (_flate_decode, _lzw_decode_pdf):
+            pm = re.search(rb"/Predictor\s+(\d+)", parm)
+            if pm is not None and int(pm.group(1)) >= 10:
+                cm = re.search(rb"/Columns\s+(\d+)", parm)
+                stream = _png_unpredict(stream, int(cm.group(1)) if cm else 1)
+            elif pm is not None and int(pm.group(1)) == 2:
+                raise PdfUnsupported("TIFF predictor 2 unsupported on text streams")
+    return stream
+
+
 def _stream_body(idx: "_ObjIndex", dct: bytes, start: int) -> tuple[bytes, int]:
     """Slice a stream to its declared /Length from ``start`` (just past
-    the ``stream`` EOL), validate the ``endstream`` landing, inflate a
-    /FlateDecode filter through the capped decompressobj (r06 advice —
-    flate-bomb guard), refuse any other filter. Returns (bytes, end)."""
+    the ``stream`` EOL), validate the ``endstream`` landing, run the
+    /Filter chain through the capped decoder battery (r06 advice —
+    bomb guards; r08 — Flate/LZW/ASCII85/ASCIIHex/RunLength + chains +
+    predictors), refuse any other filter. Returns (bytes, end)."""
     import re
-    import zlib
 
     payload = idx.payload
     length = _stream_length(dct, idx)
@@ -834,20 +1100,7 @@ def _stream_body(idx: "_ObjIndex", dct: bytes, start: int) -> tuple[bytes, int]:
         rb"(?:\r\n|\r|\n)?endstream", payload[start + length : start + length + 11]
     ):
         raise PdfUnsupported("stream /Length does not land on endstream")
-    if b"/Filter" in dct:
-        if b"/FlateDecode" not in dct:
-            raise PdfUnsupported(f"unsupported stream filter in {dct[:80]!r}")
-        d = zlib.decompressobj()
-        try:
-            inflated = d.decompress(stream, _MAX_STREAM_BYTES + 1)
-        except zlib.error as e:
-            raise PdfUnsupported(f"broken FlateDecode stream: {e}") from e
-        if len(inflated) > _MAX_STREAM_BYTES:
-            raise PdfUnsupported("FlateDecode expansion exceeds 256 MB cap")
-        if not d.eof:
-            raise PdfUnsupported("broken FlateDecode stream: truncated deflate data")
-        stream = inflated
-    return stream, start + length
+    return _apply_filters(dct, stream), start + length
 
 
 def _object_stream(idx: "_ObjIndex", num: int) -> bytes:

@@ -1092,3 +1092,41 @@ def test_pdf_modern_layout_mutation_fuzz_stays_typed():
             assert isinstance(out, list)
         except PdfUnsupported:
             pass
+
+
+def test_pdf_filter_battery_roundtrips_and_refusals():
+    """r08 (finding 87): the /Filter decoder battery — LZWDecode (TIFF
+    early-change variant, /EarlyChange honored), ASCII85Decode,
+    ASCIIHexDecode, RunLengthDecode, and multi-filter chains — each
+    writer form roundtrips; unknown filters and truncated runs are
+    typed refusals."""
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        _runlength_decode,
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    lines = [f"row {k} (with) \\tricky text {k % 7}" for k in range(60)]  # 2 pages
+    for filt in ("lzw", "a85flate", "ahx", "rle"):
+        for op in ("Tj", "TJ"):
+            got = extract_pdf_text(
+                pdf_bytes_from_lines(lines, text_op=op, stream_filter=filt)
+            )
+            assert got == lines, (filt, op)
+
+    # unknown filter refused typed
+    pdf = pdf_bytes_from_lines(["x"], stream_filter="ahx")
+    bad = pdf.replace(b"/ASCIIHexDecode", b"/CCITTFaxDecod")  # same width
+    assert bad != pdf
+    with pytest.raises(PdfUnsupported, match="unsupported stream filter"):
+        extract_pdf_text(bad)
+
+    # RunLength edge semantics: repeat runs, EOD required, truncation typed
+    assert _runlength_decode(b"\x02abc\xfeZ\x80") == b"abcZZZ"
+    with pytest.raises(PdfUnsupported, match="missing EOD"):
+        _runlength_decode(b"\x02abc")
+    with pytest.raises(PdfUnsupported, match="truncated"):
+        _runlength_decode(b"\x05ab")
