@@ -1919,7 +1919,8 @@ def _ref_template_oracle() -> str:
     bytes the Spark side will render (the reference's shipped
     templates/template.docx when its checkout exists — the driver
     machine — else the split-run fallback, so oracle and query always
-    agree on the artifact). Each template paragraph becomes a SQL
+    agree on the artifact; body paragraphs then header/footer parts,
+    include_headers=True). Each template paragraph becomes a SQL
     string expression: literal text escaped verbatim (data-as-data, the
     reference_dims.py adjudication), ``{{key}}`` placeholders spliced
     to the deterministic per-doc context expressions, unknown keys to
@@ -1928,7 +1929,9 @@ def _ref_template_oracle() -> str:
     paragraph string in pure SQL — it never sees a zip or XML."""
     import re as _re
 
-    paras = doc_sink.extract_docx_text(doc_sink.load_reference_template_bytes())
+    paras = doc_sink.extract_docx_text(
+        doc_sink.load_reference_template_bytes(), include_headers=True
+    )
     mapping = {
         "date": "date_s", "name": "name_s", "address": "addr_s",
         "property_under_appraisal": "prop_s", "parcel_id": "parcel_s",
@@ -1979,10 +1982,12 @@ def q_ref_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate, tab stops, split-run placeholders, and the unknown
     {{initial_*}}/{{customer_signature_name}} keys jinja renders
     empty), then sources/doc_sink.py's extract_docx_text walks the zip
-    and reassembles every paragraph. The output is the FULL extracted
-    text, one row per (doc, paragraph) — the oracle rebuilds all 62
-    substituted strings in pure SQL (generated from the same template
-    bytes at registration, _ref_template_oracle), so the driver hash
+    and reassembles every paragraph INCLUDING the letterhead header
+    part (include_headers=True, r08 — the firm's address block lives
+    in word/header1.xml). The output is the FULL extracted text, one
+    row per (doc, paragraph) — the oracle rebuilds all 72 substituted
+    strings in pure SQL (generated from the same template bytes at
+    registration, _ref_template_oracle), so the driver hash
     proves substitution incl. split-run collapse, OOXML round-trip,
     and extraction against the genuine artifact, character for
     character. Template bytes are closed over and shipped once per
@@ -2019,7 +2024,9 @@ def q_ref_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "due_signing": "50%",
                     "due_completion": "50%",
                 }
-                got = extract_docx_text(render_docx_from_template(tpl, ctx))
+                got = extract_docx_text(
+                    render_docx_from_template(tpl, ctx), include_headers=True
+                )
                 for i, para in enumerate(got, start=1):
                     out["doc_id"].append(did)
                     out["para_idx"].append(i)

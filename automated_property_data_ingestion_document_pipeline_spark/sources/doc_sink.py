@@ -317,7 +317,7 @@ class DocxUnsupported(ValueError):
 _MAX_PART_BYTES = 1 << 28  # 256 MB per zip part, matching the archive/pdf caps
 
 
-def extract_docx_text(payload: bytes) -> list[str]:
+def extract_docx_text(payload: bytes, include_headers: bool = False) -> list[str]:
     """The READ half of S7 (r07): reparse the paragraph texts out of
     OOXML bytes — one string per ``<w:p>`` in document order, all
     ``<w:t>`` run texts concatenated (Word fragments a paragraph across
@@ -325,11 +325,13 @@ def extract_docx_text(payload: bytes) -> list[str]:
     ``_SPLIT_RUN_PLACEHOLDER_RE``), ``<w:tab>``/``<w:br>`` mapped to
     tab/newline. Inverse of :func:`docx_bytes_from_lines` and of
     docxtpl's render (report_generator.py:70-89): what the writer put
-    in comes back out. Typed errors per the codec-module contract;
-    the part-size pre-check bounds per-task memory from the zip's
-    claimed size before decompression (the archive.py bomb-cap
-    pattern)."""
-    import xml.etree.ElementTree as ET
+    in comes back out. ``include_headers=True`` (r08) additionally
+    walks every ``word/header*.xml`` / ``word/footer*.xml`` part (in
+    sorted part order, after the body — the reference template carries
+    the firm's letterhead there, which a body-only read silently
+    drops). Typed errors per the codec-module contract; the part-size
+    pre-check bounds per-task memory from the zip's claimed size
+    before decompression (the archive.py bomb-cap pattern)."""
     import zlib
 
     # NotImplementedError: _RealGetContents rejects extract_version >
@@ -339,24 +341,43 @@ def extract_docx_text(payload: bytes) -> list[str]:
     except (zipfile.BadZipFile, ValueError, OSError, NotImplementedError) as e:
         raise DocxUnsupported(f"not a zip container: {e}") from e
     with z:
-        try:
-            info = z.getinfo("word/document.xml")
-        except KeyError:
-            raise DocxUnsupported("no word/document.xml part") from None
-        if info.file_size > _MAX_PART_BYTES:
-            raise DocxUnsupported(
-                f"document.xml claims {info.file_size} bytes, over the cap"
+        parts = ["word/document.xml"]
+        if include_headers:
+            parts += sorted(
+                n
+                for n in z.namelist()
+                if re.fullmatch(r"word/(header|footer)\d*\.xml", n)
             )
-        # ValueError: bogus central-directory offsets surface as negative
-        # seeks inside ZipExtFile; RuntimeError: encrypted members —
-        # both found by the 10k fuzz sweep, both quarantine-typed
-        try:
-            xml_bytes = z.read("word/document.xml")
-        except (
-            zipfile.BadZipFile, zlib.error, EOFError, NotImplementedError,
-            OSError, ValueError, RuntimeError,
-        ) as e:
-            raise DocxUnsupported(f"broken document.xml member: {e}") from e
+        part_xml: list[bytes] = []
+        for part in parts:
+            try:
+                info = z.getinfo(part)
+            except KeyError:
+                raise DocxUnsupported("no word/document.xml part") from None
+            if info.file_size > _MAX_PART_BYTES:
+                raise DocxUnsupported(
+                    f"{part} claims {info.file_size} bytes, over the cap"
+                )
+            # ValueError: bogus central-directory offsets surface as
+            # negative seeks inside ZipExtFile; RuntimeError: encrypted
+            # members — both found by the 10k fuzz sweep, both typed
+            try:
+                part_xml.append(z.read(part))
+            except (
+                zipfile.BadZipFile, zlib.error, EOFError, NotImplementedError,
+                OSError, ValueError, RuntimeError,
+            ) as e:
+                raise DocxUnsupported(f"broken {part} member: {e}") from e
+    paras: list[str] = []
+    for xml_bytes in part_xml:
+        paras.extend(_paras_from_xml(xml_bytes))
+    return paras
+
+
+def _paras_from_xml(xml_bytes: bytes) -> list[str]:
+    """Paragraph strings from one WordprocessingML part's bytes."""
+    import xml.etree.ElementTree as ET
+
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as e:

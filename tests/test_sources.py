@@ -1130,3 +1130,36 @@ def test_pdf_filter_battery_roundtrips_and_refusals():
         _runlength_decode(b"\x02abc")
     with pytest.raises(PdfUnsupported, match="truncated"):
         _runlength_decode(b"\x05ab")
+
+
+def test_docx_header_footer_extraction_opt_in():
+    """r08: include_headers=True walks word/header*.xml / footer*.xml
+    parts after the body (the reference template's letterhead lives
+    there); the default stays body-only so existing lanes are
+    bit-unchanged."""
+    import io
+    import zipfile
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import (
+        docx_bytes_from_lines,
+        extract_docx_text,
+    )
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+    def part(*texts):
+        runs = "".join(f"<w:p><w:r><w:t>{t}</w:t></w:r></w:p>" for t in texts)
+        return f'<w:hdr xmlns:w="{W}">{runs}</w:hdr>'.encode()
+
+    base = docx_bytes_from_lines(["body one", "body two"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, zipfile.ZipFile(buf, "w") as zout:
+        for item in zin.infolist():
+            zout.writestr(item, zin.read(item.filename))
+        zout.writestr("word/header1.xml", part("letterhead line"))
+        zout.writestr("word/footer1.xml", part("page footer"))
+    payload = buf.getvalue()
+    assert extract_docx_text(payload) == ["body one", "body two"]
+    assert extract_docx_text(payload, include_headers=True) == [
+        "body one", "body two", "page footer", "letterhead line",
+    ]  # parts in sorted name order: footer1 < header1
