@@ -1978,8 +1978,8 @@ def q_ref_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end (r07 verdict ask #2 — the last reference artifact whose
     content was only shape-checked): each document's deterministic
     8-key context (report_generator.py:75-88) renders through the REAL
-    template bytes (templates/template.docx — 62 paragraphs of
-    boilerplate, tab stops, split-run placeholders, and the unknown
+    template bytes (templates/template.docx — 72 paragraphs: 62 body +
+    10 letterhead, tab stops, split-run placeholders, and the unknown
     {{initial_*}}/{{customer_signature_name}} keys jinja renders
     empty), then sources/doc_sink.py's extract_docx_text walks the zip
     and reassembles every paragraph INCLUDING the letterhead header
@@ -2062,10 +2062,12 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     #7): the literal "scanned-report drop" ingest shape — S9 × S8 the
     way q_archive_decode composed ZIP × TIFF. Each document's archive
     holds three deterministic PDF reports (12 parcel-record lines
-    each); (doc_id + member) % 4 cycles every writer/extractor path —
-    plain Tj, FlateDecode Tj, FlateDecode TJ arrays (Word's form),
-    FlateDecode hex+identity-CMap (LibreOffice's form) — and zip
-    codec alternates deflate/stored by id parity. The lane then runs
+    each); (doc_id + member) % 8 cycles the FULL writer/extractor
+    battery — plain Tj, FlateDecode Tj, FlateDecode TJ arrays (Word's
+    form), FlateDecode hex+identity-CMap (LibreOffice's form),
+    incremental-update containers, PDF 1.5 ObjStm + xref streams, and
+    the LZW / ASCII85→Flate filter forms — and zip codec alternates
+    deflate/stored by id parity. The lane then runs
     the REAL pipeline: sources/archive.py walks the ZIP → each
     member's bytes feed extract_pdf_text's xref-indexed page-targeted
     parse → per-member line stats with values parsed back out. The
@@ -2082,6 +2084,8 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
         extract_pdf_text,
         pdf_bytes_from_lines,
+        pdf_bytes_modern,
+        pdf_bytes_with_incremental_update,
     )
 
     d = (
@@ -2105,17 +2109,27 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"{(did * 7 + j * 13 + k * 3) % 1000}"
                         for k in range(12)
                     ]
-                    form = (did + j) % 4
-                    members.append(
-                        (
-                            f"report{j}.pdf",
-                            pdf_bytes_from_lines(
-                                lines,
-                                compress=form != 0,
-                                text_op={2: "TJ", 3: "hex"}.get(form, "Tj"),
-                            ),
+                    # r08: cycle the full container/filter battery
+                    # inside the archive — classic forms, incremental
+                    # update, ObjStm+xref stream, LZW, ASCII85 chain
+                    form = (did + j) % 8
+                    if form == 4:
+                        blob = pdf_bytes_with_incremental_update(lines)
+                    elif form == 5:
+                        blob = pdf_bytes_modern(lines, predictor=did % 2 == 0)
+                    elif form in (6, 7):
+                        blob = pdf_bytes_from_lines(
+                            lines,
+                            text_op="TJ" if form == 7 else "Tj",
+                            stream_filter={6: "lzw", 7: "a85flate"}[form],
                         )
-                    )
+                    else:
+                        blob = pdf_bytes_from_lines(
+                            lines,
+                            compress=form != 0,
+                            text_op={2: "TJ", 3: "hex"}.get(form, "Tj"),
+                        )
+                    members.append((f"report{j}.pdf", blob))
                 payload = build_zip(members, deflate=not did % 2)
                 for name, blob in iter_zip_members(payload):  # REAL bytes
                     got = extract_pdf_text(bytes(blob))
