@@ -512,10 +512,11 @@ class _ObjIndex:
     generation, the LAST occurrence (appended incremental updates
     win)."""
 
-    __slots__ = ("payload", "_offsets", "_inline", "_inline_order")
+    __slots__ = ("payload", "_offsets", "_inline", "_inline_order", "encrypted")
 
     def __init__(self, payload: bytes):
         self.payload = payload
+        self.encrypted = False  # set when a trailer/xref dict has /Encrypt
         offsets = self._scan()
         chain, freed, stm_refs = self._xref_chain()
         offsets.update(chain)
@@ -716,6 +717,8 @@ class _ObjIndex:
             trailer = payload[tstart : _dict_span(payload, tstart)]
         except PdfUnsupported:
             return []
+        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", trailer):
+            self.encrypted = True
         nxt = []
         hm = re.search(rb"/XRefStm\s+(\d+)", trailer)
         if hm is not None:
@@ -752,6 +755,8 @@ class _ObjIndex:
         dct = payload[i:dend]
         if not re.search(rb"/Type\s*/XRef\b", dct):
             return []
+        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", dct):
+            self.encrypted = True
         wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", dct)
         szm = re.search(rb"/Size\s+(\d+)", dct)
         lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", dct)
@@ -1430,6 +1435,14 @@ def extract_pdf_text(payload: bytes) -> list[str]:
     if not payload.startswith(b"%PDF-"):
         raise PdfUnsupported("not a PDF header")
     idx = _ObjIndex(payload)
+    # encrypted documents (a parsed trailer / xref-stream dict carries
+    # /Encrypt): string and stream bytes are RC4/AES ciphertext —
+    # refuse precisely up front instead of leaking whatever the
+    # downstream filters make of ciphertext (r08); checked on the
+    # PARSED dicts, never the raw payload, so ciphertext bytes that
+    # happen to spell '/Encrypt' can't false-positive
+    if idx.encrypted:
+        raise PdfUnsupported("encrypted PDF (/Encrypt) — no decryption support")
     pages = _pages(idx)
     if pages:
         lines: list[str] = []

@@ -1163,3 +1163,33 @@ def test_docx_header_footer_extraction_opt_in():
     assert extract_docx_text(payload, include_headers=True) == [
         "body one", "body two", "page footer", "letterhead line",
     ]  # parts in sorted name order: footer1 < header1
+
+
+def test_pdf_encrypted_documents_refused_typed():
+    """r08: /Encrypt in a parsed trailer or xref-stream dict is a
+    precise typed refusal — string/stream bytes are ciphertext, and
+    leaking whatever the filters make of them would be silent
+    corruption. Checked on PARSED dicts only, so ciphertext that
+    happens to spell '/Encrypt' elsewhere can't false-positive."""
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+        pdf_bytes_modern,
+    )
+
+    classic = pdf_bytes_from_lines(["x"]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(PdfUnsupported, match="encrypted"):
+        extract_pdf_text(classic)
+    modern = pdf_bytes_modern(["x"]).replace(
+        b"/Root 2 0 R", b"/Root 2 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(PdfUnsupported, match="encrypted"):
+        extract_pdf_text(modern)
+    # the pattern inside a content stream body must NOT trip the check
+    sneaky = pdf_bytes_from_lines(["see /Encrypt 9 0 R in prose"])
+    assert extract_pdf_text(sneaky) == ["see /Encrypt 9 0 R in prose"]
