@@ -462,13 +462,27 @@ def q_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", F.lit(0.99), F.lit(100)).alias("approx_p99"),
     )
     rel = lambda a, e: F.round(F.abs(F.col(a) - F.col(e)) / F.abs(F.col(e)), 6)  # noqa: E731
-    return both.select(
+    out = both.select(
         "o_orderpriority",
         F.round("exact_p50", 2).alias("exact_p50"),
         F.round("approx_p50", 2).alias("approx_p50"),
         rel("approx_p50", "exact_p50").alias("rel_err_p50"),
         rel("approx_p99", "exact_p99").alias("rel_err_p99"),
     )
+    # driver-visible evidence (the q_*_recall gate-row pattern, r08):
+    # one extra row appears ONLY when every group's value error is
+    # under 10% — present on the real corpora (measured ≤2.2% at
+    # sf0.01), honestly absent on the adversarial edge corpus whose
+    # heavy-tailed values void any VALUE-error bound (the sketch
+    # guarantee is rank error)
+    gate = out.agg(
+        F.lit("GATE rel_err<0.10").alias("o_orderpriority"),
+        F.lit(None).cast("double").alias("exact_p50"),
+        F.lit(None).cast("double").alias("approx_p50"),
+        F.max("rel_err_p50").alias("rel_err_p50"),
+        F.max("rel_err_p99").alias("rel_err_p99"),
+    ).filter((F.col("rel_err_p50") < 0.10) & (F.col("rel_err_p99") < 0.10))
+    return out.unionByName(gate)
 
 
 # -- pivot (long -> wide) ------------------------------------------------------
@@ -572,7 +586,17 @@ def q_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.hll_sketch_estimate("_u") - F.col("e")) / F.col("e")).alias("rel_err"),
         )
     )
-    return shard.unionByName(merged)
+    out = shard.unionByName(merged)
+    # driver-visible evidence (r08): the gate row appears ONLY when
+    # every shard AND the merge land within 5% of exact — the bound
+    # tests/test_operators.py enforces locally
+    gate = out.agg(
+        F.lit("GATE |rel_err|<0.05").alias("event_type"),
+        F.lit(None).cast("double").alias("est_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+        F.max(F.abs("rel_err")).alias("rel_err"),
+    ).filter(F.col("rel_err") < 0.05)
+    return out.unionByName(gate)
 
 
 # -- approximate heavy hitters (exact regime) ---------------------------------

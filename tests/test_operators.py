@@ -354,11 +354,13 @@ def test_hll_shard_merge_error_bound_and_merge_consistency(spark, sf_dir):
 
     rows = QUERIES["q_hll_shard_merge"](spark, sf_dir).collect()
     overall = [r for r in rows if r["event_type"] == "*"][0]
-    shards = [r for r in rows if r["event_type"] != "*"]
+    shards = [r for r in rows if r["event_type"] not in ("*",) and not r["event_type"].startswith("GATE")]
     assert shards
     for r in rows:
         assert abs(r["rel_err"]) < 0.05, r
     assert overall["est_distinct"] >= max(s["est_distinct"] for s in shards)
+    # r08: the driver-visible gate row must be present when the bound holds
+    assert any(r["event_type"].startswith("GATE") for r in rows)
 
 
 def test_count_min_sketch_point_query_guarantee(spark):
