@@ -2147,3 +2147,81 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, member_name string, n_lines bigint, total_chars bigint, "
         "value_sum bigint",
     )
+
+
+@query(
+    "q_doc_text_extract",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'docx' END AS kind,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE CAST(1 + doc_id % 5 AS BIGINT) END AS n_items,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE CAST((1 + doc_id % 5)
+                          * (11 + LENGTH(CAST(doc_id AS VARCHAR))) AS BIGINT)
+           END AS n_chars,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' line 0' END AS first_line,
+           CASE WHEN doc_id % 7 = 3 THEN 'UnsupportedDocumentFormat' END AS err_kind
+    FROM documents WHERE doc_id < 128
+    """,
+)
+def q_doc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The USER-FACING document-ingest operator, VALUE-verified (r08):
+    sources/binary.extract_document_text sniffs each binary payload
+    (%PDF- → the xref-indexed PDF extractor, PK zip → the OOXML
+    paragraph extractor) and quarantines typed failures into an error
+    column — the API a 100 TB bucket of mixed real-world documents
+    feeds. The lane builds per-doc payloads executor-side (even ids a
+    real PDF — flate on ids % 4 == 0 — odd ids a real DOCX, every
+    7th-mod-3 id deliberately corrupt bytes), runs the operator, and
+    the oracle rebuilds kind/counts/first-line/error-class in pure
+    SQL: one hash proves sniffing, both read halves, newline joining,
+    AND the row-not-stage quarantine contract. Two chained row-local
+    mapInPandas, zero exchanges."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
+        extract_document_text,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 128)
+        .select("doc_id")
+    )
+
+    def _build(batches):
+        from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import (
+            docx_bytes_from_lines,
+        )
+        from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+            pdf_bytes_from_lines,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "content": []}
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                lines = [f"doc {did} line {k}" for k in range(1 + did % 5)]
+                if did % 7 == 3:
+                    payload = b"\x89garbage-not-a-document-" + bytes([did % 256])
+                elif did % 2 == 0:
+                    payload = pdf_bytes_from_lines(lines, compress=did % 4 == 0)
+                else:
+                    payload = docx_bytes_from_lines(lines)
+                out["doc_id"].append(did)
+                out["content"].append(payload)
+            yield pd.DataFrame(out)
+
+    docs = d.mapInPandas(_build, "doc_id bigint, content binary")
+    extracted = extract_document_text(docs)
+    return extracted.select(
+        "doc_id",
+        "kind",
+        "n_items",
+        "n_chars",
+        F.element_at(F.split("text", "\n"), 1).alias("first_line"),
+        F.element_at(F.split("error", ": "), 1).alias("err_kind"),
+    )

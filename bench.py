@@ -144,6 +144,7 @@ HEADLINE = [
     # archive-of-reports S9×S8 composition
     "q_ref_template_extract",
     "q_report_archive_extract",
+    "q_doc_text_extract",
 ]
 
 

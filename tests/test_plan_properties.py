@@ -537,3 +537,12 @@ def test_report_archive_extract_map_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_report_archive_extract")
     assert "Exchange" not in plan, plan[:2000]
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
+
+
+def test_doc_text_extract_map_only(spark, sf_dir):
+    """r08: the user-facing extract_document_text ingest shape — two
+    chained row-local mapInPandas (build payloads, sniff+extract) with
+    zero exchanges; the quarantine column never forces a shuffle."""
+    plan = plan_of(spark, sf_dir, "q_doc_text_extract")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]

@@ -1193,3 +1193,35 @@ def test_pdf_encrypted_documents_refused_typed():
     # the pattern inside a content stream body must NOT trip the check
     sneaky = pdf_bytes_from_lines(["see /Encrypt 9 0 R in prose"])
     assert extract_pdf_text(sneaky) == ["see /Encrypt 9 0 R in prose"]
+
+
+def test_extract_document_text_sniff_and_quarantine(spark):
+    """r08: the user-facing document-ingest operator — PDF and DOCX
+    payloads sniffed and extracted, NULL/garbage quarantined to the
+    error column with the row surviving, never a task failure."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
+        extract_document_text,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import (
+        docx_bytes_from_lines,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        pdf_bytes_from_lines,
+        pdf_bytes_modern,
+    )
+
+    rows = [
+        (1, pdf_bytes_from_lines(["a", "b"], compress=True)),
+        (2, docx_bytes_from_lines(["p one", "p two", "p three"])),
+        (3, b"not a document at all"),
+        (4, None),
+        (5, pdf_bytes_modern(["modern layout"])),  # 1.5 container sniffs as pdf
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r.doc_id: r for r in extract_document_text(df).collect()}
+    assert got[1].kind == "pdf" and got[1].n_items == 2 and got[1].text == "a\nb"
+    assert got[2].kind == "docx" and got[2].n_items == 3 and got[2].error is None
+    assert got[3].kind is None and got[3].error.startswith("UnsupportedDocumentFormat")
+    assert got[4].error is not None and got[4].text is None
+    assert got[5].kind == "pdf" and got[5].text == "modern layout"
+    assert len(got) == 5  # every row survived
