@@ -1225,3 +1225,28 @@ def test_extract_document_text_sniff_and_quarantine(spark):
     assert got[4].error is not None and got[4].text is None
     assert got[5].kind == "pdf" and got[5].text == "modern layout"
     assert len(got) == 5  # every row survived
+
+
+def test_pdf_filter_codecs_roundtrip_property():
+    """Hypothesis roundtrip over the r08 filter battery: arbitrary byte
+    payloads survive encode → _apply_filters decode bit-exactly for
+    every writer-supported form (LZW early-change, ASCII85+Flate chain,
+    ASCIIHex, RunLength) — the encoders are the writer fixtures, the
+    decoder is the product path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        _apply_filters,
+        _encode_stream_filter,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=512))
+    def _roundtrip(payload):
+        for form in ("lzw", "a85flate", "ahx", "rle"):
+            enc, filt = _encode_stream_filter(payload, form)
+            dct = b"<< /Length %d%s >>" % (len(enc), filt)
+            assert _apply_filters(dct, enc) == payload, form
+
+    _roundtrip()
