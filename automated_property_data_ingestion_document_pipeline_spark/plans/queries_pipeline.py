@@ -1176,7 +1176,8 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts the stale decoy and FAILS the hash) and the PDF 1.5
     MODERN layout (page/font dicts compressed inside /Type /ObjStm,
     cross-reference as a /Type /XRef binary stream, PNG predictor 12
-    alternating by did // 6 — what current Word/LibO exports look like). The
+    alternating by (did // 8) % 2 — what current Word/LibO exports look
+    like). The
     driver's one value hash therefore witnesses page targeting,
     inflate, TJ parsing, CMap decode, escape round-trip,
     latest-generation resolution, xref-stream/ObjStm decode, AND (r08,

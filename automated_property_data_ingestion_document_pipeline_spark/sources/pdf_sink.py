@@ -279,6 +279,10 @@ def pdf_bytes_modern(
     xref_at = len(buf)
     offsets[xref_num] = xref_at
     size = xref_num + 1
+    # field-2 width sized to the largest offset (r08 ADVICE: a fixed
+    # 2-byte width overflows untyped past 65,535 bytes of output) —
+    # mirroring real writers, which emit /W sized to the final offset
+    w2 = max(2, (xref_at.bit_length() + 7) // 8)
     rows = bytearray()
     for num in range(size):
         if num == 0:
@@ -287,9 +291,9 @@ def pdf_bytes_modern(
             t, f2, f3 = 1, offsets.get(num, 0), 0
         else:  # ObjStm member: container 1, index within
             t, f2, f3 = 2, 1, num - 2
-        rows += bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+        rows += bytes([t]) + f2.to_bytes(w2, "big") + f3.to_bytes(2, "big")
     if predictor:
-        rowlen = 5
+        rowlen = 3 + w2
         filtered = bytearray()
         prev = bytearray(rowlen)
         for r in range(0, len(rows), rowlen):
@@ -299,14 +303,14 @@ def pdf_bytes_modern(
             )
             prev = row
         xdata = zlib.compress(bytes(filtered), 6)
-        parms = b" /DecodeParms << /Predictor 12 /Columns 5 >>"
+        parms = b" /DecodeParms << /Predictor 12 /Columns %d >>" % rowlen
     else:
         xdata = zlib.compress(bytes(rows), 6)
         parms = b""
     buf += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 2] /Root 2 0 R "
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 %d 2] /Root 2 0 R "
         b"/Length %d /Filter /FlateDecode%s >>\nstream\n%s\nendstream\nendobj\n"
-        % (xref_num, size, len(xdata), parms, xdata)
+        % (xref_num, size, w2, len(xdata), parms, xdata)
     )
     buf += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(buf)
@@ -610,7 +614,7 @@ class _ObjIndex:
             # mark this object's stream body consumed so byte patterns
             # inside it can't masquerade as object headers
             i = body
-            while payload[i : i + 1] in b" \t\r\n":
+            while i < len(payload) and payload[i] in b" \t\r\n":
                 i += 1
             if payload[i : i + 2] != b"<<":
                 continue
@@ -744,7 +748,7 @@ class _ObjIndex:
         if om is None:
             return []
         i = pos + om.end()
-        while payload[i : i + 1] in b" \t\r\n":
+        while i < len(payload) and payload[i] in b" \t\r\n":
             i += 1
         if payload[i : i + 2] != b"<<":
             return []
@@ -839,7 +843,7 @@ def _pages(idx: "_ObjIndex") -> list[tuple[list[int], bytes]]:
                 continue
         else:
             src, i = payload, body
-        while src[i : i + 1] in b" \t\r\n":
+        while i < len(src) and src[i] in b" \t\r\n":
             i += 1
         if src[i : i + 2] != b"<<":
             continue
@@ -1000,21 +1004,43 @@ def _flate_decode(data: bytes) -> bytes:
     return inflated
 
 
-def _decode_parms_list(dct: bytes, n: int) -> "list[bytes | None]":
+def _decode_parms_list(
+    dct: bytes, n: int, idx: "_ObjIndex | None" = None
+) -> "list[bytes | None]":
     """The /DecodeParms entry aligned to ``n`` filters: a single dict
-    for a single filter, an array of dict/null entries for a chain;
-    absent or malformed → all None."""
+    for a single filter, an array of dict/null entries for a chain.
+    Absent → all None. Present but unresolvable → typed refusal (r08
+    ADVICE: silently dropping parms would decode a predictor-filtered
+    stream to garbage text rows instead of costing a quarantined row).
+    Indirect references (``N G R``, §7.3.10) resolve through the
+    object index — as a dict object, the only shape predictor parms
+    take in the wild."""
     import re
 
-    km = re.search(rb"/(?:DecodeParms|DP)\s*", dct)
+    km = re.search(rb"/(?:DecodeParms|DP)(?![A-Za-z])\s*", dct)
     if km is None:
         return [None] * n
     at = km.end()
+    rm = re.match(rb"(\d+)\s+\d+\s+R(?![\w])", dct[at:])
+    if rm is not None:  # indirect /DecodeParms
+        if idx is None:
+            raise PdfUnsupported("indirect /DecodeParms outside stream context")
+        try:
+            d = _object_dict(idx, int(rm.group(1)))
+        except PdfUnsupported as e:
+            raise PdfUnsupported(f"unresolvable indirect /DecodeParms: {e}")
+        if n != 1:
+            raise PdfUnsupported("single /DecodeParms dict paired with filter chain")
+        return [d]
     if dct[at : at + 2] == b"<<":
         d = dct[at : _dict_span(dct, at)]
-        return [d] if n == 1 else [None] * n
-    if dct[at : at + 1] != b"[":
+        if n != 1:
+            raise PdfUnsupported("single /DecodeParms dict paired with filter chain")
+        return [d]
+    if dct[at : at + 4] == b"null":
         return [None] * n
+    if dct[at : at + 1] != b"[":
+        raise PdfUnsupported(f"unparseable /DecodeParms near {dct[at:at+24]!r}")
     out: "list[bytes | None]" = []
     i = at + 1
     while i < len(dct) and len(out) < n:
@@ -1028,10 +1054,21 @@ def _decode_parms_list(dct: bytes, n: int) -> "list[bytes | None]":
         elif dct[i : i + 4] == b"null":
             out.append(None)
             i += 4
-        elif c == b"]":
-            break
         else:
-            return [None] * n  # unexpected token — ignore parms wholesale
+            m = re.match(rb"(\d+)\s+\d+\s+R(?![\w])", dct[i:])
+            if m is not None:
+                if idx is None:
+                    raise PdfUnsupported(
+                        "indirect /DecodeParms member outside stream context"
+                    )
+                out.append(_object_dict(idx, int(m.group(1))))
+                i += m.end()
+            elif c == b"]":
+                break
+            else:
+                raise PdfUnsupported(
+                    f"unparseable /DecodeParms member near {dct[i:i+24]!r}"
+                )
     out += [None] * (n - len(out))
     return out
 
@@ -1050,7 +1087,9 @@ _DECODERS = {
 }
 
 
-def _apply_filters(dct: bytes, stream: bytes) -> bytes:
+def _apply_filters(
+    dct: bytes, stream: bytes, idx: "_ObjIndex | None" = None
+) -> bytes:
     """Run a stream's /Filter chain in decode order (§7.4: first-named
     filter applies first), honoring per-filter /DecodeParms —
     /EarlyChange on LZW, PNG /Predictor + /Columns on Flate/LZW. Any
@@ -1064,7 +1103,7 @@ def _apply_filters(dct: bytes, stream: bytes) -> bytes:
             raise PdfUnsupported(f"unparseable /Filter in {dct[:80]!r}")
         return stream
     names = re.findall(rb"/(\w+)", fm.group(1))
-    parms = _decode_parms_list(dct, len(names))
+    parms = _decode_parms_list(dct, len(names), idx)
     for name, parm in zip(names, parms):
         dec = _DECODERS.get(name)
         if dec is None:
@@ -1105,7 +1144,7 @@ def _stream_body(idx: "_ObjIndex", dct: bytes, start: int) -> tuple[bytes, int]:
         rb"(?:\r\n|\r|\n)?endstream", payload[start + length : start + length + 11]
     ):
         raise PdfUnsupported("stream /Length does not land on endstream")
-    return _apply_filters(dct, stream), start + length
+    return _apply_filters(dct, stream, idx), start + length
 
 
 def _object_stream(idx: "_ObjIndex", num: int) -> bytes:
@@ -1119,7 +1158,7 @@ def _object_stream(idx: "_ObjIndex", num: int) -> bytes:
         raise PdfUnsupported(f"object {num} is an ObjStm member, cannot be a stream")
     payload = idx.payload
     i = idx.locate(num)
-    while payload[i : i + 1] in b" \t\r\n":
+    while i < len(payload) and payload[i] in b" \t\r\n":
         i += 1
     if payload[i : i + 2] != b"<<":
         raise PdfUnsupported(f"content object {num} has no stream dictionary")
@@ -1139,7 +1178,7 @@ def _object_dict(idx: "_ObjIndex", num: int) -> bytes:
     if src is None:
         src = idx.payload
         i = idx.locate(num)
-    while src[i : i + 1] in b" \t\r\n":
+    while i < len(src) and src[i] in b" \t\r\n":
         i += 1
     if src[i : i + 2] != b"<<":
         raise PdfUnsupported(f"object {num} is not a dictionary")

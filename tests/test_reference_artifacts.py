@@ -142,3 +142,59 @@ def test_pdf_render_forms_roundtrip_hypothesis():
             assert got == lines, (op, compress)
 
     check()
+
+
+def test_pdf_truncation_fuzz_stays_typed_under_deadline():
+    """r08 ADVICE (high): truncated payloads must TERMINATE — the
+    whitespace-skip cursor loops (`payload[i:i+1] in b" \\t\\r\\n"`) spun
+    forever at EOF because ``b"" in b" \\t\\r\\n"`` is True, hanging the
+    executor task instead of costing a quarantined row. Truncate real
+    Word + LibreOffice PDFs and a modern xref-stream/ObjStm file at
+    random offsets; every call must return or raise typed within a hard
+    SIGALRM deadline (a regression hangs -> alarm -> failure)."""
+    import signal
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        pdf_bytes_modern,
+    )
+
+    bases = [
+        open(os.path.join(REPORTS, "Agreement_John_Doe.pdf"), "rb").read(),
+        open(os.path.join(REPORTS, "Engagement_Letter_Ram.pdf"), "rb").read(),
+        pdf_bytes_modern(["truncation fuzz line %d" % i for i in range(40)]),
+    ]
+    regressions = [
+        b"%PDF-1.4\n1 0 obj",  # the exact ADVICE repro (hung in _scan)
+        b"%PDF-1.4\n1 0 obj ",
+        b"%PDF-1.4\n1 0 obj\n<</Type/Page>>\n2 0 obj",
+    ]
+
+    def on_alarm(signum, frame):  # pragma: no cover - only fires on regression
+        raise AssertionError("extract_pdf_text exceeded the truncation deadline")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(120)
+    try:
+        for payload in regressions:
+            out = extract_pdf_text(payload)
+            assert isinstance(out, list)
+        rng = random.Random(82)
+        for base in bases:
+            for _ in range(120):
+                cut = rng.randrange(1, len(base))
+                try:
+                    out = extract_pdf_text(base[:cut])
+                except PdfUnsupported:
+                    continue
+                assert isinstance(out, list)
+            # suffix truncation too: drop the header region
+            for _ in range(30):
+                start = rng.randrange(0, len(base) - 1)
+                try:
+                    out = extract_pdf_text(base[start:])
+                except PdfUnsupported:
+                    continue
+                assert isinstance(out, list)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

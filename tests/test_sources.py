@@ -1250,3 +1250,85 @@ def test_pdf_filter_codecs_roundtrip_property():
             assert _apply_filters(dct, enc) == payload, form
 
     _roundtrip()
+
+
+def test_pdf_modern_xref_width_scales_past_64k():
+    """r08 ADVICE (low): the xref-stream writer sized /W field 2 at a
+    fixed 2 bytes, so any output past 65,535 bytes raised an untyped
+    OverflowError. The width now derives from the final offset — an
+    incompressible multi-page file > 64 KiB must roundtrip under both
+    predictor variants, and the emitted /W must carry the wide field."""
+    import hashlib
+    import re
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_modern,
+    )
+
+    lines = [hashlib.sha256(b"%d" % i).hexdigest() * 2 for i in range(1800)]
+    for pred in (False, True):
+        pdf = pdf_bytes_modern(lines, predictor=pred)
+        assert len(pdf) > 65535
+        assert re.search(rb"/W \[1 3 2\]", pdf), "field-2 width should widen to 3"
+        assert extract_pdf_text(pdf) == lines
+    # small files keep the compact 2-byte width
+    small = pdf_bytes_modern(["tiny"])
+    assert re.search(rb"/W \[1 2 2\]", small)
+
+
+def test_pdf_decode_parms_indirect_and_malformed():
+    """r08 ADVICE (low): /DecodeParms as an indirect reference must
+    resolve through the object index (not silently drop the predictor
+    and emit garbage rows); a single parms dict paired with a filter
+    chain, or an unparseable parms token, is a typed refusal."""
+    import re
+    import zlib
+
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    base = pdf_bytes_from_lines(["indirect parms line"], compress=True)
+
+    # rewrite the content stream: PNG up-predictor (row filter 2) over
+    # 1-byte columns, /DecodeParms moved to a separate object 90 0 obj
+    m = re.search(
+        rb"<< /Length (\d+) /Filter /FlateDecode >>\nstream\n", base
+    )
+    assert m is not None
+    raw = zlib.decompress(base[m.end() : m.end() + int(m.group(1))])
+    pred_rows = bytearray()
+    prev = 0
+    for b in raw:
+        pred_rows += bytes([2, (b - prev) & 0xFF])
+        prev = b
+    enc = zlib.compress(bytes(pred_rows), 6)
+    head = (
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms 90 0 R >>\nstream\n"
+        % len(enc)
+    )
+    doctored = (
+        base[: m.start()]
+        + head
+        + enc
+        + base[m.end() + int(m.group(1)) :]
+        + b"90 0 obj\n<< /Predictor 12 /Columns 1 >>\nendobj\n"
+    )
+    assert extract_pdf_text(doctored) == ["indirect parms line"]
+
+    # dangling indirect ref -> typed refusal, not garbage rows
+    dangling = doctored.replace(b"/DecodeParms 90 0 R", b"/DecodeParms 91 0 R")
+    with pytest.raises(PdfUnsupported):
+        extract_pdf_text(dangling)
+
+    # unparseable parms token -> typed refusal
+    junk = base.replace(
+        b"/Filter /FlateDecode >>", b"/Filter /FlateDecode /DecodeParms (x) >>"
+    )
+    with pytest.raises(PdfUnsupported):
+        extract_pdf_text(junk)
