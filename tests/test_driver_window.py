@@ -1,33 +1,116 @@
-"""Driver-window accounting check (ADVICE r05 low __spark_entry__.py:117
-follow-through): the head comment's counts must match the actual
-composition of the first 50 keys the driver will sample, so each
-round's backlog accounting starts from accurate numbers."""
+"""Driver-window policy checks. The external driver samples only the
+FIRST ~50 keys of ``queries()`` per round, so ordering IS the
+verification policy. Since r09 the order derives from the committed
+CORRECTNESS_r{N}.json ledgers (r08 verdict asks #1/#2): never-witnessed
+keys first, then stalest-witnessed first — so the window automatically
+drains freshness debt every round with no hand-edited seen-set."""
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
 
 import __spark_entry__ as entry
 
 
-def test_unseen_keys_fill_the_window_before_seen_keys():
-    """r08 shape: the backlog is down to the final never-witnessed keys
-    (6 oracle + 24 rows-only lanes + any new this round), so the
-    invariant is ordering, not composition — every never-seen key must
-    precede every seen key, and the whole backlog must fit the 50-slot
-    head."""
+def _latest_ledger_round() -> int:
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ]
+    assert rounds, "no committed CORRECTNESS ledgers"
+    return max(rounds)
+
+
+def test_rotation_orders_unseen_then_stalest_first():
+    """The policy pin (r08 verdict ask #2): parse the committed ledgers
+    independently and assert queries() puts every never-witnessed key
+    before every witnessed one, and witnessed keys in ascending
+    last-witnessed-round order (ties in registration order)."""
     q = list(entry.queries())
-    seen_flags = [k in entry._DRIVER_SEEN for k in q]
-    first_seen = seen_flags.index(True)
-    late_unseen = [k for k, s in zip(q[first_seen:], seen_flags[first_seen:]) if not s]
-    assert not late_unseen, f"unseen keys scheduled after seen ones: {late_unseen}"
-    unseen = [k for k in q if k not in entry._DRIVER_SEEN]
-    assert len(unseen) <= 50, f"backlog no longer fits one window: {len(unseen)}"
-    assert set(unseen) <= set(q[:50])
+    seen = entry._witness_rounds()
+
+    manual = [k for k in entry._MANUAL_PRIORITY if k in q]
+    body = q[len(manual) :]
+    flags = [k in seen for k in body]
+    if True in flags:
+        first_seen = flags.index(True)
+        late_unseen = [k for k, s in zip(body[first_seen:], flags[first_seen:]) if not s]
+        assert not late_unseen, f"unseen keys scheduled after seen ones: {late_unseen}"
+    witnessed_rounds = [seen[k] for k in body if k in seen]
+    assert witnessed_rounds == sorted(witnessed_rounds), (
+        "witnessed keys must be ordered stalest-first"
+    )
+
+
+def test_window_drains_the_oldest_vintage():
+    """The 50-key window must be filled by the globally oldest
+    witness-rounds: no key outside the window may be staler than the
+    newest key inside it (new never-witnessed keys count as round 0)."""
+    q = list(entry.queries())
+    seen = entry._witness_rounds()
+    window, rest = q[:50], q[50:]
+    newest_in_window = max(seen.get(k, 0) for k in window)
+    staler_outside = [k for k in rest if seen.get(k, 0) < newest_in_window]
+    assert not staler_outside, (
+        f"keys staler than the window's newest were left outside: "
+        f"{staler_outside[:5]} (< r{newest_in_window})"
+    )
+
+
+def test_witness_rounds_covers_full_registry():
+    """r08 closed the ledger: every registered key has at least one
+    successful driver witness. New growth keys are the only allowed
+    unseen ones, and they must sit at the very front of the order."""
+    q = list(entry.queries())
+    seen = entry._witness_rounds()
+    unseen = [k for k in q if k not in seen]
+    # growth budget per round is <=10; anything larger means the ledger
+    # parse broke, not that 10+ keys appeared at once
+    assert len(unseen) <= 10, f"ledger parse regression? unseen={len(unseen)}"
+    assert unseen == q[: len(unseen)]
+
+
+def test_failed_rows_do_not_count_as_witnessed():
+    """A ledger row recording a failure (hash/schema/rows mismatch or a
+    real error) must NOT advance the key's witness round — it re-queues
+    at the front instead of sinking for 6 rounds."""
+    rows = {
+        "ok_oracle": {"rows_match": True, "schema_match": True, "hash_match": True,
+                      "spark_rows": 1, "oracle_rows": 1, "err": None},
+        "ok_rows_only": {"rows_match": None, "schema_match": None, "hash_match": None,
+                         "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"},
+        "bad_hash": {"rows_match": True, "schema_match": True, "hash_match": False,
+                     "spark_rows": 1, "oracle_rows": 1, "err": None},
+        "bad_err": {"rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": 0, "oracle_rows": None, "err": "AnalysisException"},
+    }
+
+    def ok(row):
+        err = row.get("err")
+        return (err is None or err == "no_oracle") and all(
+            row.get(f) is not False
+            for f in ("rows_match", "schema_match", "hash_match")
+        )
+
+    assert ok(rows["ok_oracle"]) and ok(rows["ok_rows_only"])
+    assert not ok(rows["bad_hash"]) and not ok(rows["bad_err"])
+    # and the live parser agrees with this classification on real data
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    latest = os.path.join(here, f"CORRECTNESS_r{_latest_ledger_round():02d}.json")
+    data = json.load(open(latest))
+    live = entry._witness_rounds()
+    for k, row in data.items():
+        if ok(row) and k in live:
+            assert live[k] >= _latest_ledger_round() or live[k] > 0
 
 
 def test_coverage_doc_counts_match_registry():
     """r07 verdict ask #5: COVERAGE.md and README registry totals are
     machine-checked against the live registry so they cannot drift."""
-    import re
     from pathlib import Path
 
     from automated_property_data_ingestion_document_pipeline_spark.plans import ORACLES, QUERIES
@@ -50,8 +133,8 @@ def test_coverage_doc_counts_match_registry():
     assert tuple(map(int, m3.groups())) == (n_rows, n_keys)
 
 
-def test_priority_list_has_no_unknown_or_duplicate_keys():
+def test_manual_priority_has_no_unknown_or_duplicate_keys():
     q = entry.queries()
-    missing = [k for k in entry._PRIORITY if k not in q]
+    missing = [k for k in entry._MANUAL_PRIORITY if k not in q]
     assert not missing, missing
-    assert len(entry._PRIORITY) == len(set(entry._PRIORITY))
+    assert len(entry._MANUAL_PRIORITY) == len(set(entry._MANUAL_PRIORITY))
