@@ -1165,7 +1165,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's domain artifacts ARE PDFs, report_generator.py:
     92-103): each document's 50 deterministic parcel-record lines are
     rendered to a REAL two-page PDF by the S8 writer and extracted
-    back. doc_id % 5 cycles the container through every layout real
+    back. doc_id % 10 cycles the container through every layout real
     writers emit AND every extractor path: plain Tj, FlateDecode Tj,
     FlateDecode TJ arrays (Word's form), FlateDecode hex strings
     through an identity /ToUnicode CMap (LibreOffice's subset-font
@@ -1176,19 +1176,22 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts the stale decoy and FAILS the hash) and the PDF 1.5
     MODERN layout (page/font dicts compressed inside /Type /ObjStm,
     cross-reference as a /Type /XRef binary stream, PNG predictor 12
-    alternating by (did // 8) % 2 — what current Word/LibO exports look
-    like). The
-    driver's one value hash therefore witnesses page targeting,
-    inflate, TJ parsing, CMap decode, escape round-trip,
-    latest-generation resolution, xref-stream/ObjStm decode, AND (r08,
-    forms 6-7 of the doc_id % 8 cycle) the LZWDecode and
-    ASCII85->Flate filter-chain battery. The
-    oracle rebuilds the same strings in pure SQL — it never sees a
-    PDF. Row-local mapInPandas; 4 ints per doc leave the executor."""
+    alternating by (did // 10) % 2 — what current Word/LibO exports
+    look like). The driver's one value hash therefore witnesses page
+    targeting, inflate, TJ parsing, CMap decode, escape round-trip,
+    latest-generation resolution, xref-stream/ObjStm decode, the
+    LZWDecode and ASCII85->Flate filter-chain battery (r08, forms
+    6-7), AND (r09, forms 8-9 of the doc_id % 10 cycle) the STANDARD
+    SECURITY HANDLER: RC4-128 and AES-128 /AESV2 encrypted files
+    opened with the empty user password — ciphertext in, the same
+    value hash out. The oracle rebuilds the same strings in pure SQL —
+    it never sees a PDF. Row-local mapInPandas; 4 ints per doc leave
+    the executor."""
     import pandas as pd
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
         extract_pdf_text,
+        pdf_bytes_encrypted,
         pdf_bytes_from_lines,
         pdf_bytes_modern,
         pdf_bytes_with_incremental_update,
@@ -1212,18 +1215,24 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # 0: plain Tj, 1: flate Tj, 2: flate TJ, 3: flate
                 # hex+CMap, 4: incremental update superseding decoy
                 # text, 5: PDF 1.5 ObjStm + xref stream (predictor 12
-                # alternating), 6: LZWDecode, 7: [ASCII85 -> Flate]
-                # filter chain
-                form = did % 8
+                # alternating by (did // 10) % 2), 6: LZWDecode,
+                # 7: [ASCII85 -> Flate] filter chain, 8: RC4-128
+                # encrypted (standard security handler, empty user
+                # password), 9: AES-128 /AESV2 encrypted (r09)
+                form = did % 10
                 if form == 4:
                     payload = pdf_bytes_with_incremental_update(lines)
                 elif form == 5:
-                    payload = pdf_bytes_modern(lines, predictor=(did // 8) % 2 == 0)
+                    payload = pdf_bytes_modern(lines, predictor=(did // 10) % 2 == 0)
                 elif form in (6, 7):
                     payload = pdf_bytes_from_lines(
                         lines,
                         text_op="TJ" if form == 7 else "Tj",
                         stream_filter={6: "lzw", 7: "a85flate"}[form],
+                    )
+                elif form in (8, 9):
+                    payload = pdf_bytes_encrypted(
+                        lines, method="rc4-128" if form == 8 else "aes-128"
                     )
                 else:
                     payload = pdf_bytes_from_lines(

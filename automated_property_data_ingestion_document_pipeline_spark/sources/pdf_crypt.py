@@ -1,0 +1,334 @@
+"""Standard security handler for PDF encryption — pure stdlib.
+
+Implements the PUBLIC ISO 32000-1 §7.6.2–7.6.4 algorithms the
+document-ingest surface needs to read the common "protected" scanned
+property report: RC4 (40- and 128-bit, /V 1–2, /R 2–3) and AES-128-CBC
+(/V 4 /R 4, crypt filter /AESV2) with the EMPTY USER PASSWORD — the
+ubiquitous owner-restrictions-only case. Anything needing a real
+password, or AES-256 (/V 5 /R 5–6, SHA-2 based), stays a typed refusal
+in the extractor (pdf_sink.py): honest quarantine, not silent garbage.
+
+Everything here is deterministic and side-effect free so writer
+fixtures remain pure functions of their inputs (the determinism
+contract every codec writer in sources/ carries): the AES CBC IV is
+supplied by the caller, never drawn from a RNG.
+
+Reference parity anchor: the reference app's PDF artifact surface
+(real_estate_backend/report_generator.py:92-103) — third parties
+re-encrypt those reports; reading them back is part of S8's read half
+(SURVEY.md §2.1 S8).
+
+Algorithm numbers below are ISO 32000-1:2008 §7.6.3.3–7.6.3.5
+(Algorithms 1, 2, 3, 4, 5) — public specification text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+# §7.6.3.3 Algorithm 2 step (a): the 32-byte password pad string.
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+# --------------------------------------------------------------------------
+# RC4 (public algorithm; 40- and 128-bit keys per /V 1-2)
+# --------------------------------------------------------------------------
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 stream cipher (encrypt == decrypt)."""
+    if not key:
+        raise ValueError("empty RC4 key")  # _stream_body retypes ValueError
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# AES-128 (FIPS-197) — block primitives + CBC with PKCS#7, decrypt AND
+# encrypt (the writer fixture needs the forward direction)
+# --------------------------------------------------------------------------
+
+_SBOX = [
+    0x63, 0x7C, 0x77, 0x7B, 0xF2, 0x6B, 0x6F, 0xC5, 0x30, 0x01, 0x67, 0x2B,
+    0xFE, 0xD7, 0xAB, 0x76, 0xCA, 0x82, 0xC9, 0x7D, 0xFA, 0x59, 0x47, 0xF0,
+    0xAD, 0xD4, 0xA2, 0xAF, 0x9C, 0xA4, 0x72, 0xC0, 0xB7, 0xFD, 0x93, 0x26,
+    0x36, 0x3F, 0xF7, 0xCC, 0x34, 0xA5, 0xE5, 0xF1, 0x71, 0xD8, 0x31, 0x15,
+    0x04, 0xC7, 0x23, 0xC3, 0x18, 0x96, 0x05, 0x9A, 0x07, 0x12, 0x80, 0xE2,
+    0xEB, 0x27, 0xB2, 0x75, 0x09, 0x83, 0x2C, 0x1A, 0x1B, 0x6E, 0x5A, 0xA0,
+    0x52, 0x3B, 0xD6, 0xB3, 0x29, 0xE3, 0x2F, 0x84, 0x53, 0xD1, 0x00, 0xED,
+    0x20, 0xFC, 0xB1, 0x5B, 0x6A, 0xCB, 0xBE, 0x39, 0x4A, 0x4C, 0x58, 0xCF,
+    0xD0, 0xEF, 0xAA, 0xFB, 0x43, 0x4D, 0x33, 0x85, 0x45, 0xF9, 0x02, 0x7F,
+    0x50, 0x3C, 0x9F, 0xA8, 0x51, 0xA3, 0x40, 0x8F, 0x92, 0x9D, 0x38, 0xF5,
+    0xBC, 0xB6, 0xDA, 0x21, 0x10, 0xFF, 0xF3, 0xD2, 0xCD, 0x0C, 0x13, 0xEC,
+    0x5F, 0x97, 0x44, 0x17, 0xC4, 0xA7, 0x7E, 0x3D, 0x64, 0x5D, 0x19, 0x73,
+    0x60, 0x81, 0x4F, 0xDC, 0x22, 0x2A, 0x90, 0x88, 0x46, 0xEE, 0xB8, 0x14,
+    0xDE, 0x5E, 0x0B, 0xDB, 0xE0, 0x32, 0x3A, 0x0A, 0x49, 0x06, 0x24, 0x5C,
+    0xC2, 0xD3, 0xAC, 0x62, 0x91, 0x95, 0xE4, 0x79, 0xE7, 0xC8, 0x37, 0x6D,
+    0x8D, 0xD5, 0x4E, 0xA9, 0x6C, 0x56, 0xF4, 0xEA, 0x65, 0x7A, 0xAE, 0x08,
+    0xBA, 0x78, 0x25, 0x2E, 0x1C, 0xA6, 0xB4, 0xC6, 0xE8, 0xDD, 0x74, 0x1F,
+    0x4B, 0xBD, 0x8B, 0x8A, 0x70, 0x3E, 0xB5, 0x66, 0x48, 0x03, 0xF6, 0x0E,
+    0x61, 0x35, 0x57, 0xB9, 0x86, 0xC1, 0x1D, 0x9E, 0xE1, 0xF8, 0x98, 0x11,
+    0x69, 0xD9, 0x8E, 0x94, 0x9B, 0x1E, 0x87, 0xE9, 0xCE, 0x55, 0x28, 0xDF,
+    0x8C, 0xA1, 0x89, 0x0D, 0xBF, 0xE6, 0x42, 0x68, 0x41, 0x99, 0x2D, 0x0F,
+    0xB0, 0x54, 0xBB, 0x16,
+]
+_INV_SBOX = [0] * 256
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    if a & 0x100:
+        a ^= 0x11B
+    return a & 0xFF
+
+
+def _mul(a: int, b: int) -> int:
+    out = 0
+    while b:
+        if b & 1:
+            out ^= a
+        a = _xtime(a)
+        b >>= 1
+    return out
+
+
+def _expand_key_128(key: bytes) -> list[list[int]]:
+    """11 round keys of 16 bytes each, as flat lists."""
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        temp = list(w[i - 1])
+        if i % 4 == 0:
+            temp = temp[1:] + temp[:1]
+            temp = [_SBOX[b] for b in temp]
+            temp[0] ^= _RCON[i // 4 - 1]
+        w.append([a ^ b for a, b in zip(w[i - 4], temp)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+
+def _add_round_key(state: list[int], rk: list[int]) -> None:
+    for i in range(16):
+        state[i] ^= rk[i]
+
+
+_SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
+_INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
+
+
+def _encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    s = list(block)
+    _add_round_key(s, rks[0])
+    for rnd in range(1, 10):
+        s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
+        # MixColumns
+        t = s
+        s = []
+        for c in range(4):
+            col = t[4 * c : 4 * c + 4]
+            s += [
+                _mul(col[0], 2) ^ _mul(col[1], 3) ^ col[2] ^ col[3],
+                col[0] ^ _mul(col[1], 2) ^ _mul(col[2], 3) ^ col[3],
+                col[0] ^ col[1] ^ _mul(col[2], 2) ^ _mul(col[3], 3),
+                _mul(col[0], 3) ^ col[1] ^ col[2] ^ _mul(col[3], 2),
+            ]
+        _add_round_key(s, rks[rnd])
+    s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
+    _add_round_key(s, rks[10])
+    return bytes(s)
+
+
+def _decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    s = list(block)
+    _add_round_key(s, rks[10])
+    for rnd in range(9, 0, -1):
+        s = [_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
+        _add_round_key(s, rks[rnd])
+        # InvMixColumns
+        t = s
+        s = []
+        for c in range(4):
+            col = t[4 * c : 4 * c + 4]
+            s += [
+                _mul(col[0], 14) ^ _mul(col[1], 11) ^ _mul(col[2], 13) ^ _mul(col[3], 9),
+                _mul(col[0], 9) ^ _mul(col[1], 14) ^ _mul(col[2], 11) ^ _mul(col[3], 13),
+                _mul(col[0], 13) ^ _mul(col[1], 9) ^ _mul(col[2], 14) ^ _mul(col[3], 11),
+                _mul(col[0], 11) ^ _mul(col[1], 13) ^ _mul(col[2], 9) ^ _mul(col[3], 14),
+            ]
+    s = [_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
+    _add_round_key(s, rks[0])
+    return bytes(s)
+
+
+class AesError(ValueError):
+    """Malformed AES-CBC payload (bad length, bad padding)."""
+
+
+def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PDF §7.6.2 AESV2 stream form: returns ``iv + CBC(pkcs7(data))``."""
+    if len(key) != 16 or len(iv) != 16:
+        raise AesError("AES-128 key and IV must be 16 bytes")
+    rks = _expand_key_128(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(rks, block)
+        out += prev
+    return bytes(out)
+
+
+def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`aes128_cbc_encrypt`; the leading 16 bytes are
+    the IV. Raises :class:`AesError` (a ValueError) on malformed
+    length/padding so the extractor can retype it PdfUnsupported."""
+    if len(key) != 16:
+        raise AesError("AES-128 key must be 16 bytes")
+    if len(data) < 32 or len(data) % 16:
+        raise AesError(f"AES-CBC payload length {len(data)} invalid")
+    rks = _expand_key_128(key)
+    iv, body = data[:16], data[16:]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(body), 16):
+        blk = body[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(rks, blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise AesError("bad PKCS#7 padding")
+    return bytes(out[:-pad])
+
+
+# --------------------------------------------------------------------------
+# Standard security handler key algorithms (§7.6.3.3-7.6.3.5)
+# --------------------------------------------------------------------------
+
+
+def compute_file_key(
+    user_pw: bytes,
+    o_value: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    key_bytes: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2: the file encryption key from a (padded) user
+    password. ``p`` is the signed /P permissions value; ``key_bytes``
+    is /Length/8 (5 for R=2). Step (f): R>=4 with /EncryptMetadata
+    false appends 0xFFFFFFFF to the hash input."""
+    h = hashlib.md5()
+    h.update(_pad_password(user_pw))
+    h.update(o_value[:32])
+    h.update(struct.pack("<i", p))
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    digest = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:key_bytes]).digest()
+    return digest[:key_bytes]
+
+
+def compute_o_value(owner_pw: bytes, user_pw: bytes, r: int, key_bytes: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    digest = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    rc4_key = digest[:key_bytes]
+    o = rc4(rc4_key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in rc4_key), o)
+    return o
+
+
+def compute_u_value(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R=2) / Algorithm 5 (R>=3): the /U entry. R>=3
+    returns 16 significant bytes + 16 bytes of deterministic padding
+    (spec: 'arbitrary padding'; zeros here keep writers pure)."""
+    if r == 2:
+        return rc4(file_key, _PAD)
+    digest = hashlib.md5(_PAD + id0).digest()
+    u = rc4(file_key, digest)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
+
+
+def authenticate_user_password(
+    user_pw: bytes, o_value: bytes, u_value: bytes, p: int, id0: bytes,
+    r: int, key_bytes: int, encrypt_metadata: bool = True,
+) -> "bytes | None":
+    """Algorithm 6: derive the file key from ``user_pw`` and check it
+    reproduces /U. Returns the file key on success, None on failure
+    (R>=3 compares only the 16 significant bytes)."""
+    key = compute_file_key(
+        user_pw, o_value, p, id0, r, key_bytes, encrypt_metadata=encrypt_metadata
+    )
+    expect = compute_u_value(key, id0, r)
+    got, want = (u_value[:16], expect[:16]) if r >= 3 else (u_value[:32], expect[:32])
+    return key if got == want else None
+
+
+def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: the per-object key — MD5 of the file key + 3
+    low-order bytes of the object number + 2 of the generation (+ the
+    'sAlT' constant for /AESV2), truncated to min(len+5, 16)."""
+    h = hashlib.md5()
+    h.update(file_key)
+    h.update(struct.pack("<i", num)[:3])
+    h.update(struct.pack("<i", gen)[:2])
+    if aes:
+        h.update(b"sAlT")
+    return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+def decrypt_bytes(file_key: bytes, num: int, gen: int, data: bytes, method: str) -> bytes:
+    """Decrypt one string/stream for object ``num``/``gen``.
+    ``method`` is 'rc4' or 'aesv2'."""
+    key = object_key(file_key, num, gen, aes=(method == "aesv2"))
+    if method == "rc4":
+        return rc4(key, data)
+    return aes128_cbc_decrypt(key, data)
+
+
+def encrypt_bytes(
+    file_key: bytes, num: int, gen: int, data: bytes, method: str, iv: bytes = b""
+) -> bytes:
+    """Forward direction for writer fixtures; AESV2 needs a caller-
+    supplied 16-byte IV (determinism contract)."""
+    key = object_key(file_key, num, gen, aes=(method == "aesv2"))
+    if method == "rc4":
+        return rc4(key, data)
+    return aes128_cbc_encrypt(key, iv, data)

@@ -208,6 +208,113 @@ def pdf_bytes_from_lines(
     return bytes(buf)
 
 
+def pdf_bytes_encrypted(
+    lines: list[str],
+    method: str = "rc4-128",
+    compress: bool = True,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"spark-graft-owner",
+) -> bytes:
+    """The 'protected' report shape third parties hand back: the same
+    classic PDF 1.4 layout as :func:`pdf_bytes_from_lines` but with
+    every stream body encrypted under the STANDARD security handler
+    (ISO 32000-1 §7.6.3-4) — ``method`` picks ``"rc4-40"`` (/V 1 /R 2),
+    ``"rc4-128"`` (/V 2 /R 3 /Length 128) or ``"aes-128"`` (/V 4 /R 4,
+    crypt filter /AESV2). Deterministic pure function of its inputs:
+    the file /ID is an MD5 of the content+method and each AES IV
+    derives from /ID + object number — no RNG, so fixtures hash
+    identically on any machine. A non-empty ``user_pw`` produces the
+    file the extractor must REFUSE typed (empty-password auth fails)."""
+    import zlib
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
+
+    spec = {
+        "rc4-40": (1, 2, 5, "rc4"),
+        "rc4-128": (2, 3, 16, "rc4"),
+        "aes-128": (4, 4, 16, "aesv2"),
+    }
+    if method not in spec:
+        raise ValueError(f"unknown encryption method {method!r}")
+    v, r, key_bytes, obj_method = spec[method]
+
+    import hashlib
+
+    id0 = hashlib.md5(
+        b"spark-graft-pdf-encrypt|" + method.encode() + b"|"
+        + "\x1f".join(lines).encode("utf-8", "replace")
+    ).digest()
+    p_perms = -44
+    o_val = pdf_crypt.compute_o_value(owner_pw, user_pw, r, key_bytes)
+    fk = pdf_crypt.compute_file_key(user_pw, o_val, p_perms, id0, r, key_bytes)
+    u_val = pdf_crypt.compute_u_value(fk, id0, r)
+
+    def _enc(num: int, data: bytes) -> bytes:
+        iv = hashlib.md5(id0 + b"%d/0" % num).digest()[:16]
+        return pdf_crypt.encrypt_bytes(fk, num, 0, data, obj_method, iv=iv)
+
+    pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
+    if not pages:
+        pages = [[]]
+    n_pages = len(pages)
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids.encode(), n_pages),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    ]
+    for i, page_lines in enumerate(pages):
+        stream = _content_stream(page_lines, "Tj")
+        if compress:
+            stream = zlib.compress(stream, 6)
+        enc = _enc(5 + 2 * i, stream)
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, 5 + 2 * i)
+        )
+        objects.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(enc), filt, enc)
+        )
+    enc_num = len(objects) + 1
+    if method == "aes-128":
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /P %d >>"
+            % (o_val.hex().encode(), u_val.hex().encode(), p_perms)
+        )
+    else:
+        length = b" /Length 128" if method == "rc4-128" else b""
+        enc_dict = (
+            b"<< /Filter /Standard /V %d /R %d%s /O <%s> /U <%s> /P %d >>"
+            % (v, r, length, o_val.hex().encode(), u_val.hex().encode(), p_perms)
+        )
+    objects.append(enc_dict)
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (num, body)
+    xref_at = len(buf)
+    n_obj = len(objects) + 1
+    buf += b"xref\n0 %d\n" % n_obj
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    idhex = id0.hex().encode()
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R /ID [<%s> <%s>] >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (n_obj, enc_num, idhex, idhex, xref_at)
+    )
+    return bytes(buf)
+
+
 def pdf_bytes_modern(
     lines: list[str], predictor: bool = False, text_op: str = "Tj"
 ) -> bytes:
@@ -516,11 +623,19 @@ class _ObjIndex:
     generation, the LAST occurrence (appended incremental updates
     win)."""
 
-    __slots__ = ("payload", "_offsets", "_inline", "_inline_order", "encrypted")
+    __slots__ = (
+        "payload", "_offsets", "_inline", "_inline_order", "encrypted",
+        "encrypt_ref", "file_id", "decryptor",
+    )
 
     def __init__(self, payload: bytes):
         self.payload = payload
         self.encrypted = False  # set when a trailer/xref dict has /Encrypt
+        self.encrypt_ref: "int | None" = None  # newest trailer's /Encrypt object
+        self.file_id: "bytes | None" = None  # first /ID string (key salt)
+        # (num, gen, bytes) -> bytes, installed by _setup_decryption once
+        # the standard security handler authenticates the empty user pw
+        self.decryptor = None
         offsets = self._scan()
         chain, freed, stm_refs = self._xref_chain()
         offsets.update(chain)
@@ -530,6 +645,27 @@ class _ObjIndex:
         self._inline: dict[int, bytes] = {}
         self._inline_order: list[int] = []
         self._extract_objstm(stm_refs)
+        if not chain and not self.encrypted:
+            # xref chain unusable (scan backstop in play): an encrypted
+            # file would otherwise sail ciphertext into the filters —
+            # garbage rows for unfiltered streams. Parse any classic
+            # trailer dicts directly (balanced-dict scan, so ciphertext
+            # bytes spelling 'trailer' without a parsable dict + a real
+            # /Encrypt N G R reference can't false-positive).
+            self._scan_trailers_for_encrypt()
+
+    def _scan_trailers_for_encrypt(self) -> None:
+        import re
+
+        for m in re.finditer(rb"trailer\b", self.payload):
+            t = self.payload.find(b"<<", m.end(), m.end() + 64)
+            if t == -1:
+                continue
+            try:
+                d = self.payload[t : _dict_span(self.payload, t)]
+            except PdfUnsupported:
+                continue
+            self._note_encrypt(d)
 
     def locate(self, num: int) -> int:
         """Offset just past object ``num``'s ``N G obj`` token (regular
@@ -544,6 +680,31 @@ class _ObjIndex:
         """Object ``num``'s body bytes when it lives inside an object
         stream; None for regular objects."""
         return self._inline.get(num)
+
+    def _note_encrypt(self, trailer: bytes) -> None:
+        """Record /Encrypt + first /ID from a trailer / xref-stream
+        dict. The chain walks newest-first, so the FIRST sighting wins
+        (an incremental update's security state supersedes the
+        original's)."""
+        import re
+
+        em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", trailer)
+        if em is not None:
+            self.encrypted = True
+            if self.encrypt_ref is None:
+                self.encrypt_ref = int(em.group(1))
+        if self.file_id is None:
+            im = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", trailer)
+            if im is not None:
+                h = im.group(1)
+                if len(h) % 2:
+                    h += b"0"
+                self.file_id = bytes.fromhex(h.decode("ascii"))
+            else:
+                lm = re.search(rb"/ID\s*\[\s*\(", trailer)
+                if lm is not None:
+                    raw, _ = _lit_span(trailer, lm.end() - 1)
+                    self.file_id = _pdf_unescape(raw).encode("latin-1")
 
     def objects_in_order(self) -> "list[tuple[int, int | None]]":
         """(object number, body offset | None-for-inline) pairs in
@@ -721,8 +882,7 @@ class _ObjIndex:
             trailer = payload[tstart : _dict_span(payload, tstart)]
         except PdfUnsupported:
             return []
-        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", trailer):
-            self.encrypted = True
+        self._note_encrypt(trailer)
         nxt = []
         hm = re.search(rb"/XRefStm\s+(\d+)", trailer)
         if hm is not None:
@@ -759,8 +919,7 @@ class _ObjIndex:
         dct = payload[i:dend]
         if not re.search(rb"/Type\s*/XRef\b", dct):
             return []
-        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", dct):
-            self.encrypted = True
+        self._note_encrypt(dct)
         wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", dct)
         szm = re.search(rb"/Size\s+(\d+)", dct)
         lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", dct)
@@ -1127,11 +1286,20 @@ def _apply_filters(
     return stream
 
 
-def _stream_body(idx: "_ObjIndex", dct: bytes, start: int) -> tuple[bytes, int]:
+def _stream_body(
+    idx: "_ObjIndex",
+    dct: bytes,
+    start: int,
+    objref: "tuple[int, int] | None" = None,
+) -> tuple[bytes, int]:
     """Slice a stream to its declared /Length from ``start`` (just past
-    the ``stream`` EOL), validate the ``endstream`` landing, run the
-    /Filter chain through the capped decoder battery (r06 advice —
-    bomb guards; r08 — Flate/LZW/ASCII85/ASCIIHex/RunLength + chains +
+    the ``stream`` EOL), validate the ``endstream`` landing, decrypt
+    when the index carries an authenticated decryptor (r09 — §7.6.2:
+    encryption wraps the OUTSIDE of the filter chain, so ciphertext is
+    removed before filters run; ``objref`` is the owning object's
+    (num, gen), required for the per-object key), then run the /Filter
+    chain through the capped decoder battery (r06 advice — bomb
+    guards; r08 — Flate/LZW/ASCII85/ASCIIHex/RunLength + chains +
     predictors), refuse any other filter. Returns (bytes, end)."""
     import re
 
@@ -1144,6 +1312,15 @@ def _stream_body(idx: "_ObjIndex", dct: bytes, start: int) -> tuple[bytes, int]:
         rb"(?:\r\n|\r|\n)?endstream", payload[start + length : start + length + 11]
     ):
         raise PdfUnsupported("stream /Length does not land on endstream")
+    if idx.decryptor is not None:
+        if objref is None:
+            raise PdfUnsupported(
+                "cannot decrypt a stream without its object identity"
+            )
+        try:
+            stream = idx.decryptor(objref[0], objref[1], stream)
+        except ValueError as e:  # AesError and kin → typed quarantine
+            raise PdfUnsupported(f"stream decryption failed: {e}")
     return _apply_filters(dct, stream, idx), start + length
 
 
@@ -1166,7 +1343,14 @@ def _object_stream(idx: "_ObjIndex", num: int) -> bytes:
     sm = re.match(rb"\s*stream\r?\n", payload[dend : dend + 16])
     if sm is None:
         raise PdfUnsupported(f"content object {num} has no stream body")
-    body, _ = _stream_body(idx, payload[i:dend], dend + sm.end())
+    gen = 0
+    if idx.decryptor is not None:
+        # the per-object key needs the generation — reparse the header
+        # just before the located body offset (offset points PAST it)
+        gm = re.search(rb"(\d+)\s+(\d+)\s+obj\s*$", payload[max(0, i - 48) : i])
+        if gm is not None:
+            gen = int(gm.group(2))
+    body, _ = _stream_body(idx, payload[i:dend], dend + sm.end(), (num, gen))
     return body
 
 
@@ -1448,6 +1632,95 @@ def _text_ops(
     return out
 
 
+def _pdf_string_value(dct: bytes, key: bytes) -> "bytes | None":
+    """The raw byte value of ``/key (literal)`` or ``/key <hex>`` in a
+    dictionary — escapes resolved, hex decoded. None when absent."""
+    import re
+
+    m = re.search(rb"/" + key + rb"\s*(\(|<(?!<))", dct)
+    if m is None:
+        return None
+    if m.group(1) == b"(":
+        raw, _ = _lit_span(dct, m.end() - 1)
+        return _pdf_unescape(raw).encode("latin-1")
+    hm = re.match(rb"([0-9A-Fa-f\s]*)>", dct[m.end() :])
+    if hm is None:
+        raise PdfUnsupported(f"unterminated hex string for /{key.decode()}")
+    h = re.sub(rb"\s", b"", hm.group(1))
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _setup_decryption(idx: "_ObjIndex") -> None:
+    """Authenticate the standard security handler with the EMPTY user
+    password and install ``idx.decryptor`` (ISO 32000-1 §7.6.3-7.6.4):
+    /V 1-2 RC4 (40..128-bit) and /V 4 crypt filters /V2 (RC4) or
+    /AESV2 (AES-128-CBC) are supported — the ubiquitous owner-
+    restrictions-only "protected" report. Everything else is a typed
+    refusal: real user passwords, AES-256 (/V 5, /R 5-6), non-Standard
+    handlers, /Identity leaves streams plaintext (no decryptor)."""
+    import re
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
+
+    if idx.encrypt_ref is None:
+        raise PdfUnsupported("encrypted PDF with unresolvable /Encrypt")
+    enc = _object_dict(idx, idx.encrypt_ref)
+    if not re.search(rb"/Filter\s*/Standard(?![\w])", enc):
+        raise PdfUnsupported("non-Standard security handler")
+    vm = re.search(rb"/V\s+(\d+)", enc)
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v >= 5 or r >= 5:
+        raise PdfUnsupported(f"AES-256 encryption (/V {v} /R {r}) unsupported")
+    if v not in (1, 2, 4) or r not in (2, 3, 4):
+        raise PdfUnsupported(f"unsupported encryption revision /V {v} /R {r}")
+    o_val = _pdf_string_value(enc, b"O")
+    u_val = _pdf_string_value(enc, b"U")
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    if o_val is None or u_val is None or pm is None:
+        raise PdfUnsupported("encryption dictionary missing /O, /U, or /P")
+    p = int(pm.group(1)) & 0xFFFFFFFF  # some writers emit unsigned (or
+    if p >= 1 << 31:  # hostile digits overflow int32) — fold to signed
+        p -= 1 << 32
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    key_bytes = 5 if v == 1 else (int(lm.group(1)) // 8 if lm else 5)
+    if not 5 <= key_bytes <= 16:  # spec: /Length 40..128, multiple of 8
+        raise PdfUnsupported(f"encryption key length {key_bytes * 8} out of range")
+    method = "rc4"
+    if v == 4:
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
+        stmf = re.search(rb"/StmF\s*/(\w+)", enc)
+        if stmf is not None and stmf.group(1) == b"Identity":
+            return  # streams are not encrypted; strings don't feed text
+        if cfm is None:
+            raise PdfUnsupported("crypt-filter PDF (/V 4) without /CFM")
+        if cfm.group(1) == b"AESV2":
+            method, key_bytes = "aesv2", 16
+        elif cfm.group(1) == b"V2":
+            method = "rc4"
+        else:
+            raise PdfUnsupported(
+                f"unsupported crypt filter /CFM /{cfm.group(1).decode()}"
+            )
+    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", enc)
+    if idx.file_id is None:
+        raise PdfUnsupported("encrypted PDF without a trailer /ID")
+    key = pdf_crypt.authenticate_user_password(
+        b"", o_val, u_val, p, idx.file_id, r, key_bytes,
+        encrypt_metadata=encrypt_metadata,
+    )
+    if key is None:
+        raise PdfUnsupported(
+            "password-protected PDF (empty user password rejected)"
+        )
+    idx.decryptor = lambda num, gen, data: pdf_crypt.decrypt_bytes(
+        key, num, gen, data, method
+    )
+
+
 def extract_pdf_text(payload: bytes) -> list[str]:
     """Reparse the text lines out of a PDF's PAGE CONTENT streams —
     plain or FlateDecode-encoded, ``Tj`` or ``TJ`` show operators (r06:
@@ -1475,13 +1748,15 @@ def extract_pdf_text(payload: bytes) -> list[str]:
         raise PdfUnsupported("not a PDF header")
     idx = _ObjIndex(payload)
     # encrypted documents (a parsed trailer / xref-stream dict carries
-    # /Encrypt): string and stream bytes are RC4/AES ciphertext —
-    # refuse precisely up front instead of leaking whatever the
-    # downstream filters make of ciphertext (r08); checked on the
-    # PARSED dicts, never the raw payload, so ciphertext bytes that
-    # happen to spell '/Encrypt' can't false-positive
+    # /Encrypt): r09 — the standard security handler's EMPTY-user-
+    # password case (RC4-40/128, AES-128 /AESV2; ISO 32000-1 §7.6.3-4)
+    # authenticates and installs a per-object decryptor; a real user
+    # password, AES-256 (R5/6), or a non-Standard handler stays a
+    # typed refusal. Checked on the PARSED dicts, never the raw
+    # payload, so ciphertext bytes that happen to spell '/Encrypt'
+    # can't false-positive (r08).
     if idx.encrypted:
-        raise PdfUnsupported("encrypted PDF (/Encrypt) — no decryption support")
+        _setup_decryption(idx)
     pages = _pages(idx)
     if pages:
         lines: list[str] = []

@@ -1166,11 +1166,12 @@ def test_docx_header_footer_extraction_opt_in():
 
 
 def test_pdf_encrypted_documents_refused_typed():
-    """r08: /Encrypt in a parsed trailer or xref-stream dict is a
-    precise typed refusal — string/stream bytes are ciphertext, and
-    leaking whatever the filters make of them would be silent
-    corruption. Checked on PARSED dicts only, so ciphertext that
-    happens to spell '/Encrypt' elsewhere can't false-positive."""
+    """r08 refusal precision, r09-updated: /Encrypt in a parsed trailer
+    or xref-stream dict now routes to the standard security handler —
+    a DANGLING /Encrypt reference (no such object) is still a typed
+    refusal, never ciphertext leaking through the filters. Checked on
+    PARSED dicts only, so ciphertext that happens to spell '/Encrypt'
+    elsewhere can't false-positive."""
     import pytest
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
@@ -1183,12 +1184,12 @@ def test_pdf_encrypted_documents_refused_typed():
     classic = pdf_bytes_from_lines(["x"]).replace(
         b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
     )
-    with pytest.raises(PdfUnsupported, match="encrypted"):
+    with pytest.raises(PdfUnsupported):
         extract_pdf_text(classic)
     modern = pdf_bytes_modern(["x"]).replace(
         b"/Root 2 0 R", b"/Root 2 0 R /Encrypt 9 0 R"
     )
-    with pytest.raises(PdfUnsupported, match="encrypted"):
+    with pytest.raises(PdfUnsupported):
         extract_pdf_text(modern)
     # the pattern inside a content stream body must NOT trip the check
     sneaky = pdf_bytes_from_lines(["see /Encrypt 9 0 R in prose"])
@@ -1332,3 +1333,155 @@ def test_pdf_decode_parms_indirect_and_malformed():
     )
     with pytest.raises(PdfUnsupported):
         extract_pdf_text(junk)
+
+
+def test_pdf_encrypted_standard_handler_roundtrips():
+    """r08 verdict ask #3: the standard security handler's empty-user-
+    password case (ISO 32000-1 §7.6.3-4) — RC4-40 (/V 1 /R 2), RC4-128
+    (/V 2 /R 3) and AES-128-CBC (/V 4 /R 4 /CFM /AESV2) files decrypt
+    and extract bit-exactly; files with a real user password, AES-256
+    revisions, non-Standard handlers, and missing /ID are typed
+    refusals — honest quarantine, never garbage rows."""
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+    )
+
+    lines = [f"protected report line {i} (with) parens \\ and [brackets]" for i in range(70)]
+    for method in ("rc4-40", "rc4-128", "aes-128"):
+        for comp in (True, False):
+            pdf = pdf_bytes_encrypted(lines, method=method, compress=comp)
+            assert extract_pdf_text(pdf) == lines, (method, comp)
+        # deterministic writer (fixture contract)
+        assert pdf_bytes_encrypted(lines, method=method) == pdf_bytes_encrypted(
+            lines, method=method
+        )
+
+    protected = pdf_bytes_encrypted(lines, user_pw=b"secret")
+    with pytest.raises(PdfUnsupported, match="password-protected"):
+        extract_pdf_text(protected)
+
+    v5 = pdf_bytes_encrypted(lines, method="aes-128").replace(
+        b"/V 4 /R 4", b"/V 5 /R 6"
+    )
+    with pytest.raises(PdfUnsupported, match="AES-256"):
+        extract_pdf_text(v5)
+
+    alien = pdf_bytes_encrypted(lines).replace(b"/Filter /Standard", b"/Filter /Acme")
+    with pytest.raises(PdfUnsupported, match="non-Standard"):
+        extract_pdf_text(alien)
+
+    base = pdf_bytes_encrypted(lines)
+    no_id = base.replace(b"/ID [<", b"/XX [<")
+    with pytest.raises(PdfUnsupported, match="/ID|password"):
+        extract_pdf_text(no_id)
+
+
+def test_pdf_encrypted_mutation_fuzz_stays_typed():
+    """Corrupted ciphertext must stay inside the typed contract: 300
+    random byte flips over an AES-128 and an RC4-128 file each — bad
+    CBC padding, broken deflate after decrypt, mangled /Encrypt dicts
+    all retype to PdfUnsupported (list-or-typed, never an escape)."""
+    import random
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+    )
+
+    lines = [f"fuzz target line {i}" for i in range(40)]
+    rng = random.Random(83)
+    for method in ("aes-128", "rc4-128"):
+        base = pdf_bytes_encrypted(lines, method=method)
+        for trial in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                out = extract_pdf_text(bytes(b))
+            except PdfUnsupported:
+                continue
+            assert isinstance(out, list), (method, trial)
+
+
+def test_pdf_crypt_primitives_known_answers():
+    """The crypto core against PUBLIC test vectors: FIPS-197 C.1
+    AES-128 block, the classic RC4 'Key'/'Plaintext' vector, CBC
+    padding edges, and handler O/U self-consistency across R=2/3/4."""
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt as pc
+
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = pc._encrypt_block(pc._expand_key_128(key), pt)
+    assert ct == bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert pc._decrypt_block(pc._expand_key_128(key), ct) == pt
+
+    assert pc.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+    for n in (0, 1, 15, 16, 17, 1000):
+        data = bytes((i * 7) & 0xFF for i in range(n))
+        enc = pc.aes128_cbc_encrypt(key, b"\x01" * 16, data)
+        assert pc.aes128_cbc_decrypt(key, enc) == data
+    with pytest.raises(pc.AesError):
+        pc.aes128_cbc_decrypt(key, b"\x00" * 24)  # not block-aligned
+
+    for r, kb in ((2, 5), (3, 16), (4, 16)):
+        o = pc.compute_o_value(b"owner-secret", b"", r, kb)
+        fk = pc.compute_file_key(b"", o, -44, b"\xab" * 16, r, kb)
+        u = pc.compute_u_value(fk, b"\xab" * 16, r)
+        assert pc.authenticate_user_password(b"", o, u, -44, b"\xab" * 16, r, kb) == fk
+        assert (
+            pc.authenticate_user_password(b"no", o, u, -44, b"\xab" * 16, r, kb)
+            is None
+        )
+
+
+def test_docx_table_cell_paragraphs_extract_exactly_once():
+    """r08 verdict stretch #8: table cell text lives in w:p elements
+    nested inside w:tbl/w:tr/w:tc — the nested-paragraph fix
+    (nearest-enclosing-paragraph attribution) must count each cell
+    paragraph exactly once, in document order, with split runs merged
+    and empty cell paragraphs preserved as ''."""
+    import io
+    import zipfile
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import (
+        extract_docx_text,
+    )
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (
+        '<?xml version="1.0"?>'
+        f'<w:document xmlns:w="{w}"><w:body>'
+        "<w:p><w:r><w:t>before table</w:t></w:r></w:p>"
+        "<w:tbl><w:tr>"
+        "<w:tc><w:p><w:r><w:t>cell A1</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>cell B1</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>cell B1 second para</w:t></w:r></w:p></w:tc>"
+        "</w:tr><w:tr>"
+        "<w:tc><w:p><w:r><w:t>cell A2 </w:t></w:r>"
+        "<w:r><w:t>split run</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p/></w:tc>"
+        "</w:tr></w:tbl>"
+        "<w:p><w:r><w:t>after table</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    assert extract_docx_text(buf.getvalue()) == [
+        "before table",
+        "cell A1",
+        "cell B1",
+        "cell B1 second para",
+        "cell A2 split run",
+        "",
+        "after table",
+    ]
