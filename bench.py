@@ -145,6 +145,9 @@ HEADLINE = [
     "q_ref_template_extract",
     "q_report_archive_extract",
     "q_doc_text_extract",
+    # round-9: the dead-letter taxonomy rollup (9 payload classes incl.
+    # the password-protected refusal) — quarantine proven end-to-end
+    "q_quarantine_stats",
 ]
 
 

@@ -546,3 +546,14 @@ def test_doc_text_extract_map_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_doc_text_extract")
     assert "Exchange" not in plan, plan[:2000]
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
+
+
+def test_quarantine_stats_single_exchange(spark, sf_dir):
+    """r09: the dead-letter taxonomy lane — payload build + sniff/
+    extract/quarantine are chained row-local mapInPandas; the ONLY
+    exchange is the final (err_kind, kind) rollup, which carries a
+    partial_count/partial_sum map-side combine."""
+    plan = plan_of(spark, sf_dir, "q_quarantine_stats")
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:2000]
