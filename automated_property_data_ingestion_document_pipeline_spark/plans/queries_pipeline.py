@@ -1182,8 +1182,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-generation resolution, xref-stream/ObjStm decode, the
     LZWDecode and ASCII85->Flate filter-chain battery (r08, forms
     6-7), AND (r09, forms 8-9 of the doc_id % 10 cycle) the STANDARD
-    SECURITY HANDLER: RC4-128 and AES-128 /AESV2 encrypted files
-    opened with the empty user password — ciphertext in, the same
+    SECURITY HANDLER: form 8 an RC4-128 classic file, form 9 an
+    AES-128 /AESV2 RE-ENCRYPTED MODERN export (ObjStm + xref stream,
+    where decryption must install before object streams inflate) —
+    both opened with the empty user password, ciphertext in, the same
     value hash out. The oracle rebuilds the same strings in pure SQL —
     it never sees a PDF. Row-local mapInPandas; 4 ints per doc leave
     the executor."""
@@ -1230,10 +1232,13 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         text_op="TJ" if form == 7 else "Tj",
                         stream_filter={6: "lzw", 7: "a85flate"}[form],
                     )
-                elif form in (8, 9):
-                    payload = pdf_bytes_encrypted(
-                        lines, method="rc4-128" if form == 8 else "aes-128"
-                    )
+                elif form == 8:
+                    payload = pdf_bytes_encrypted(lines, method="rc4-128")
+                elif form == 9:
+                    # the RE-ENCRYPTED MODERN EXPORT: AES-128 over the
+                    # PDF 1.5 ObjStm/xref-stream container — decryption
+                    # must install BEFORE object streams inflate
+                    payload = pdf_bytes_modern(lines, encrypt_method="aes-128")
                 else:
                     payload = pdf_bytes_from_lines(
                         lines,

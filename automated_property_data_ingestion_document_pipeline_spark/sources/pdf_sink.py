@@ -316,7 +316,12 @@ def pdf_bytes_encrypted(
 
 
 def pdf_bytes_modern(
-    lines: list[str], predictor: bool = False, text_op: str = "Tj"
+    lines: list[str],
+    predictor: bool = False,
+    text_op: str = "Tj",
+    encrypt_method: "str | None" = None,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"spark-graft-owner",
 ) -> bytes:
     """The PDF 1.5 container layout every modern Word/LibreOffice export
     uses (first-party fixture for the extractor's xref-stream + ObjStm
@@ -326,13 +331,70 @@ def pdf_bytes_modern(
     STREAM (§7.5.8) with /W [1 2 2] binary rows — optionally PNG
     /Predictor 12 up-filtered, the form real writers emit — and the
     trailer dictionary folded into the xref stream's own dict. Same
-    document model and determinism as :func:`pdf_bytes_from_lines`."""
+    document model and determinism as :func:`pdf_bytes_from_lines`.
+
+    ``encrypt_method`` (r09: ``"rc4-40"``/``"rc4-128"``/``"aes-128"``)
+    additionally encrypts the ObjStm container and content streams
+    under the standard security handler — the RE-ENCRYPTED MODERN
+    EXPORT, the single most common protected-PDF shape in the wild.
+    Per §7.5.8.2 the xref STREAM itself is never encrypted, the
+    /Encrypt dictionary is a regular object (§7.5.7 forbids it in an
+    ObjStm), and /Encrypt + /ID live in the xref stream's dict."""
     import zlib
 
     pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
     if not pages:
         pages = [[]]
     n = len(pages)
+
+    _enc = None
+    enc_dict = None
+    if encrypt_method is not None:
+        import hashlib
+
+        from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
+
+        spec = {
+            "rc4-40": (1, 2, 5, "rc4"),
+            "rc4-128": (2, 3, 16, "rc4"),
+            "aes-128": (4, 4, 16, "aesv2"),
+        }
+        if encrypt_method not in spec:
+            raise ValueError(f"unknown encryption method {encrypt_method!r}")
+        v, r, key_bytes, obj_method = spec[encrypt_method]
+        id0 = hashlib.md5(
+            b"spark-graft-pdf-encrypt-modern|" + encrypt_method.encode() + b"|"
+            + "\x1f".join(lines).encode("utf-8", "replace")
+        ).digest()
+        p_perms = -44
+        o_val = pdf_crypt.compute_o_value(owner_pw, user_pw, r, key_bytes)
+        fk = pdf_crypt.compute_file_key(user_pw, o_val, p_perms, id0, r, key_bytes)
+        u_val = pdf_crypt.compute_u_value(fk, id0, r)
+
+        def _enc(num: int, data: bytes) -> bytes:  # noqa: F811
+            iv = hashlib.md5(id0 + b"%d/0" % num).digest()[:16]
+            return pdf_crypt.encrypt_bytes(fk, num, 0, data, obj_method, iv=iv)
+
+        if encrypt_method == "aes-128":
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P %d >>"
+                % (o_val.hex().encode(), u_val.hex().encode(), p_perms)
+            )
+        else:
+            length = b" /Length 128" if encrypt_method == "rc4-128" else b""
+            enc_dict = (
+                b"<< /Filter /Standard /V %d /R %d%s /O <%s> /U <%s> /P %d >>"
+                % (v, r, length, o_val.hex().encode(), u_val.hex().encode(), p_perms)
+            )
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            5 + 2 * n,
+            id0.hex().encode(),
+            id0.hex().encode(),
+        )
+    else:
+        trailer_extra = b""
     # numbering: 1 ObjStm container; members 2 catalog, 3 pages tree,
     # 4 font, 5..4+n page dicts; regular: 5+n..4+2n contents, 5+2n xref
     members: list[tuple[int, bytes]] = [
@@ -365,6 +427,8 @@ def pdf_bytes_modern(
     stm_head = b" ".join(header) + b"\n"
     stm = stm_head + b"\n".join(bodies) + b"\n"
     stm_flate = zlib.compress(stm, 6)
+    if _enc is not None:
+        stm_flate = _enc(1, stm_flate)
 
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -376,6 +440,8 @@ def pdf_bytes_modern(
     )
     for i, page_lines in enumerate(pages):
         content = zlib.compress(_content_stream(page_lines, text_op), 6)
+        if _enc is not None:
+            content = _enc(5 + n + i, content)
         offsets[5 + n + i] = len(buf)
         buf += (
             b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\n"
@@ -383,6 +449,12 @@ def pdf_bytes_modern(
             % (5 + n + i, len(content), content)
         )
     xref_num = 5 + 2 * n
+    if enc_dict is not None:
+        # the /Encrypt dictionary is a REGULAR object (never inside an
+        # ObjStm, §7.5.7) and is itself unencrypted; xref shifts by one
+        offsets[xref_num] = len(buf)
+        buf += b"%d 0 obj\n%s\nendobj\n" % (xref_num, enc_dict)
+        xref_num += 1
     xref_at = len(buf)
     offsets[xref_num] = xref_at
     size = xref_num + 1
@@ -415,9 +487,9 @@ def pdf_bytes_modern(
         xdata = zlib.compress(bytes(rows), 6)
         parms = b""
     buf += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 %d 2] /Root 2 0 R "
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 %d 2] /Root 2 0 R%s "
         b"/Length %d /Filter /FlateDecode%s >>\nstream\n%s\nendstream\nendobj\n"
-        % (xref_num, size, w2, len(xdata), parms, xdata)
+        % (xref_num, size, w2, trailer_extra, len(xdata), parms, xdata)
     )
     buf += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(buf)
@@ -625,7 +697,7 @@ class _ObjIndex:
 
     __slots__ = (
         "payload", "_offsets", "_inline", "_inline_order", "encrypted",
-        "encrypt_ref", "file_id", "decryptor",
+        "encrypt_ref", "file_id", "decryptor", "_pending_stm_refs",
     )
 
     def __init__(self, payload: bytes):
@@ -644,7 +716,18 @@ class _ObjIndex:
         self._offsets = offsets
         self._inline: dict[int, bytes] = {}
         self._inline_order: list[int] = []
-        self._extract_objstm(stm_refs)
+        if self.encrypted:
+            # ObjStm containers are ENCRYPTED streams — inflating them
+            # now (before _setup_decryption installs the decryptor)
+            # would fail on ciphertext and strand every member, so an
+            # encrypted PDF 1.5 file (the modern Word-export shape,
+            # re-encrypted) would refuse instead of extract. Defer;
+            # _setup_decryption finishes the job once the empty user
+            # password authenticates.
+            self._pending_stm_refs = stm_refs
+        else:
+            self._pending_stm_refs = {}
+            self._extract_objstm(stm_refs)
         if not chain and not self.encrypted:
             # xref chain unusable (scan backstop in play): an encrypted
             # file would otherwise sail ciphertext into the filters —
@@ -653,6 +736,14 @@ class _ObjIndex:
             # bytes spelling 'trailer' without a parsable dict + a real
             # /Encrypt N G R reference can't false-positive).
             self._scan_trailers_for_encrypt()
+
+    def _finish_deferred_objstm(self) -> None:
+        """Inflate ObjStm containers whose extraction was deferred by
+        encryption (runs after the decryptor is installed, or once
+        /Identity establishes streams are plaintext)."""
+        refs, self._pending_stm_refs = self._pending_stm_refs, {}
+        if refs:
+            self._extract_objstm(refs)
 
     def _scan_trailers_for_encrypt(self) -> None:
         import re
@@ -1694,7 +1785,9 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
         cfm = re.search(rb"/CFM\s*/(\w+)", enc)
         stmf = re.search(rb"/StmF\s*/(\w+)", enc)
         if stmf is not None and stmf.group(1) == b"Identity":
-            return  # streams are not encrypted; strings don't feed text
+            # streams are not encrypted; strings don't feed text
+            idx._finish_deferred_objstm()
+            return
         if cfm is None:
             raise PdfUnsupported("crypt-filter PDF (/V 4) without /CFM")
         if cfm.group(1) == b"AESV2":
@@ -1719,6 +1812,7 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
     idx.decryptor = lambda num, gen, data: pdf_crypt.decrypt_bytes(
         key, num, gen, data, method
     )
+    idx._finish_deferred_objstm()
 
 
 def extract_pdf_text(payload: bytes) -> list[str]:

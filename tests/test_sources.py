@@ -1485,3 +1485,35 @@ def test_docx_table_cell_paragraphs_extract_exactly_once():
         "",
         "after table",
     ]
+
+
+def test_pdf_encrypted_modern_layout_roundtrips():
+    """r09 follow-through: the RE-ENCRYPTED MODERN EXPORT — AES/RC4
+    over the PDF 1.5 ObjStm + xref-stream container, the most common
+    protected shape in the wild. ObjStm containers are encrypted
+    STREAMS, so their inflation must DEFER until the security handler
+    authenticates (a pre-r09 ordering inflated them during index
+    construction and stranded every member). The xref stream itself
+    stays plaintext per §7.5.8.2."""
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_modern,
+    )
+
+    lines = [f"modern protected line {i} (parens) ok" for i in range(70)]
+    for method in ("rc4-40", "rc4-128", "aes-128"):
+        for pred in (False, True):
+            pdf = pdf_bytes_modern(lines, predictor=pred, encrypt_method=method)
+            assert extract_pdf_text(pdf) == lines, (method, pred)
+        assert pdf_bytes_modern(lines, encrypt_method=method) == pdf_bytes_modern(
+            lines, encrypt_method=method
+        )
+    with pytest.raises(PdfUnsupported, match="password-protected"):
+        extract_pdf_text(
+            pdf_bytes_modern(lines, encrypt_method="aes-128", user_pw=b"x")
+        )
+    # plain modern output is bit-unchanged by the new parameters
+    assert extract_pdf_text(pdf_bytes_modern(lines)) == lines
