@@ -2077,12 +2077,13 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     #7): the literal "scanned-report drop" ingest shape — S9 × S8 the
     way q_archive_decode composed ZIP × TIFF. Each document's archive
     holds three deterministic PDF reports (12 parcel-record lines
-    each); (doc_id + member) % 8 cycles the FULL writer/extractor
+    each); (doc_id + member) % 10 cycles the FULL writer/extractor
     battery — plain Tj, FlateDecode Tj, FlateDecode TJ arrays (Word's
     form), FlateDecode hex+identity-CMap (LibreOffice's form),
-    incremental-update containers, PDF 1.5 ObjStm + xref streams, and
-    the LZW / ASCII85→Flate filter forms — and zip codec alternates
-    deflate/stored by id parity. The lane then runs
+    incremental-update containers, PDF 1.5 ObjStm + xref streams, the
+    LZW / ASCII85→Flate filter forms, and (r09) the two ENCRYPTED
+    shapes (RC4-128 classic, AES-128 re-encrypted modern) — and zip
+    codec alternates deflate/stored by id parity. The lane then runs
     the REAL pipeline: sources/archive.py walks the ZIP → each
     member's bytes feed extract_pdf_text's xref-indexed page-targeted
     parse → per-member line stats with values parsed back out. The
@@ -2098,6 +2099,7 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
         extract_pdf_text,
+        pdf_bytes_encrypted,
         pdf_bytes_from_lines,
         pdf_bytes_modern,
         pdf_bytes_with_incremental_update,
@@ -2126,8 +2128,10 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     # r08: cycle the full container/filter battery
                     # inside the archive — classic forms, incremental
-                    # update, ObjStm+xref stream, LZW, ASCII85 chain
-                    form = (did + j) % 8
+                    # update, ObjStm+xref stream, LZW, ASCII85 chain;
+                    # r09: forms 8-9 add the ENCRYPTED shapes (RC4-128
+                    # classic, AES-128 re-encrypted modern export)
+                    form = (did + j) % 10
                     if form == 4:
                         blob = pdf_bytes_with_incremental_update(lines)
                     elif form == 5:
@@ -2138,6 +2142,10 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             text_op="TJ" if form == 7 else "Tj",
                             stream_filter={6: "lzw", 7: "a85flate"}[form],
                         )
+                    elif form == 8:
+                        blob = pdf_bytes_encrypted(lines, method="rc4-128")
+                    elif form == 9:
+                        blob = pdf_bytes_modern(lines, encrypt_method="aes-128")
                     else:
                         blob = pdf_bytes_from_lines(
                             lines,

@@ -1517,3 +1517,28 @@ def test_pdf_encrypted_modern_layout_roundtrips():
         )
     # plain modern output is bit-unchanged by the new parameters
     assert extract_pdf_text(pdf_bytes_modern(lines)) == lines
+
+
+def test_aes_numpy_and_scalar_paths_agree():
+    """r09 scale path: CBC decryption is embarrassingly parallel, so
+    large payloads route through a vectorized numpy inverse cipher
+    (~150x the scalar reference — decode stops being the bottleneck
+    for bulk encrypted-PDF ingest). Both paths must agree bit-exactly
+    across the size threshold, and the scalar path remains the
+    always-available fallback."""
+    import random
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt as pc
+
+    key = bytes(range(16))
+    rng = random.Random(84)
+    for n in (0, 1, 15, 16, 230, 239, 240, 241, 256, 1000, 8192):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        enc = pc.aes128_cbc_encrypt(key, b"\x55" * 16, data)
+        assert pc.aes128_cbc_decrypt(key, enc) == data, n
+        saved = pc._np
+        pc._np = None
+        try:
+            assert pc.aes128_cbc_decrypt(key, enc) == data, ("scalar", n)
+        finally:
+            pc._np = saved
