@@ -756,6 +756,12 @@ class _ObjIndex:
                 d = self.payload[t : _dict_span(self.payload, t)]
             except PdfUnsupported:
                 continue
+            # a REAL trailer always carries /Size (and in practice
+            # /Root) — without this shape check, prose inside a
+            # plaintext content stream spelling 'trailer << /Encrypt
+            # 9 0 R >>' would false-positive REFUSE a readable file
+            if not re.search(rb"/(?:Size|Root)(?![\w])", d):
+                continue
             self._note_encrypt(d)
 
     def locate(self, num: int) -> int:

@@ -1542,3 +1542,32 @@ def test_aes_numpy_and_scalar_paths_agree():
             assert pc.aes128_cbc_decrypt(key, enc) == data, ("scalar", n)
         finally:
             pc._np = saved
+
+
+def test_trailer_backstop_requires_real_trailer_shape():
+    """r09: the damaged-xref trailer scan (which keeps encrypted files
+    from leaking ciphertext through the filters) must not false-
+    positive on PROSE — a plaintext file whose content mentions
+    'trailer << /Encrypt 9 0 R >>' and whose xref is broken still
+    extracts; a real damaged encrypted file still refuses typed."""
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+        pdf_bytes_from_lines,
+    )
+
+    prose = ["see trailer << /Encrypt 9 0 R >> in prose", "second line"]
+    plain = pdf_bytes_from_lines(prose)  # uncompressed: bytes visible
+    # break the xref chain so the scan backstop (and trailer scan) run
+    broken = plain.replace(b"startxref", b"startxrEf")
+    assert extract_pdf_text(broken) == prose
+
+    # a REAL encrypted file with the same broken startxref must refuse
+    # typed (handler runs via the trailer backstop), never emit rows
+    enc = pdf_bytes_encrypted(["secret"], user_pw=b"pw")
+    enc_broken = enc.replace(b"startxref", b"startxrEf")
+    with pytest.raises(PdfUnsupported):
+        extract_pdf_text(enc_broken)
