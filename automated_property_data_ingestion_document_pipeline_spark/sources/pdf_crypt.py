@@ -25,7 +25,6 @@ Algorithm numbers below are ISO 32000-1:2008 §7.6.3.3–7.6.3.5
 from __future__ import annotations
 
 import hashlib
-import struct
 
 # §7.6.3.3 Algorithm 2 step (a): the 32-byte password pad string.
 _PAD = bytes(
@@ -319,8 +318,8 @@ def compute_file_key(
     h = hashlib.md5()
     h.update(_pad_password(user_pw))
     h.update(o_value[:32])
-    h.update(struct.pack("<i", p))
-    h.update(id0)
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))  # same bytes as
+    h.update(id0)  # struct.pack('<i') but total on any Python int
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
     digest = h.digest()
@@ -378,8 +377,12 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     'sAlT' constant for /AESV2), truncated to min(len+5, 16)."""
     h = hashlib.md5()
     h.update(file_key)
-    h.update(struct.pack("<i", num)[:3])
-    h.update(struct.pack("<i", gen)[:2])
+    # low-order bytes by masking, never struct.pack: hostile headers
+    # carry unbounded digits ('3000000000 0 obj') and struct.error is
+    # NOT a ValueError — it would escape the typed-quarantine retype
+    # and fail the whole task instead of costing a row
+    h.update((num & 0xFFFFFF).to_bytes(3, "little"))
+    h.update((gen & 0xFFFF).to_bytes(2, "little"))
     if aes:
         h.update(b"sAlT")
     return h.digest()[: min(len(file_key) + 5, 16)]

@@ -208,6 +208,61 @@ def pdf_bytes_from_lines(
     return bytes(buf)
 
 
+def _standard_encryption(
+    lines: list[str],
+    method: str,
+    user_pw: bytes,
+    owner_pw: bytes,
+    id_salt: bytes,
+):
+    """Writer-side standard-security-handler setup shared by
+    :func:`pdf_bytes_encrypted` and :func:`pdf_bytes_modern` (r09
+    self-review: the spec map, O/U/key derivation, IV closure, and
+    /Encrypt dict literal previously appeared verbatim in both).
+    Returns ``(enc, enc_dict, id0)`` — ``enc(num, data)`` encrypts one
+    stream under the per-object key with an IV derived from
+    /ID + object number (determinism contract: no RNG anywhere)."""
+    import hashlib
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
+
+    spec = {
+        "rc4-40": (1, 2, 5, "rc4"),
+        "rc4-128": (2, 3, 16, "rc4"),
+        "aes-128": (4, 4, 16, "aesv2"),
+    }
+    if method not in spec:
+        raise ValueError(f"unknown encryption method {method!r}")
+    v, r, key_bytes, obj_method = spec[method]
+    id0 = hashlib.md5(
+        id_salt + method.encode() + b"|"
+        + "\x1f".join(lines).encode("utf-8", "replace")
+    ).digest()
+    p_perms = -44
+    o_val = pdf_crypt.compute_o_value(owner_pw, user_pw, r, key_bytes)
+    fk = pdf_crypt.compute_file_key(user_pw, o_val, p_perms, id0, r, key_bytes)
+    u_val = pdf_crypt.compute_u_value(fk, id0, r)
+
+    def enc(num: int, data: bytes) -> bytes:
+        iv = hashlib.md5(id0 + b"%d/0" % num).digest()[:16]
+        return pdf_crypt.encrypt_bytes(fk, num, 0, data, obj_method, iv=iv)
+
+    if method == "aes-128":
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P %d >>"
+            % (o_val.hex().encode(), u_val.hex().encode(), p_perms)
+        )
+    else:
+        length = b" /Length 128" if method == "rc4-128" else b""
+        enc_dict = (
+            b"<< /Filter /Standard /V %d /R %d%s /O <%s> /U <%s> /P %d >>"
+            % (v, r, length, o_val.hex().encode(), u_val.hex().encode(), p_perms)
+        )
+    return enc, enc_dict, id0
+
+
 def pdf_bytes_encrypted(
     lines: list[str],
     method: str = "rc4-128",
@@ -227,31 +282,9 @@ def pdf_bytes_encrypted(
     file the extractor must REFUSE typed (empty-password auth fails)."""
     import zlib
 
-    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
-
-    spec = {
-        "rc4-40": (1, 2, 5, "rc4"),
-        "rc4-128": (2, 3, 16, "rc4"),
-        "aes-128": (4, 4, 16, "aesv2"),
-    }
-    if method not in spec:
-        raise ValueError(f"unknown encryption method {method!r}")
-    v, r, key_bytes, obj_method = spec[method]
-
-    import hashlib
-
-    id0 = hashlib.md5(
-        b"spark-graft-pdf-encrypt|" + method.encode() + b"|"
-        + "\x1f".join(lines).encode("utf-8", "replace")
-    ).digest()
-    p_perms = -44
-    o_val = pdf_crypt.compute_o_value(owner_pw, user_pw, r, key_bytes)
-    fk = pdf_crypt.compute_file_key(user_pw, o_val, p_perms, id0, r, key_bytes)
-    u_val = pdf_crypt.compute_u_value(fk, id0, r)
-
-    def _enc(num: int, data: bytes) -> bytes:
-        iv = hashlib.md5(id0 + b"%d/0" % num).digest()[:16]
-        return pdf_crypt.encrypt_bytes(fk, num, 0, data, obj_method, iv=iv)
+    _enc, enc_dict, id0 = _standard_encryption(
+        lines, method, user_pw, owner_pw, b"spark-graft-pdf-encrypt|"
+    )
 
     pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
     if not pages:
@@ -280,20 +313,6 @@ def pdf_bytes_encrypted(
             b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(enc), filt, enc)
         )
     enc_num = len(objects) + 1
-    if method == "aes-128":
-        enc_dict = (
-            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
-            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-            b"/StmF /StdCF /StrF /StdCF "
-            b"/O <%s> /U <%s> /P %d >>"
-            % (o_val.hex().encode(), u_val.hex().encode(), p_perms)
-        )
-    else:
-        length = b" /Length 128" if method == "rc4-128" else b""
-        enc_dict = (
-            b"<< /Filter /Standard /V %d /R %d%s /O <%s> /U <%s> /P %d >>"
-            % (v, r, length, o_val.hex().encode(), u_val.hex().encode(), p_perms)
-        )
     objects.append(enc_dict)
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -349,52 +368,17 @@ def pdf_bytes_modern(
 
     _enc = None
     enc_dict = None
+    trailer_extra = b""
     if encrypt_method is not None:
-        import hashlib
-
-        from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
-
-        spec = {
-            "rc4-40": (1, 2, 5, "rc4"),
-            "rc4-128": (2, 3, 16, "rc4"),
-            "aes-128": (4, 4, 16, "aesv2"),
-        }
-        if encrypt_method not in spec:
-            raise ValueError(f"unknown encryption method {encrypt_method!r}")
-        v, r, key_bytes, obj_method = spec[encrypt_method]
-        id0 = hashlib.md5(
-            b"spark-graft-pdf-encrypt-modern|" + encrypt_method.encode() + b"|"
-            + "\x1f".join(lines).encode("utf-8", "replace")
-        ).digest()
-        p_perms = -44
-        o_val = pdf_crypt.compute_o_value(owner_pw, user_pw, r, key_bytes)
-        fk = pdf_crypt.compute_file_key(user_pw, o_val, p_perms, id0, r, key_bytes)
-        u_val = pdf_crypt.compute_u_value(fk, id0, r)
-
-        def _enc(num: int, data: bytes) -> bytes:  # noqa: F811
-            iv = hashlib.md5(id0 + b"%d/0" % num).digest()[:16]
-            return pdf_crypt.encrypt_bytes(fk, num, 0, data, obj_method, iv=iv)
-
-        if encrypt_method == "aes-128":
-            enc_dict = (
-                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
-                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-                b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P %d >>"
-                % (o_val.hex().encode(), u_val.hex().encode(), p_perms)
-            )
-        else:
-            length = b" /Length 128" if encrypt_method == "rc4-128" else b""
-            enc_dict = (
-                b"<< /Filter /Standard /V %d /R %d%s /O <%s> /U <%s> /P %d >>"
-                % (v, r, length, o_val.hex().encode(), u_val.hex().encode(), p_perms)
-            )
+        _enc, enc_dict, id0 = _standard_encryption(
+            lines, encrypt_method, user_pw, owner_pw,
+            b"spark-graft-pdf-encrypt-modern|",
+        )
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
             5 + 2 * n,
             id0.hex().encode(),
             id0.hex().encode(),
         )
-    else:
-        trailer_extra = b""
     # numbering: 1 ObjStm container; members 2 catalog, 3 pages tree,
     # 4 font, 5..4+n page dicts; regular: 5+n..4+2n contents, 5+2n xref
     members: list[tuple[int, bytes]] = [
@@ -698,6 +682,7 @@ class _ObjIndex:
     __slots__ = (
         "payload", "_offsets", "_inline", "_inline_order", "encrypted",
         "encrypt_ref", "file_id", "decryptor", "_pending_stm_refs",
+        "_trailer_parsed",
     )
 
     def __init__(self, payload: bytes):
@@ -708,6 +693,7 @@ class _ObjIndex:
         # (num, gen, bytes) -> bytes, installed by _setup_decryption once
         # the standard security handler authenticates the empty user pw
         self.decryptor = None
+        self._trailer_parsed = False  # any chain trailer/xref dict parsed
         offsets = self._scan()
         chain, freed, stm_refs = self._xref_chain()
         offsets.update(chain)
@@ -728,13 +714,15 @@ class _ObjIndex:
         else:
             self._pending_stm_refs = {}
             self._extract_objstm(stm_refs)
-        if not chain and not self.encrypted:
-            # xref chain unusable (scan backstop in play): an encrypted
-            # file would otherwise sail ciphertext into the filters —
-            # garbage rows for unfiltered streams. Parse any classic
-            # trailer dicts directly (balanced-dict scan, so ciphertext
-            # bytes spelling 'trailer' without a parsable dict + a real
-            # /Encrypt N G R reference can't false-positive).
+        if not self._trailer_parsed and not self.encrypted:
+            # no chain trailer could be parsed (xref missing OR the
+            # newest trailer dict itself is malformed — a chain with
+            # entries but a corrupt trailer previously skipped this,
+            # r09 self-review finding): an encrypted file would
+            # otherwise sail ciphertext into the filters — garbage
+            # rows for unfiltered streams. Parse any classic trailer
+            # dicts directly (balanced-dict scan + /Size|/Root shape
+            # check, so ciphertext or prose can't false-positive).
             self._scan_trailers_for_encrypt()
 
     def _finish_deferred_objstm(self) -> None:
@@ -748,7 +736,10 @@ class _ObjIndex:
     def _scan_trailers_for_encrypt(self) -> None:
         import re
 
-        for m in re.finditer(rb"trailer\b", self.payload):
+        # REVERSED: _note_encrypt is first-sighting-wins (matching the
+        # newest-first chain walk), and in file order the newest
+        # trailer — an incremental update's — comes LAST
+        for m in reversed(list(re.finditer(rb"trailer\b", self.payload))):
             t = self.payload.find(b"<<", m.end(), m.end() + 64)
             if t == -1:
                 continue
@@ -979,6 +970,7 @@ class _ObjIndex:
             trailer = payload[tstart : _dict_span(payload, tstart)]
         except PdfUnsupported:
             return []
+        self._trailer_parsed = True
         self._note_encrypt(trailer)
         nxt = []
         hm = re.search(rb"/XRefStm\s+(\d+)", trailer)
@@ -1016,6 +1008,7 @@ class _ObjIndex:
         dct = payload[i:dend]
         if not re.search(rb"/Type\s*/XRef\b", dct):
             return []
+        self._trailer_parsed = True  # the xref stream dict IS the trailer
         self._note_encrypt(dct)
         wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", dct)
         szm = re.search(rb"/Size\s+(\d+)", dct)
@@ -1443,10 +1436,16 @@ def _object_stream(idx: "_ObjIndex", num: int) -> bytes:
     gen = 0
     if idx.decryptor is not None:
         # the per-object key needs the generation — reparse the header
-        # just before the located body offset (offset points PAST it)
-        gm = re.search(rb"(\d+)\s+(\d+)\s+obj\s*$", payload[max(0, i - 48) : i])
-        if gm is not None:
-            gen = int(gm.group(2))
+        # just before the located body offset (offset points PAST it).
+        # A miss is a typed REFUSAL, not a silent gen=0: RC4 with the
+        # wrong per-object key has no integrity check, so guessing
+        # would extract deterministic garbage as text rows
+        gm = re.search(rb"(\d+)\s+(\d+)\s+obj\s*$", payload[max(0, i - 256) : i])
+        if gm is None:
+            raise PdfUnsupported(
+                f"cannot establish generation of encrypted object {num}"
+            )
+        gen = int(gm.group(2))
     body, _ = _stream_body(idx, payload[i:dend], dend + sm.end(), (num, gen))
     return body
 
@@ -1734,7 +1733,10 @@ def _pdf_string_value(dct: bytes, key: bytes) -> "bytes | None":
     dictionary — escapes resolved, hex decoded. None when absent."""
     import re
 
-    m = re.search(rb"/" + key + rb"\s*(\(|<(?!<))", dct)
+    # (?![A-Za-z]) so /O can never match the /OE (AES-256) field, /U
+    # never /UE — the v>=5 refusal fires first today, but the parser
+    # must not depend on caller ordering for correctness
+    m = re.search(rb"/" + key + rb"(?![A-Za-z])\s*(\(|<(?!<))", dct)
     if m is None:
         return None
     if m.group(1) == b"(":
@@ -1782,16 +1784,24 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
     p = int(pm.group(1)) & 0xFFFFFFFF  # some writers emit unsigned (or
     if p >= 1 << 31:  # hostile digits overflow int32) — fold to signed
         p -= 1 << 32
-    lm = re.search(rb"/Length\s+(\d+)", enc)
+    # top-level /Length ONLY: Acrobat emits keys alphabetically, so the
+    # /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> subtree precedes
+    # the document /Length 128 — a whole-dict search would read the
+    # crypt filter's BYTE length (16 -> key_bytes 2) and refuse the
+    # single most common real-world shape (r09 self-review finding)
+    enc_top = enc
+    cfm_dict = re.search(rb"/CF\s*<<", enc)
+    if cfm_dict is not None:
+        cf_end = _dict_span(enc, cfm_dict.end() - 2)
+        enc_top = enc[: cfm_dict.start()] + enc[cf_end:]
+    lm = re.search(rb"/Length\s+(\d+)", enc_top)
     key_bytes = 5 if v == 1 else (int(lm.group(1)) // 8 if lm else 5)
-    if not 5 <= key_bytes <= 16:  # spec: /Length 40..128, multiple of 8
-        raise PdfUnsupported(f"encryption key length {key_bytes * 8} out of range")
     method = "rc4"
     if v == 4:
         cfm = re.search(rb"/CFM\s*/(\w+)", enc)
         stmf = re.search(rb"/StmF\s*/(\w+)", enc)
-        if stmf is not None and stmf.group(1) == b"Identity":
-            # streams are not encrypted; strings don't feed text
+        # §7.6.5: an ABSENT /StmF means Identity — streams unencrypted
+        if stmf is None or stmf.group(1) == b"Identity":
             idx._finish_deferred_objstm()
             return
         if cfm is None:
@@ -1804,6 +1814,8 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
             raise PdfUnsupported(
                 f"unsupported crypt filter /CFM /{cfm.group(1).decode()}"
             )
+    if not 5 <= key_bytes <= 16:  # spec: /Length 40..128, multiple of 8
+        raise PdfUnsupported(f"encryption key length {key_bytes * 8} out of range")
     encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", enc)
     if idx.file_id is None:
         raise PdfUnsupported("encrypted PDF without a trailer /ID")

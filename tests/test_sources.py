@@ -1571,3 +1571,79 @@ def test_trailer_backstop_requires_real_trailer_shape():
     enc_broken = enc.replace(b"startxref", b"startxrEf")
     with pytest.raises(PdfUnsupported):
         extract_pdf_text(enc_broken)
+
+
+def test_pdf_encrypt_dict_acrobat_key_order():
+    """r09 self-review finding 1: Acrobat emits encryption-dict keys
+    ALPHABETICALLY, so the crypt-filter subtree /CF << .. /Length 16 >>
+    (bytes!) precedes the document /Length 128 (bits). The key-length
+    parse must read the top-level value only — a whole-dict search
+    derived key_bytes=2 and refused the most common real-world shape."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+    )
+
+    lines = [f"acrobat order line {i}" for i in range(40)]
+    base = pdf_bytes_encrypted(lines, method="aes-128")
+    ours = b"/Filter /Standard /V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+    acrobat = b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /Filter /Standard /V 4 /R 4 /Length 128"
+    assert ours in base and len(ours) == len(acrobat)
+    reordered = base.replace(ours, acrobat)
+    assert extract_pdf_text(reordered) == lines
+
+
+def test_pdf_encrypted_survives_corrupt_newest_trailer():
+    """r09 self-review findings 2+6: an incremental section whose
+    trailer dict is unbalanced used to leave the file classified as
+    unencrypted whenever ANY xref entries parsed (ciphertext flowed
+    into the filters), and the backstop took the OLDEST trailer. Now:
+    unparseable newest trailer -> trailer scan runs -> newest PARSEABLE
+    trailer wins -> decryption proceeds and text extracts."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+    )
+
+    lines = [f"corrupt trailer line {i}" for i in range(12)]
+    base = pdf_bytes_encrypted(lines, method="rc4-128")
+    off1 = base.index(b"1 0 obj")
+    appended = (
+        b"xref\n0 2\n0000000000 65535 f \n%010d 00000 n \n"
+        b"trailer\n<< /Size 2 /Root 1 0 R /Prev garbage-no-close\n"
+    ) % off1
+    mutated = base + appended + b"startxref\n%d\n%%%%EOF\n" % len(base)
+    assert extract_pdf_text(mutated) == lines
+
+
+def test_pdf_v4_missing_stmf_means_identity():
+    """r09 self-review finding 3: ISO 32000-1 §7.6.5 — an ABSENT /StmF
+    defaults to Identity (streams unencrypted). A V4 file encrypting
+    only strings must extract its plaintext streams, not 'decrypt'
+    them into garbage or a spurious padding refusal."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_from_lines,
+    )
+
+    lines = ["strings-only encryption", "streams stay plaintext"]
+    plain = pdf_bytes_from_lines(lines, compress=True)
+    # graft a VALID V4 handler (strings-only: /StrF present, no /StmF)
+    id0 = bytes(range(16))
+    o = pdf_crypt.compute_o_value(b"owner", b"", 4, 16)
+    fk = pdf_crypt.compute_file_key(b"", o, -44, id0, 4, 16)
+    u = pdf_crypt.compute_u_value(fk, id0, 4)
+    enc_obj = (
+        b"90 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StrF /StdCF "
+        b"/O <%s> /U <%s> /P -44 >>\nendobj\n"
+        % (o.hex().encode(), u.hex().encode())
+    )
+    idhex = id0.hex().encode()
+    grafted = plain.replace(
+        b"trailer\n<< /Size",
+        enc_obj + b"trailer\n<< /Encrypt 90 0 R /ID [<%s> <%s>] /Size"
+        % (idhex, idhex),
+    )
+    assert extract_pdf_text(grafted) == lines
