@@ -330,17 +330,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
-    ``candidates`` has (id_a, id_b). Joins shingle sets in (twice, small
-    dim side broadcastable when candidates are few) and computes
-    |A∩B| / |A∪B| via array intersection — exact, so this is the
-    verification stage after LSH recall."""
+    ``candidates`` has (id_a, id_b). Joins shingle sets in (twice) and
+    computes |A∩B| / |A∪B| via array intersection — exact, so this is
+    the verification stage after LSH recall. BOTH join inputs grow
+    with the corpus (the set relation carries a fat array column per
+    doc), so the joins are PINNED sort-merge: Spark's post-aggregate
+    size estimates are unreliable, and at sf10 a mis-estimate
+    broadcast a corpus-sized relation and OOM-guarded the job
+    (PERFORMANCE.md finding 93)."""
     sets_df = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
     ).select(
         "_id", F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("_set")
     )
-    a = sets_df.alias("a")
-    b = sets_df.alias("b")
+    a = sets_df.hint("merge").alias("a")
+    b = sets_df.hint("merge").alias("b")
     joined = (
         candidates.join(a, candidates.id_a == F.col("a._id"))
         .join(b, candidates.id_b == F.col("b._id"))

@@ -153,17 +153,29 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingles.select(F.col("doc_id").alias("_db"), F.col("sh").alias("sh_b"))
+    # every relation below GROWS WITH THE CORPUS (shingle sets, candidate
+    # pairs, per-doc sizes), so none may ever broadcast: Spark's
+    # post-aggregate size estimates are unreliable and at sf10 the
+    # planner broadcast the ENTIRE deduped shingle relation — the
+    # largest thing in the lane — OOM-guarding the job
+    # (notEnoughMemoryToBuildAndBroadcastTable, finding 93). Pins:
+    # sort-merge for the shingle joins (no hash build at any scale),
+    # shuffle_hash for the per-doc size lookups (n_docs rows,
+    # partition-local build).
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_b") == F.col("sh_a")))
+        cand.hint("merge").join(sa, "doc_a")
+        .join(
+            sb.hint("merge"),
+            (F.col("doc_b") == F.col("_db")) & (F.col("sh_b") == F.col("sh_a")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
+        inter.join(za.hint("shuffle_hash"), "doc_a")
+        .join(zb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -408,6 +408,15 @@ def test_minhash_portable_bucket_join_never_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_minhash_portable")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r09 finding 93: the VERIFY-stage relations grow with the corpus
+    # (shingle sets, candidate pairs, per-doc sizes) — at sf10 a
+    # mis-estimated broadcast of the FULL shingle relation OOM-guarded
+    # the job. The merge/shuffle_hash hints must hold at every SF:
+    # both shingle joins sort-merge, both size lookups shuffled-hash.
+    # (The bands self-join MAY still broadcast at tiny SF — that one is
+    # size-adaptive by design and equal-sided, so it can't mis-plan.)
+    assert plan.count("SortMergeJoin") >= 2, plan[:2000]
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:2000]
 
 
 def test_revenue_bridge_no_joins_one_exchange(spark, sf_dir):
