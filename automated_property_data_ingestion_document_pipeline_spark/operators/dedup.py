@@ -420,7 +420,10 @@ def fuzzy_pairs_fastss(
         F.col("_fss_s").alias("_name"),
         F.explode(variants).alias("_variant"),
     ).distinct()  # a deletion can coincide for repeated chars ('ll' -> one variant)
-    a, b = v.alias("a"), v.alias("b")
+    # finding 94: the variant relation is the corpus exploded ~n_chars x
+    # — post-Generate estimates do not carry the fan-out, so Spark
+    # broadcast one side of this self-join at sf10; pin sort-merge
+    a, b = v.alias("a"), v.hint("merge").alias("b")
     cand = (
         a.join(b, (F.col("a._variant") == F.col("b._variant")) & (F.col("a._id") < F.col("b._id")))
         .select(

@@ -298,7 +298,10 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("count").cast("double") / F.sum("count")).alias("top_bigram_frac")
         )
     )
-    return stats.join(top, "doc_id", "left").select(
+    # finding 94: `top` is a per-doc post-EXPLODE aggregate — Generate
+    # does not scale sizeInBytes by fan-out, so the planner broadcast
+    # this corpus-growing side at sf10; pin the partitioned join
+    return stats.join(top.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         "n_toks",
         "dup_token_frac",

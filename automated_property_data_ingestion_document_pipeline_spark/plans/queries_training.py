@@ -439,7 +439,11 @@ def q_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("log2_sum").cast("double") / F.col("n_tokens") >= F.col("_r"))
         .select("doc_id")
     )
-    kept = mix.join(gate, "doc_id").select("doc_id", "source", toks.alias("_toks"))
+    # finding 94: `gate` is per-doc post-explode output (corpus-growing,
+    # estimate unreliable past Generate) — never broadcast
+    kept = mix.join(gate.hint("shuffle_hash"), "doc_id").select(
+        "doc_id", "source", toks.alias("_toks")
+    )
     base = kept.withColumn(
         "_k",
         F.greatest(
