@@ -214,11 +214,14 @@ def test_temporal_join_is_hash_join_not_nested_loop(spark, sf_dir):
 
 def test_curation_pipeline2_exchange_budget(spark, sf_dir):
     # the composed mix->gate->chunk pipeline's documented contract is
-    # <=4 exchanges total; a rewrite that re-shuffles between stages
-    # silently doubles the scan cost at 100 TB
+    # <=5 exchanges total (was 4 with the gate side BROADCAST — finding
+    # 94 deliberately traded that exchange back in: the gate is a
+    # per-doc post-explode relation that must never broadcast at
+    # corpus scale); a rewrite that re-shuffles between stages beyond
+    # this silently doubles the scan cost at 100 TB
     plan = plan_of(spark, sf_dir, "q_curation_pipeline2")
     n = plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
-    assert n <= 4, f"{n} exchanges\n{plan[:2000]}"
+    assert n <= 5, f"{n} exchanges\n{plan[:2000]}"
 
 
 def test_name_canonicalize_never_all_pairs(spark, sf_dir):
