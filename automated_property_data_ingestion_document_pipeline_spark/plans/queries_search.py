@@ -263,8 +263,11 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tf").alias("total_tf"), F.count("*").alias("n_terms"))
         .filter(F.col("n_terms") == len(_QUERY_TERMS))
     )
+    # finding 94: `hits` is a post-explode posting aggregate — df(terms)
+    # grows with the corpus and Generate hides the fan-out from the
+    # estimator; never broadcast
     return (
-        hits.join(d.select("doc_id", "n_chars"), "doc_id")
+        hits.hint("shuffle_hash").join(d.select("doc_id", "n_chars"), "doc_id")
         .select("doc_id", "total_tf", "n_chars")
         .orderBy(F.desc("total_tf"), "doc_id")
         .limit(20)
@@ -314,8 +317,10 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = t.filter(F.col("tok") == _QUERY_TERMS[1]).select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
     )
+    # finding 94: both posting sides are post-explode (df-scale) — pin
+    # the positional intersection to a partitioned join
     hits = a.join(
-        b,
+        b.hint("shuffle_hash"),
         (F.col("doc_b") == F.col("doc_id")) & (F.col("pos_b") == F.col("pos_a") + 1),
     )
     return hits.groupBy("doc_id").agg(

@@ -30,7 +30,10 @@ def q_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.select("user_id").distinct()
     est = sketches.count_min_estimate(sk, users, "user_id")
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
-    err = est.join(exact, "user_id").select(
+    # finding 94: `est` is a per-user post-explode probe relation —
+    # user-scale with Generate hiding the fan-out; pin the partitioned
+    # join (exact, a clean aggregate, is the build side)
+    err = est.join(exact.hint("shuffle_hash"), "user_id").select(
         "user_id", "est", "exact", (F.col("est") - F.col("exact")).alias("over")
     )
     out = err.agg(
@@ -68,7 +71,9 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = cust.join(supp.distinct(), "k", "left_semi").select(
         "k", F.lit(True).alias("is_member")
     )
-    joined = flags.join(truth, "k", "left").select(
+    # finding 94: `flags` is a per-key post-explode probe relation
+    # (customer-scale) — pin so neither corpus side can broadcast
+    joined = flags.join(truth.hint("shuffle_hash"), "k", "left").select(
         "k",
         "might_contain",
         F.coalesce("is_member", F.lit(False)).alias("is_member"),

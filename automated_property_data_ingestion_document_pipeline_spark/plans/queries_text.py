@@ -991,8 +991,10 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("co").cast("double") * F.col("n_tok") * F.col("n_tok")
     ) / (F.col("n_pair").cast("double") * F.col("cnt_a") * F.col("cnt_b"))
     return (
-        pc.join(ua, "tok_a")
-        .join(ub, "tok_b")
+        # finding 94: unigram counts are vocab-scale post-explode
+        # aggregates (Heaps-law unbounded) — pin the lookups
+        pc.join(ua.hint("shuffle_hash"), "tok_a")
+        .join(ub.hint("shuffle_hash"), "tok_b")
         .join(F.broadcast(tot))
         .select("tok_a", "tok_b", "co", F.round(ratio, 6).alias("pmi_ratio"))
     )
