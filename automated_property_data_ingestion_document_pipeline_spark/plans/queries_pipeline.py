@@ -1181,22 +1181,29 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     targeting, inflate, TJ parsing, CMap decode, escape round-trip,
     latest-generation resolution, xref-stream/ObjStm decode, the
     LZWDecode and ASCII85->Flate filter-chain battery (r08, forms
-    6-7), AND (r09, forms 8-9 of the doc_id % 10 cycle) the STANDARD
-    SECURITY HANDLER: form 8 an RC4-128 classic file, form 9 an
-    AES-128 /AESV2 RE-ENCRYPTED MODERN export (ObjStm + xref stream,
-    where decryption must install before object streams inflate) —
-    both opened with the empty user password, ciphertext in, the same
-    value hash out. The oracle rebuilds the same strings in pure SQL —
-    it never sees a PDF. Row-local mapInPandas; 4 ints per doc leave
-    the executor."""
+    6-7), AND (r09, forms 8-9) the STANDARD SECURITY HANDLER: form 8
+    an RC4-128 classic file, form 9 an AES-128 /AESV2 RE-ENCRYPTED
+    MODERN export (ObjStm + xref stream, where decryption must install
+    before object streams inflate) — both opened with the empty user
+    password, ciphertext in, the same value hash out. r10 widens the
+    cycle to doc_id % 13: form 10 is AES-256 (/V 5 /R 6 /AESV3, ISO
+    32000-2 Algorithm 2.A/2.B — the current-writer encryption), form
+    11 the LINEARIZED fast-web-view layout (first-page xref BEFORE its
+    objects, /Prev pointing forward-in-chain to the main xref at EOF),
+    form 12 a FOUR-generation incremental-update /Prev chain where
+    every generation but the last is a distinct decoy. The oracle
+    rebuilds the same strings in pure SQL — it never sees a PDF.
+    Row-local mapInPandas; 4 ints per doc leave the executor."""
     import pandas as pd
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
         extract_pdf_text,
         pdf_bytes_encrypted,
         pdf_bytes_from_lines,
+        pdf_bytes_linearized,
         pdf_bytes_modern,
         pdf_bytes_with_incremental_update,
+        pdf_bytes_with_update_chain,
     )
 
     d = (
@@ -1220,8 +1227,11 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # alternating by (did // 10) % 2), 6: LZWDecode,
                 # 7: [ASCII85 -> Flate] filter chain, 8: RC4-128
                 # encrypted (standard security handler, empty user
-                # password), 9: AES-128 /AESV2 encrypted (r09)
-                form = did % 10
+                # password), 9: AES-128 /AESV2 encrypted (r09),
+                # 10: AES-256 /V 5 /R 6 /AESV3 (r10), 11: linearized
+                # fast-web-view layout (r10), 12: 4-generation
+                # /Prev update chain (r10)
+                form = did % 13
                 if form == 4:
                     payload = pdf_bytes_with_incremental_update(lines)
                 elif form == 5:
@@ -1239,6 +1249,12 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # PDF 1.5 ObjStm/xref-stream container — decryption
                     # must install BEFORE object streams inflate
                     payload = pdf_bytes_modern(lines, encrypt_method="aes-128")
+                elif form == 10:
+                    payload = pdf_bytes_encrypted(lines, method="aes-256")
+                elif form == 11:
+                    payload = pdf_bytes_linearized(lines)
+                elif form == 12:
+                    payload = pdf_bytes_with_update_chain(lines, generations=4)
                 else:
                     payload = pdf_bytes_from_lines(
                         lines,

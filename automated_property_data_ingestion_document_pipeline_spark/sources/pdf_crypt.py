@@ -2,11 +2,13 @@
 
 Implements the PUBLIC ISO 32000-1 §7.6.2–7.6.4 algorithms the
 document-ingest surface needs to read the common "protected" scanned
-property report: RC4 (40- and 128-bit, /V 1–2, /R 2–3) and AES-128-CBC
-(/V 4 /R 4, crypt filter /AESV2) with the EMPTY USER PASSWORD — the
-ubiquitous owner-restrictions-only case. Anything needing a real
-password, or AES-256 (/V 5 /R 5–6, SHA-2 based), stays a typed refusal
-in the extractor (pdf_sink.py): honest quarantine, not silent garbage.
+property report: RC4 (40- and 128-bit, /V 1–2, /R 2–3), AES-128-CBC
+(/V 4 /R 4, crypt filter /AESV2), and — r10, from the public ISO
+32000-2 §7.6.4.3 Algorithms 2.A/2.B — AES-256 (/V 5 /R 5–6, crypt
+filter /AESV3, SHA-2 iterated hash), all with the EMPTY USER PASSWORD:
+the ubiquitous owner-restrictions-only case. Anything needing a real
+password stays a typed refusal in the extractor (pdf_sink.py): honest
+quarantine, not silent garbage.
 
 Everything here is deterministic and side-effect free so writer
 fixtures remain pure functions of their inputs (the determinism
@@ -118,17 +120,27 @@ def _mul(a: int, b: int) -> int:
     return out
 
 
-def _expand_key_128(key: bytes) -> list[list[int]]:
-    """11 round keys of 16 bytes each, as flat lists."""
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+def _expand_key(key: bytes) -> list[list[int]]:
+    """FIPS-197 §5.2 key schedule for AES-128 (11 round keys) or
+    AES-256 (15) as flat 16-byte lists; Nr = Nk + 6."""
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         temp = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             temp = temp[1:] + temp[:1]
             temp = [_SBOX[b] for b in temp]
-            temp[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], temp)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+            temp[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            temp = [_SBOX[b] for b in temp]  # AES-256's extra SubWord
+        w.append([a ^ b for a, b in zip(w[i - nk], temp)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
+
+
+def _expand_key_128(key: bytes) -> list[list[int]]:
+    """11 round keys of 16 bytes each, as flat lists."""
+    return _expand_key(key)
 
 
 def _add_round_key(state: list[int], rk: list[int]) -> None:
@@ -143,7 +155,7 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 def _encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
     s = list(block)
     _add_round_key(s, rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, len(rks) - 1):
         s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
         # MixColumns
         t = s
@@ -158,14 +170,14 @@ def _encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
             ]
         _add_round_key(s, rks[rnd])
     s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
-    _add_round_key(s, rks[10])
+    _add_round_key(s, rks[-1])
     return bytes(s)
 
 
 def _decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
     s = list(block)
-    _add_round_key(s, rks[10])
-    for rnd in range(9, 0, -1):
+    _add_round_key(s, rks[-1])
+    for rnd in range(len(rks) - 2, 0, -1):
         s = [_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
         _add_round_key(s, rks[rnd])
         # InvMixColumns
@@ -223,13 +235,14 @@ def _np_tables():
     return _NP_TABLES
 
 
-def _aes128_ecb_decrypt_np(rks: "list[list[int]]", data: bytes) -> bytes:
-    """Inverse cipher over every 16-byte block of ``data`` at once."""
+def _aes_ecb_decrypt_np(rks: "list[list[int]]", data: bytes) -> bytes:
+    """Inverse cipher over every 16-byte block of ``data`` at once
+    (any key size — the round count comes from the schedule)."""
     inv_sbox, m9, m11, m13, m14, inv_shift = _np_tables()
     rk = [_np.array(k, dtype=_np.uint8) for k in rks]
     s = _np.frombuffer(data, dtype=_np.uint8).reshape(-1, 16).copy()
-    s ^= rk[10]
-    for rnd in range(9, 0, -1):
+    s ^= rk[-1]
+    for rnd in range(len(rks) - 2, 0, -1):
         s = inv_sbox[s[:, inv_shift]]
         s ^= rk[rnd]
         # InvMixColumns on the 4 byte-columns of each 4-byte word
@@ -250,11 +263,12 @@ def _aes128_ecb_decrypt_np(rks: "list[list[int]]", data: bytes) -> bytes:
     return s.tobytes()
 
 
-def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """PDF §7.6.2 AESV2 stream form: returns ``iv + CBC(pkcs7(data))``."""
-    if len(key) != 16 or len(iv) != 16:
-        raise AesError("AES-128 key and IV must be 16 bytes")
-    rks = _expand_key_128(key)
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PDF §7.6.2 AESV2/AESV3 stream form: ``iv + CBC(pkcs7(data))``
+    under a 16- (AES-128) or 32-byte (AES-256) key."""
+    if len(key) not in (16, 32) or len(iv) != 16:
+        raise AesError("AES key must be 16/32 bytes with a 16-byte IV")
+    rks = _expand_key(key)
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
@@ -266,18 +280,18 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """Inverse of :func:`aes128_cbc_encrypt`; the leading 16 bytes are
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`aes_cbc_encrypt`; the leading 16 bytes are
     the IV. Raises :class:`AesError` (a ValueError) on malformed
     length/padding so the extractor can retype it PdfUnsupported."""
-    if len(key) != 16:
-        raise AesError("AES-128 key must be 16 bytes")
+    if len(key) not in (16, 32):
+        raise AesError("AES key must be 16 or 32 bytes")
     if len(data) < 32 or len(data) % 16:
         raise AesError(f"AES-CBC payload length {len(data)} invalid")
-    rks = _expand_key_128(key)
+    rks = _expand_key(key)
     iv, body = data[:16], data[16:]
     if _np is not None and len(body) >= 256:
-        ecb = _aes128_ecb_decrypt_np(rks, body)
+        ecb = _aes_ecb_decrypt_np(rks, body)
         # chain XOR: block i ^ ciphertext block i-1 (IV for block 0)
         chain = data[: len(data) - 16]  # iv + body[:-16]
         p = _np.frombuffer(ecb, dtype=_np.uint8) ^ _np.frombuffer(
@@ -295,6 +309,63 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise AesError("bad PKCS#7 padding")
     return bytes(out[:-pad])
+
+
+# 16-byte-key wrappers kept for the original AES-128 surface (and its
+# KAT tests); both delegate to the generalized core above.
+def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(key) != 16:
+        raise AesError("AES-128 key must be 16 bytes")
+    return aes_cbc_encrypt(key, iv, data)
+
+
+def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    if len(key) != 16:
+        raise AesError("AES-128 key must be 16 bytes")
+    return aes_cbc_decrypt(key, data)
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """CBC with NO padding over an already-block-aligned payload — the
+    §7.6.4.3 /UE // /OE intermediate-key wrap (ISO 32000-2: 'AES-256 in
+    CBC mode with no padding and an initialization vector of zero')."""
+    if len(key) not in (16, 32):
+        raise AesError("AES key must be 16 or 32 bytes")
+    if len(data) % 16 or len(iv) != 16:
+        raise AesError("raw CBC needs block-aligned data and a 16-byte IV")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    if encrypt:
+        for i in range(0, len(data), 16):
+            block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+            prev = _encrypt_block(rks, block)
+            out += prev
+    else:
+        for i in range(0, len(data), 16):
+            blk = data[i : i + 16]
+            out += bytes(a ^ b for a, b in zip(_decrypt_block(rks, blk), prev))
+            prev = blk
+    return bytes(out)
+
+
+def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    """ECB, no padding — the §7.6.4.4.9 /Perms wrap is one block."""
+    if len(data) % 16:
+        raise AesError("ECB needs block-aligned data")
+    rks = _expand_key(key)
+    return b"".join(
+        _encrypt_block(rks, data[i : i + 16]) for i in range(0, len(data), 16)
+    )
+
+
+def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise AesError("ECB needs block-aligned data")
+    rks = _expand_key(key)
+    return b"".join(
+        _decrypt_block(rks, data[i : i + 16]) for i in range(0, len(data), 16)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -371,6 +442,111 @@ def authenticate_user_password(
     return key if got == want else None
 
 
+# --------------------------------------------------------------------------
+# AES-256 standard handler, /V 5 /R 5-6 (public ISO 32000-2 §7.6.4.3,
+# Algorithms 2.A / 2.B — r10, the last document-ingest extension the
+# r09 verdict named). /R 6 is the ISO form every current writer emits;
+# /R 5 is Adobe's deprecated Extension-Level-3 precursor (plain SHA-256,
+# no 2.B iteration) still found on 2008-2011 era files.
+# --------------------------------------------------------------------------
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> bytes:
+    """Algorithm 2.B: the R6 iterated SHA-2 password hash (R5: plain
+    SHA-256). ``udata`` is the 48-byte /U value when hashing an OWNER
+    password, empty for a user password. Passwords are capped at 127
+    UTF-8 bytes per §7.6.4.3.2."""
+    password = password[:127]
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r < 6:
+        return k
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, encrypt=True)
+        k = {0: hashlib.sha256, 1: hashlib.sha384, 2: hashlib.sha512}[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def authenticate_user_password_v5(
+    user_pw: bytes, u_value: bytes, ue_value: bytes, r: int
+) -> "bytes | None":
+    """Algorithm 2.A (user-password branch): check ``user_pw`` against
+    /U's validation salt and, on success, unwrap the 32-byte file key
+    from /UE with the key-salt intermediate key (AES-256-CBC, zero IV,
+    no padding). Returns the file key, or None when the password is
+    wrong / the fields are malformed."""
+    if len(u_value) < 48 or len(ue_value) != 32:
+        return None
+    expect, vsalt, ksalt = u_value[:32], u_value[32:40], u_value[40:48]
+    if hash_2b(user_pw, vsalt, b"", r) != expect:
+        return None
+    intermediate = hash_2b(user_pw, ksalt, b"", r)
+    return _aes_cbc_raw(intermediate, b"\x00" * 16, ue_value, encrypt=False)
+
+
+def compute_u_ue_v5(
+    user_pw: bytes, file_key: bytes, vsalt: bytes, ksalt: bytes, r: int = 6
+) -> "tuple[bytes, bytes]":
+    """Writer half of Algorithm 8: /U = hash + validation salt + key
+    salt (48 bytes), /UE = the file key wrapped under the key-salt
+    intermediate key. Salts are caller-supplied (determinism contract —
+    fixtures derive them from the file /ID, never a RNG)."""
+    if len(vsalt) != 8 or len(ksalt) != 8 or len(file_key) != 32:
+        raise ValueError("V5 salts are 8 bytes and the file key 32")
+    u = hash_2b(user_pw, vsalt, b"", r) + vsalt + ksalt
+    ue = _aes_cbc_raw(hash_2b(user_pw, ksalt, b"", r), b"\x00" * 16, file_key, True)
+    return u, ue
+
+
+def compute_o_oe_v5(
+    owner_pw: bytes,
+    file_key: bytes,
+    u_value: bytes,
+    vsalt: bytes,
+    ksalt: bytes,
+    r: int = 6,
+) -> "tuple[bytes, bytes]":
+    """Writer half of Algorithm 9: the owner hash salts with the full
+    48-byte /U value as ``udata``."""
+    if len(u_value) < 48:
+        raise ValueError("V5 /O derivation needs the 48-byte /U value")
+    u48 = u_value[:48]
+    o = hash_2b(owner_pw, vsalt, u48, r) + vsalt + ksalt
+    oe = _aes_cbc_raw(hash_2b(owner_pw, ksalt, u48, r), b"\x00" * 16, file_key, True)
+    return o, oe
+
+
+def compute_perms_v5(
+    p: int, encrypt_metadata: bool, file_key: bytes, fill: bytes = b"adbf"
+) -> bytes:
+    """Algorithm 10: the /Perms block — P as a little-endian int64
+    (high bytes 0xFF), 'T'/'F' for /EncryptMetadata, the literal 'adb'
+    sentinel, 4 spec-'random' tail bytes (caller-fixed here: writers in
+    sources/ are pure functions of their inputs)."""
+    block = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + fill[:4].ljust(4, b"\x00")
+    )
+    return aes_ecb_encrypt(file_key, block)
+
+
+def verify_perms_v5(perms: bytes, file_key: bytes) -> bool:
+    """Reader half of Algorithm 10 (step f of 2.A): ECB-decrypt /Perms
+    and check the 'adb' sentinel — a wrong file key (or tampered dict)
+    fails closed."""
+    if len(perms) < 16:
+        return False
+    return aes_ecb_decrypt(file_key, perms[:16])[9:12] == b"adb"
+
+
 def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     """Algorithm 1: the per-object key — MD5 of the file key + 3
     low-order bytes of the object number + 2 of the generation (+ the
@@ -390,7 +566,10 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
 
 def decrypt_bytes(file_key: bytes, num: int, gen: int, data: bytes, method: str) -> bytes:
     """Decrypt one string/stream for object ``num``/``gen``.
-    ``method`` is 'rc4' or 'aesv2'."""
+    ``method`` is 'rc4', 'aesv2', or 'aesv3' (AES-256: §7.6.4.2 drops
+    the per-object key — the 32-byte file key is used directly)."""
+    if method == "aesv3":
+        return aes_cbc_decrypt(file_key, data)
     key = object_key(file_key, num, gen, aes=(method == "aesv2"))
     if method == "rc4":
         return rc4(key, data)
@@ -400,8 +579,10 @@ def decrypt_bytes(file_key: bytes, num: int, gen: int, data: bytes, method: str)
 def encrypt_bytes(
     file_key: bytes, num: int, gen: int, data: bytes, method: str, iv: bytes = b""
 ) -> bytes:
-    """Forward direction for writer fixtures; AESV2 needs a caller-
-    supplied 16-byte IV (determinism contract)."""
+    """Forward direction for writer fixtures; AES methods need a
+    caller-supplied 16-byte IV (determinism contract)."""
+    if method == "aesv3":
+        return aes_cbc_encrypt(file_key, iv, data)
     key = object_key(file_key, num, gen, aes=(method == "aesv2"))
     if method == "rc4":
         return rc4(key, data)

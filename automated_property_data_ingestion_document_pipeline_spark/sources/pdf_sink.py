@@ -230,6 +230,7 @@ def _standard_encryption(
         "rc4-40": (1, 2, 5, "rc4"),
         "rc4-128": (2, 3, 16, "rc4"),
         "aes-128": (4, 4, 16, "aesv2"),
+        "aes-256": (5, 6, 32, "aesv3"),
     }
     if method not in spec:
         raise ValueError(f"unknown encryption method {method!r}")
@@ -239,27 +240,54 @@ def _standard_encryption(
         + "\x1f".join(lines).encode("utf-8", "replace")
     ).digest()
     p_perms = -44
-    o_val = pdf_crypt.compute_o_value(owner_pw, user_pw, r, key_bytes)
-    fk = pdf_crypt.compute_file_key(user_pw, o_val, p_perms, id0, r, key_bytes)
-    u_val = pdf_crypt.compute_u_value(fk, id0, r)
+    if v == 5:
+        # ISO 32000-2 §7.6.4.4 (r10): the 32-byte file key and all four
+        # salts derive from /ID — pure function of the inputs, no RNG
+        fk = hashlib.sha256(id0 + b"|v5-file-key").digest()
+        uvs = hashlib.md5(id0 + b"uvs").digest()[:8]
+        uks = hashlib.md5(id0 + b"uks").digest()[:8]
+        ovs = hashlib.md5(id0 + b"ovs").digest()[:8]
+        oks = hashlib.md5(id0 + b"oks").digest()[:8]
+        u_val, ue_val = pdf_crypt.compute_u_ue_v5(user_pw, fk, uvs, uks, r)
+        o_val, oe_val = pdf_crypt.compute_o_oe_v5(owner_pw, fk, u_val, ovs, oks, r)
+        perms = pdf_crypt.compute_perms_v5(p_perms, True, fk)
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R %d /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> /P %d >>"
+            % (
+                r,
+                o_val.hex().encode(),
+                u_val.hex().encode(),
+                oe_val.hex().encode(),
+                ue_val.hex().encode(),
+                perms.hex().encode(),
+                p_perms,
+            )
+        )
+    else:
+        o_val = pdf_crypt.compute_o_value(owner_pw, user_pw, r, key_bytes)
+        fk = pdf_crypt.compute_file_key(user_pw, o_val, p_perms, id0, r, key_bytes)
+        u_val = pdf_crypt.compute_u_value(fk, id0, r)
+        if method == "aes-128":
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P %d >>"
+                % (o_val.hex().encode(), u_val.hex().encode(), p_perms)
+            )
+        else:
+            length = b" /Length 128" if method == "rc4-128" else b""
+            enc_dict = (
+                b"<< /Filter /Standard /V %d /R %d%s /O <%s> /U <%s> /P %d >>"
+                % (v, r, length, o_val.hex().encode(), u_val.hex().encode(), p_perms)
+            )
 
     def enc(num: int, data: bytes) -> bytes:
         iv = hashlib.md5(id0 + b"%d/0" % num).digest()[:16]
         return pdf_crypt.encrypt_bytes(fk, num, 0, data, obj_method, iv=iv)
 
-    if method == "aes-128":
-        enc_dict = (
-            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
-            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-            b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P %d >>"
-            % (o_val.hex().encode(), u_val.hex().encode(), p_perms)
-        )
-    else:
-        length = b" /Length 128" if method == "rc4-128" else b""
-        enc_dict = (
-            b"<< /Filter /Standard /V %d /R %d%s /O <%s> /U <%s> /P %d >>"
-            % (v, r, length, o_val.hex().encode(), u_val.hex().encode(), p_perms)
-        )
     return enc, enc_dict, id0
 
 
@@ -537,6 +565,124 @@ def pdf_bytes_with_incremental_update(
     return pdf_incremental_update(base, repl)
 
 
+def pdf_bytes_with_update_chain(lines: list[str], generations: int = 4) -> bytes:
+    """A /Prev chain LONGER than two (r10 stretch): the base document
+    shows decoy text, then ``generations - 1`` successive incremental
+    updates each replace every content stream — the repeatedly-signed/
+    edited file shape. Only the FINAL generation carries ``lines``;
+    every earlier one is a distinct decoy, so an extractor that stops
+    walking /Prev early, or resolves any stale generation, extracts a
+    decoy and fails the value hash."""
+    if generations < 2:
+        raise ValueError("an update chain needs at least 2 generations")
+    n = max(len(lines), 1)
+    payload = pdf_bytes_from_lines(["DECOY-GEN-0"] * n)
+    for g in range(1, generations):
+        texts = lines if g == generations - 1 else [f"DECOY-GEN-{g}"] * n
+        pages = [
+            texts[i : i + LINES_PER_PAGE] for i in range(0, len(texts), LINES_PER_PAGE)
+        ] or [[]]
+        repl: dict[int, bytes] = {}
+        for i, page_lines in enumerate(pages):
+            stream = _content_stream(page_lines)
+            repl[5 + 2 * i] = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+                len(stream),
+                stream,
+            )
+        payload = pdf_incremental_update(payload, repl)
+    return payload
+
+
+def pdf_bytes_linearized(lines: list[str]) -> bytes:
+    """The LINEARIZED ("fast web view") container layout (PDF §F, r10
+    stretch): a linearization parameter dict is object 1 at the front,
+    followed by the FIRST-PAGE xref section — which sits BEFORE the
+    objects it indexes and whose trailer /Prev points FORWARD-in-chain
+    to the main xref at the end of file; the final ``startxref`` points
+    BACK to the front section. Resolvers that assume xref tables follow
+    their objects, or that the startxref target is the newest section's
+    physical position, mis-walk this shape. Deterministic pure function
+    of ``lines`` (all variable numbers are fixed-width %010d, so every
+    offset is computable in one pass).
+
+    Object numbering: 1 linearization dict (indexed by the MAIN xref),
+    2 catalog, 3 pages tree, 4 font, then per page i: 5+2i page dict,
+    6+2i content stream (all indexed by the FRONT xref)."""
+    pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
+    if not pages:
+        pages = [[]]
+    n_pages = len(pages)
+    bodies: list[tuple[int, bytes]] = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (
+            3,
+            b"<< /Type /Pages /Kids [%s] /Count %d >>"
+            % (" ".join(f"{5 + 2 * i} 0 R" for i in range(n_pages)).encode(), n_pages),
+        ),
+        (
+            4,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+        ),
+    ]
+    for i, page_lines in enumerate(pages):
+        bodies.append(
+            (
+                5 + 2 * i,
+                b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 %d %d] "
+                b"/Resources << /Font << /F1 4 0 R >> >> /Contents %d 0 R >>"
+                % (PAGE_W, PAGE_H, 6 + 2 * i),
+            )
+        )
+        stream = _content_stream(page_lines)
+        bodies.append(
+            (6 + 2 * i, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream))
+        )
+    n_obj = 5 + 2 * n_pages  # /Size: objects 0..4+2*n_pages
+
+    header = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+    lin_tpl = (
+        b"1 0 obj\n<< /Linearized 1 /L %010d /H [0 0] /O 5 /E %010d /N %d "
+        b"/T %010d >>\nendobj\n"
+    )
+    lin_at = len(header)
+    front_at = lin_at + len(lin_tpl % (0, 0, n_pages, 0))
+    k = len(bodies)  # front section covers objects 2..(n_obj-1)
+    front_tpl_head = b"xref\n2 %d\n" % k
+    front_trailer_tpl = b"trailer\n<< /Size %d /Root 2 0 R /Prev %010d >>\n"
+    front_len = (
+        len(front_tpl_head) + 20 * k + len(front_trailer_tpl % (n_obj, 0))
+    )
+    # body offsets, sequential after the front section
+    at = front_at + front_len
+    offs: dict[int, int] = {}
+    chunks: list[bytes] = []
+    for num, body in bodies:
+        offs[num] = at
+        chunk = b"%d 0 obj\n%s\nendobj\n" % (num, body)
+        chunks.append(chunk)
+        at += len(chunk)
+    main_at = at
+    main = (
+        b"xref\n0 2\n0000000000 65535 f \n%010d 00000 n \n"
+        b"trailer\n<< /Size %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (lin_at, n_obj, front_at)
+    )
+    total = main_at + len(main)
+    first_page_end = offs.get(7, offs[6]) if n_pages else total
+    out = bytearray(header)
+    out += lin_tpl % (total, first_page_end, n_pages, main_at)
+    out += front_tpl_head
+    for num, _ in bodies:
+        out += b"%010d 00000 n \n" % offs[num]
+    out += front_trailer_tpl % (n_obj, main_at)
+    out += b"".join(chunks)
+    assert len(out) == main_at, (len(out), main_at)
+    out += main
+    assert len(out) == total
+    return bytes(out)
+
+
 class PdfUnsupported(ValueError):
     """Payload is not a PDF this extractor handles (bad header, broken
     FlateDecode stream, unsupported stream filter, ...)."""
@@ -736,10 +882,12 @@ class _ObjIndex:
     def _scan_trailers_for_encrypt(self) -> None:
         import re
 
-        # REVERSED: _note_encrypt is first-sighting-wins (matching the
-        # newest-first chain walk), and in file order the newest
-        # trailer — an incremental update's — comes LAST
-        for m in reversed(list(re.finditer(rb"trailer\b", self.payload))):
+        # _note_encrypt is first-sighting-wins (matching the newest-
+        # first chain walk), and in file order the newest trailer — an
+        # incremental update's — comes LAST: visit candidates by
+        # descending file position.
+        cands: list[tuple[int, bytes]] = []
+        for m in re.finditer(rb"trailer\b", self.payload):
             t = self.payload.find(b"<<", m.end(), m.end() + 64)
             if t == -1:
                 continue
@@ -753,6 +901,28 @@ class _ObjIndex:
             # 9 0 R >>' would false-positive REFUSE a readable file
             if not re.search(rb"/(?:Size|Root)(?![\w])", d):
                 continue
+            cands.append((m.start(), d))
+        # r10 ADVICE: an encrypted PDF 1.5 file may have NO classic
+        # trailer at all — its only trailer dict is the /Type /XRef
+        # stream's own dictionary (§7.5.8.1). With the startxref chain
+        # unusable, missing it classifies the file unencrypted and
+        # ciphertext sails into the filter chain (a garbage-row leak
+        # for uncompressed streams). Scan object headers for xref-
+        # stream dicts with the same /Size|/Root shape check.
+        for m in re.finditer(rb"\d+\s+\d+\s+obj\b", self.payload):
+            t = self.payload.find(b"<<", m.end(), m.end() + 32)
+            if t == -1:
+                continue
+            try:
+                d = self.payload[t : _dict_span(self.payload, t)]
+            except PdfUnsupported:
+                continue
+            if not re.search(rb"/Type\s*/XRef(?![\w])", d):
+                continue
+            if not re.search(rb"/(?:Size|Root)(?![\w])", d):
+                continue
+            cands.append((m.start(), d))
+        for _, d in sorted(cands, key=lambda c: -c[0]):
             self._note_encrypt(d)
 
     def locate(self, num: int) -> int:
@@ -1751,14 +1921,35 @@ def _pdf_string_value(dct: bytes, key: bytes) -> "bytes | None":
     return bytes.fromhex(h.decode("ascii"))
 
 
+def _named_crypt_filter(enc: bytes, name: bytes) -> "bytes | None":
+    """The /CF subdictionary named ``name`` inside an /Encrypt dict —
+    the specific subtree /StmF points at (r10 ADVICE: a /V 4-5 file may
+    carry MULTIPLE crypt filters; reading /CFM from 'anywhere in the
+    dict' can select the wrong cipher, and RC4 has no integrity check,
+    so a wrong-cipher decrypt of an uncompressed stream would emit
+    garbage rows instead of a typed refusal). None when /CF or the
+    named entry is absent."""
+    import re
+
+    cf = re.search(rb"/CF\s*<<", enc)
+    if cf is None:
+        return None
+    cf_body = enc[cf.end() - 2 : _dict_span(enc, cf.end() - 2)]
+    nm = re.search(rb"/" + re.escape(name) + rb"(?![\w])\s*<<", cf_body)
+    if nm is None:
+        return None
+    return cf_body[nm.end() - 2 : _dict_span(cf_body, nm.end() - 2)]
+
+
 def _setup_decryption(idx: "_ObjIndex") -> None:
     """Authenticate the standard security handler with the EMPTY user
-    password and install ``idx.decryptor`` (ISO 32000-1 §7.6.3-7.6.4):
-    /V 1-2 RC4 (40..128-bit) and /V 4 crypt filters /V2 (RC4) or
-    /AESV2 (AES-128-CBC) are supported — the ubiquitous owner-
-    restrictions-only "protected" report. Everything else is a typed
-    refusal: real user passwords, AES-256 (/V 5, /R 5-6), non-Standard
-    handlers, /Identity leaves streams plaintext (no decryptor)."""
+    password and install ``idx.decryptor``: /V 1-2 RC4 (40..128-bit)
+    and /V 4 crypt filters /V2 (RC4) or /AESV2 (AES-128-CBC) per ISO
+    32000-1 §7.6.3-7.6.4, plus (r10) /V 5 /R 5-6 /AESV3 (AES-256) per
+    ISO 32000-2 §7.6.4.3 Algorithms 2.A/2.B — the full set of standard-
+    handler shapes in the wild. Everything else is a typed refusal:
+    real user passwords, non-Standard handlers, unknown /CFM; /Identity
+    leaves streams plaintext (no decryptor)."""
     import re
 
     from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
@@ -1772,9 +1963,9 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
     rm = re.search(rb"/R\s+(\d+)", enc)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v >= 5 or r >= 5:
-        raise PdfUnsupported(f"AES-256 encryption (/V {v} /R {r}) unsupported")
-    if v not in (1, 2, 4) or r not in (2, 3, 4):
+    if v > 5 or r > 6:
+        raise PdfUnsupported(f"unknown encryption revision /V {v} /R {r}")
+    if (v == 5 and r not in (5, 6)) or (v < 5 and r not in (2, 3, 4)) or v not in (1, 2, 4, 5):
         raise PdfUnsupported(f"unsupported encryption revision /V {v} /R {r}")
     o_val = _pdf_string_value(enc, b"O")
     u_val = _pdf_string_value(enc, b"U")
@@ -1784,6 +1975,50 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
     p = int(pm.group(1)) & 0xFFFFFFFF  # some writers emit unsigned (or
     if p >= 1 << 31:  # hostile digits overflow int32) — fold to signed
         p -= 1 << 32
+
+    # crypt-filter resolution shared by /V 4 and /V 5: /StmF names the
+    # stream filter; absent /StmF means Identity — streams unencrypted
+    # (§7.6.5). The /CFM (and fallback /Length) come from the /CF
+    # subtree /StmF NAMES, never "any /CFM in the dict" (r10 ADVICE).
+    cf_sub = None
+    if v in (4, 5):
+        stmf = re.search(rb"/StmF\s*/(\w+)", enc)
+        if stmf is None or stmf.group(1) == b"Identity":
+            idx._finish_deferred_objstm()
+            return
+        cf_sub = _named_crypt_filter(enc, stmf.group(1))
+        if cf_sub is None:
+            raise PdfUnsupported(
+                f"/StmF /{stmf.group(1).decode()} names no /CF crypt filter"
+            )
+
+    if v == 5:
+        # AES-256 (ISO 32000-2): SHA-2 password hash, the 32-byte file
+        # key unwraps from /UE; per-object keys are gone — the file key
+        # encrypts every stream directly (§7.6.4.2).
+        cfm = re.search(rb"/CFM\s*/(\w+)", cf_sub)
+        if cfm is None or cfm.group(1) != b"AESV3":
+            got = cfm.group(1).decode() if cfm else "absent"
+            raise PdfUnsupported(f"/V 5 crypt filter must be /AESV3, got /{got}")
+        ue_val = _pdf_string_value(enc, b"UE")
+        if ue_val is None or len(u_val) < 48 or len(ue_val) != 32:
+            raise PdfUnsupported("/V 5 encryption dictionary missing 48-byte /U + 32-byte /UE")
+        key = pdf_crypt.authenticate_user_password_v5(b"", u_val, ue_val, r)
+        if key is None:
+            raise PdfUnsupported(
+                "password-protected PDF (empty user password rejected)"
+            )
+        perms = _pdf_string_value(enc, b"Perms")
+        if perms is not None and not pdf_crypt.verify_perms_v5(perms, key):
+            # wrong key or tampered dict — fail closed, never decrypt
+            # garbage (2.A step f)
+            raise PdfUnsupported("/Perms sentinel check failed for /V 5 file key")
+        idx.decryptor = lambda num, gen, data: pdf_crypt.decrypt_bytes(
+            key, num, gen, data, "aesv3"
+        )
+        idx._finish_deferred_objstm()
+        return
+
     # top-level /Length ONLY: Acrobat emits keys alphabetically, so the
     # /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> subtree precedes
     # the document /Length 128 — a whole-dict search would read the
@@ -1798,18 +2033,24 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
     key_bytes = 5 if v == 1 else (int(lm.group(1)) // 8 if lm else 5)
     method = "rc4"
     if v == 4:
-        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
-        stmf = re.search(rb"/StmF\s*/(\w+)", enc)
-        # §7.6.5: an ABSENT /StmF means Identity — streams unencrypted
-        if stmf is None or stmf.group(1) == b"Identity":
-            idx._finish_deferred_objstm()
-            return
+        cfm = re.search(rb"/CFM\s*/(\w+)", cf_sub)
         if cfm is None:
             raise PdfUnsupported("crypt-filter PDF (/V 4) without /CFM")
         if cfm.group(1) == b"AESV2":
             method, key_bytes = "aesv2", 16
         elif cfm.group(1) == b"V2":
             method = "rc4"
+            if lm is None:
+                # r10 ADVICE: some writers put /Length ONLY inside the
+                # crypt-filter subdict. Acrobat writes it in BYTES
+                # there (§7.6.5 note); spec-literal writers use bits —
+                # accept both (>= 40 reads as bits) instead of deriving
+                # a wrong 40-bit key and misclassifying a readable
+                # empty-password file as refused.
+                clm = re.search(rb"/Length\s+(\d+)", cf_sub)
+                if clm is not None:
+                    cl = int(clm.group(1))
+                    key_bytes = cl // 8 if cl >= 40 else cl
         else:
             raise PdfUnsupported(
                 f"unsupported crypt filter /CFM /{cfm.group(1).decode()}"
@@ -1887,7 +2128,17 @@ def extract_pdf_text(payload: bytes) -> list[str]:
     for m in re.finditer(rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n", payload):
         if m.start() < consumed_to:
             continue
-        stream, consumed_to = _stream_body(idx, m.group(1), m.end())
+        # r10: recover the enclosing object identity so a DAMAGED-chain
+        # encrypted file can still decrypt on this walk (the per-object
+        # key needs num/gen; None stays a typed refusal inside
+        # _stream_body — never a gen=0 guess)
+        objref = None
+        hm = re.search(
+            rb"(\d+)\s+(\d+)\s+obj\s*$", payload[max(0, m.start() - 64) : m.start()]
+        )
+        if hm is not None:
+            objref = (int(hm.group(1)), int(hm.group(2)))
+        stream, consumed_to = _stream_body(idx, m.group(1), m.end(), objref)
         lines.extend(_text_ops(stream))
     return lines
 

@@ -155,13 +155,21 @@ def test_pdf_truncation_fuzz_stays_typed_under_deadline():
     import signal
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        pdf_bytes_encrypted,
+        pdf_bytes_linearized,
         pdf_bytes_modern,
+        pdf_bytes_with_update_chain,
     )
 
+    fuzz_lines = ["truncation fuzz line %d" % i for i in range(40)]
     bases = [
         open(os.path.join(REPORTS, "Agreement_John_Doe.pdf"), "rb").read(),
         open(os.path.join(REPORTS, "Engagement_Letter_Ram.pdf"), "rb").read(),
-        pdf_bytes_modern(["truncation fuzz line %d" % i for i in range(40)]),
+        pdf_bytes_modern(fuzz_lines),
+        # r10 layouts: linearized (front xref), long /Prev chain, AES-256
+        pdf_bytes_linearized(fuzz_lines),
+        pdf_bytes_with_update_chain(fuzz_lines, generations=4),
+        pdf_bytes_encrypted(fuzz_lines, method="aes-256"),
     ]
     regressions = [
         b"%PDF-1.4\n1 0 obj",  # the exact ADVICE repro (hung in _scan)

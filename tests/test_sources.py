@@ -1336,12 +1336,13 @@ def test_pdf_decode_parms_indirect_and_malformed():
 
 
 def test_pdf_encrypted_standard_handler_roundtrips():
-    """r08 verdict ask #3: the standard security handler's empty-user-
-    password case (ISO 32000-1 §7.6.3-4) — RC4-40 (/V 1 /R 2), RC4-128
-    (/V 2 /R 3) and AES-128-CBC (/V 4 /R 4 /CFM /AESV2) files decrypt
-    and extract bit-exactly; files with a real user password, AES-256
-    revisions, non-Standard handlers, and missing /ID are typed
-    refusals — honest quarantine, never garbage rows."""
+    """r08 verdict ask #3 (+ r10 AES-256): the standard security
+    handler's empty-user-password case — RC4-40 (/V 1 /R 2), RC4-128
+    (/V 2 /R 3), AES-128-CBC (/V 4 /R 4 /CFM /AESV2, ISO 32000-1
+    §7.6.3-4) and AES-256 (/V 5 /R 6 /CFM /AESV3, ISO 32000-2 §7.6.4.3)
+    files decrypt and extract bit-exactly; files with a real user
+    password, mismatched /V//R, non-Standard handlers, and missing /ID
+    are typed refusals — honest quarantine, never garbage rows."""
     import pytest
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
@@ -1351,7 +1352,7 @@ def test_pdf_encrypted_standard_handler_roundtrips():
     )
 
     lines = [f"protected report line {i} (with) parens \\ and [brackets]" for i in range(70)]
-    for method in ("rc4-40", "rc4-128", "aes-128"):
+    for method in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
         for comp in (True, False):
             pdf = pdf_bytes_encrypted(lines, method=method, compress=comp)
             assert extract_pdf_text(pdf) == lines, (method, comp)
@@ -1360,15 +1361,24 @@ def test_pdf_encrypted_standard_handler_roundtrips():
             lines, method=method
         )
 
-    protected = pdf_bytes_encrypted(lines, user_pw=b"secret")
-    with pytest.raises(PdfUnsupported, match="password-protected"):
-        extract_pdf_text(protected)
+    for method in ("rc4-128", "aes-256"):
+        protected = pdf_bytes_encrypted(lines, method=method, user_pw=b"secret")
+        with pytest.raises(PdfUnsupported, match="password-protected"):
+            extract_pdf_text(protected)
 
-    v5 = pdf_bytes_encrypted(lines, method="aes-128").replace(
+    # a /V 5 header over an AESV2 crypt filter is a malformed hybrid —
+    # refused on the filter name, never decrypted with the wrong cipher
+    hybrid = pdf_bytes_encrypted(lines, method="aes-128").replace(
         b"/V 4 /R 4", b"/V 5 /R 6"
     )
-    with pytest.raises(PdfUnsupported, match="AES-256"):
-        extract_pdf_text(v5)
+    with pytest.raises(PdfUnsupported, match="AESV3"):
+        extract_pdf_text(hybrid)
+    # mismatched V/R combinations stay typed
+    v5 = pdf_bytes_encrypted(lines, method="aes-256")
+    with pytest.raises(PdfUnsupported, match="unsupported encryption revision"):
+        extract_pdf_text(v5.replace(b"/V 5 /R 6", b"/V 5 /R 4"))
+    with pytest.raises(PdfUnsupported, match="unknown encryption revision"):
+        extract_pdf_text(v5.replace(b"/V 5 /R 6", b"/V 6 /R 6"))
 
     alien = pdf_bytes_encrypted(lines).replace(b"/Filter /Standard", b"/Filter /Acme")
     with pytest.raises(PdfUnsupported, match="non-Standard"):
@@ -1378,6 +1388,146 @@ def test_pdf_encrypted_standard_handler_roundtrips():
     no_id = base.replace(b"/ID [<", b"/XX [<")
     with pytest.raises(PdfUnsupported, match="/ID|password"):
         extract_pdf_text(no_id)
+
+
+def test_pdf_aes256_v5_handler_surface():
+    """r10 (verdict ask #4): the /V 5 /R 5-6 AES-256 standard handler —
+    Algorithm 2.B iterated SHA-2 hash, /UE file-key unwrap, /Perms
+    sentinel — reads its own writer fixtures in BOTH containers, honors
+    the /StmF-named crypt filter among decoys (r10 ADVICE), and fails
+    closed on tampered /U, /UE, and /Perms."""
+    import re
+
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt as pc
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+        pdf_bytes_modern,
+    )
+
+    lines = [f"v5 protected line {i}" for i in range(60)]
+    # both containers: classic 1.4 and the re-encrypted modern export
+    assert extract_pdf_text(pdf_bytes_encrypted(lines, method="aes-256")) == lines
+    assert extract_pdf_text(pdf_bytes_modern(lines, encrypt_method="aes-256")) == lines
+
+    base = pdf_bytes_encrypted(lines, method="aes-256")
+    # decoy crypt filter listed before /StdCF must not be selected
+    multi = base.replace(
+        b"/CF << /StdCF", b"/CF << /DecoyCF << /CFM /V2 /Length 5 >> /StdCF"
+    )
+    assert extract_pdf_text(multi) == lines
+    with pytest.raises(PdfUnsupported, match="names no /CF"):
+        extract_pdf_text(base.replace(b"/StmF /StdCF", b"/StmF /NoSuch"))
+
+    # tamper surface: wrong /U hash -> auth failure; missing /UE ->
+    # typed; flipped /Perms -> sentinel refusal (2.A step f)
+    um = re.search(rb"/U <([0-9a-f]{96})>", base)
+    with pytest.raises(PdfUnsupported, match="password-protected"):
+        extract_pdf_text(
+            base.replace(b"/U <" + um.group(1), b"/U <" + b"00" * 32 + um.group(1)[64:])
+        )
+    with pytest.raises(PdfUnsupported, match="missing 48-byte /U"):
+        extract_pdf_text(base.replace(b"/UE <", b"/XE <"))
+    pm = re.search(rb"/Perms <([0-9a-f]{32})>", base)
+    with pytest.raises(PdfUnsupported, match="/Perms sentinel"):
+        extract_pdf_text(base.replace(pm.group(1), b"00" * 16))
+
+    # R5 (deprecated Adobe precursor: plain SHA-256, no 2.B loop)
+    # round-trips through the key algorithms directly
+    import hashlib
+
+    for r in (5, 6):
+        id0 = hashlib.md5(b"r5-fixture").digest()
+        vs, ks = id0[:8], id0[8:16]
+        fk = hashlib.sha256(id0 + b"fk").digest()
+        u, ue = pc.compute_u_ue_v5(b"", fk, vs, ks, r)
+        assert pc.authenticate_user_password_v5(b"", u, ue, r) == fk
+        assert pc.authenticate_user_password_v5(b"wrong", u, ue, r) is None
+        o, oe = pc.compute_o_oe_v5(b"owner", fk, u, vs, ks, r)
+        assert len(o) == 48 and len(oe) == 32
+        assert pc.verify_perms_v5(pc.compute_perms_v5(-44, True, fk), fk)
+        assert not pc.verify_perms_v5(pc.compute_perms_v5(-44, True, fk), bytes(32))
+
+
+def test_pdf_crypt_aes256_known_answer():
+    """FIPS-197 Appendix C.3: the AES-256 block cipher against the
+    published vector, plus CBC/ECB/raw-CBC inverses under a 32-byte
+    key (the 2.B hash's internal CBC uses the 128-bit path, pinned by
+    the existing C.1 test)."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt as pc
+
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = pc._encrypt_block(pc._expand_key(key), pt)
+    assert ct == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert pc._decrypt_block(pc._expand_key(key), ct) == pt
+    for n in (0, 1, 16, 255, 256, 1000):  # scalar AND numpy CBC paths
+        data = bytes((i * 11) & 0xFF for i in range(n))
+        assert pc.aes_cbc_decrypt(key, pc.aes_cbc_encrypt(key, b"\x02" * 16, data)) == data
+    fk = bytes(range(32, 64))
+    assert pc._aes_cbc_raw(key, b"\x00" * 16, pc._aes_cbc_raw(key, b"\x00" * 16, fk, True), False) == fk
+    assert pc.aes_ecb_decrypt(key, pc.aes_ecb_encrypt(key, pt)) == pt
+
+
+def test_pdf_v4_crypt_filter_length_in_cf_subdict():
+    """r10 ADVICE: a /V 4 /CFM /V2 file whose /Length lives ONLY inside
+    the named crypt-filter subdict must derive the right key — Acrobat
+    writes BYTES there, spec-literal writers BITS; both read, and the
+    no-/Length-anywhere fallback (40-bit) refuses typed rather than
+    emitting garbage."""
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+    )
+
+    lines = [f"cf-length line {i}" for i in range(40)]
+    base = pdf_bytes_encrypted(lines, method="rc4-128")  # /V 2 /R 3 /Length 128
+    for cflen in (16, 128):  # bytes (Acrobat) and bits (spec-literal)
+        mut = base.replace(
+            b"/V 2 /R 3 /Length 128",
+            b"/V 4 /R 4 /CF << /StdCF << /CFM /V2 /Length %d >> >> "
+            b"/StmF /StdCF /StrF /StdCF" % cflen,
+        )
+        assert mut != base
+        assert extract_pdf_text(mut) == lines, cflen
+    no_len = base.replace(
+        b"/V 2 /R 3 /Length 128",
+        b"/V 4 /R 4 /CF << /StdCF << /CFM /V2 >> >> /StmF /StdCF",
+    )
+    with pytest.raises(PdfUnsupported, match="password-protected"):
+        extract_pdf_text(no_len)
+
+
+def test_pdf_encrypted_xref_stream_trailer_backstop():
+    """r10 ADVICE: an encrypted PDF 1.5 file whose ONLY trailer dict is
+    the /Type /XRef stream dictionary, with the startxref chain
+    destroyed, must still classify as encrypted (no ciphertext into the
+    filter chain) — and with object identity recoverable on the
+    fallback walk, it decrypts and extracts in full."""
+    import re
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+        pdf_bytes_modern,
+    )
+
+    lines = [f"damaged chain line {i}" for i in range(40)]
+    for method in ("rc4-128", "aes-128", "aes-256"):
+        for builder in (
+            lambda: pdf_bytes_modern(lines, encrypt_method=method),
+            lambda: pdf_bytes_encrypted(lines, method=method),
+        ):
+            base = builder()
+            m = list(re.finditer(rb"startxref\s+(\d+)", base))[-1]
+            broken = base[: m.start()] + b"startxref\n999999999\n%%EOF\n"
+            assert extract_pdf_text(broken) == lines, method
 
 
 def test_pdf_encrypted_mutation_fuzz_stays_typed():
