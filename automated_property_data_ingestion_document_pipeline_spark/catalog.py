@@ -64,6 +64,27 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
+# on-disk parquet bytes per corpus dir, stat-ed once per process — the
+# input-size signal session.tune() scales shuffle partitions by
+# (finding 93 rule 2). A table may be a single file or a directory of
+# part files; missing tables count 0 so partial corpora still size.
+_CORPUS_BYTES: dict[str, int] = {}
+
+
+def corpus_bytes(sf_dir: str) -> int:
+    if sf_dir not in _CORPUS_BYTES:
+        total = 0
+        for name in TABLES:
+            p = table_path(sf_dir, name)
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+            elif os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        _CORPUS_BYTES[sf_dir] = total
+    return _CORPUS_BYTES[sf_dir]
+
+
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register every corpus table as a temp view (for spark.sql paths)."""
     for name in TABLES:

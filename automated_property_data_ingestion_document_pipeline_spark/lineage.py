@@ -1,0 +1,38 @@
+"""Lineage truncation for iterative operators — local by default,
+RELIABLE when the session has a checkpoint directory.
+
+The iterative operators (connected components, PageRank, label
+propagation) must cut lineage every round or the plan tree doubles per
+iteration. ``localCheckpoint`` does that with executor-local storage —
+right for local mode and cheap everywhere — but on a real cluster a
+lost executor invalidates locally-checkpointed partitions and fails the
+job mid-iteration. The 100 TB deployment rule used to be prose
+("flip localCheckpoint to checkpoint"); r10 (verdict ask #6) makes the
+operator flip itself: when the SparkContext HAS a checkpoint dir
+(``sc.setCheckpointDir(...)`` or the ``spark.checkpoint.dir`` conf, the
+thing any production session sets), :func:`cut_lineage` uses the
+reliable ``checkpoint``; otherwise today's ``localCheckpoint``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def has_checkpoint_dir(df: DataFrame) -> bool:
+    """True when the owning SparkContext has a (reliable) checkpoint
+    directory configured."""
+    sc = df.sparkSession.sparkContext
+    try:
+        return sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # py4j surface changed — fail toward local
+        return False
+
+
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s lineage: reliable ``checkpoint`` when the
+    session has a checkpoint dir, ``localCheckpoint`` otherwise. Same
+    eager/lazy semantics as the underlying calls."""
+    if has_checkpoint_dir(df):
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

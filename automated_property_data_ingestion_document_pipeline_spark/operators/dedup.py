@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
+
 from automated_property_data_ingestion_document_pipeline_spark.functions.text import (
     shingles_of,
     tokens,
@@ -269,7 +271,9 @@ def connected_components(
 
     Iteration i joins edges to current labels and takes the per-node min
     (hash-partitioned on node id, one shuffle per round);
-    ``localCheckpoint`` cuts the lineage so plans stay flat. The
+    :func:`cut_lineage` cuts the lineage so plans stay flat
+    (localCheckpoint locally; reliable checkpoint when the session has a
+    checkpoint dir). The
     convergence probe is a scalar ``count()`` action (no data reaches
     the driver). Rounds needed = component diameter — near-dup clusters
     are dense (near-cliques), so 2-3 rounds in practice; pathological
@@ -287,8 +291,10 @@ def connected_components(
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
         .distinct()
-        .localCheckpoint(eager=False)  # materialized by round 0, reused after
     )
+    # materialized by round 0, reused after (reliable checkpoint when
+    # the session has a checkpoint dir — r10 verdict ask #6)
+    edges = cut_lineage(edges, eager=False)
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn("cc", F.col("id"))
     for _ in range(max_iters):
         msgs = edges.join(labels, edges["s"] == labels["id"]).select(
@@ -304,8 +310,8 @@ def connected_components(
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("cc").alias("cc"), F.max("_old").alias("_old"))
-            .localCheckpoint(eager=False)
         )
+        new_labels = cut_lineage(new_labels, eager=False)
         # full aggregate (not limit(1)) so every partition of the lazy
         # checkpoint materializes in this one job
         # coalesce: SUM over zero rows is NULL — an empty edge set must

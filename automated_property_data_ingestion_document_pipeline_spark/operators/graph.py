@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
+
 
 def canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge list normal form: (u, v) with u < v, loops
@@ -114,7 +116,9 @@ def pagerank(
 
     Per iteration: ranks join onto edges by source (shuffle on node id),
     contributions aggregate by destination (second shuffle), then the
-    damping update. ``localCheckpoint`` truncates lineage each round —
+    damping update. :func:`cut_lineage` truncates lineage each round
+    (localCheckpoint locally, reliable checkpoint when the session has a
+    checkpoint dir — r10 verdict ask #6) —
     the same iterative-plan hygiene as the connected-components operator
     (operators/dedup.py): without it the plan doubles per iteration and
     the 8th round recompiles a 2^8-deep tree. Iteration count is a fixed
@@ -126,7 +130,7 @@ def pagerank(
         ce.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
     outdeg = both.groupBy("s").agg(F.count("*").alias("odeg"))
-    adj = both.join(outdeg, "s").localCheckpoint(eager=True)
+    adj = cut_lineage(both.join(outdeg, "s"), eager=True)
     ranks = outdeg.select(F.col("s").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contrib = (
@@ -135,10 +139,13 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
         )
-        ranks = contrib.select(
-            "node",
-            (F.lit(1.0 - damping) + F.lit(damping) * F.col("csum")).alias("rank"),
-        ).localCheckpoint(eager=True)
+        ranks = cut_lineage(
+            contrib.select(
+                "node",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("csum")).alias("rank"),
+            ),
+            eager=True,
+        )
     return ranks
 
 
@@ -162,7 +169,8 @@ def pagerank_fixedpoint(
     division at both sites, on values that are strictly positive, so
     Spark's ``div`` (truncate) and an oracle's floor-div agree. The
     plan shape is identical to the float form: two shuffles per
-    iteration with ``localCheckpoint`` lineage cuts.
+    iteration with :func:`cut_lineage` lineage cuts (reliable checkpoint
+    when the session has a checkpoint dir).
 
     Overflow bound, ENFORCED (r07 advice — Spark's non-ANSI long
     arithmetic wraps silently while a BIGINT oracle errors, a
@@ -183,7 +191,7 @@ def pagerank_fixedpoint(
         ce.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
     outdeg = both.groupBy("s").agg(F.count("*").alias("odeg"))
-    adj = both.join(outdeg, "s").localCheckpoint(eager=True)
+    adj = cut_lineage(both.join(outdeg, "s"), eager=True)
     n_nodes = adj.select(F.countDistinct("s").alias("n")).first()["n"] or 1
     scale_max = (2**63 - 1) // (17 * n_nodes)
     if scale is None:
@@ -214,8 +222,11 @@ def pagerank_fixedpoint(
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
         )
-        ranks = contrib.select(
-            "node",
-            (F.lit(base) + F.expr("(17 * csum) div 20")).cast("long").alias("rank_fp"),
-        ).localCheckpoint(eager=True)
+        ranks = cut_lineage(
+            contrib.select(
+                "node",
+                (F.lit(base) + F.expr("(17 * csum) div 20")).cast("long").alias("rank_fp"),
+            ),
+            eager=True,
+        )
     return ranks

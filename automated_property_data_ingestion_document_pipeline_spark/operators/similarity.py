@@ -783,13 +783,37 @@ def centroid_assign(
     return df.withColumn(out_col, cell_of(F.col(vec_col)))
 
 
+#: Auto-recluster trigger: when the MEAN upstream cluster size exceeds
+#: this, the pair stage's sum(|cluster|^2) cost has left the linear
+#: regime (PERFORMANCE.md §64: 2,000-row mean cells ran 100.3x on 10x
+#: data) — the operator re-clusters instead of trusting the caller's
+#: partitioner. Below it the caller's clusters pass through untouched,
+#: so driver-scale corpora (mean 50-200) keep their label semantics and
+#: oracles bit-for-bit.
+SEM_DEDUP_MAX_MEAN_CELL = 1024
+#: Granularity the derived re-cluster targets: cells ≈ N / this, so the
+#: expected pair cost per cell stays ~TARGET^2 and total ~N * TARGET —
+#: linear in the corpus at fixed target.
+SEM_DEDUP_TARGET_CELL = 512
+#: Derived cell count never exceeds the k-means codebook sample bound
+#: (centroid_assign trains on ≤4096 rows — more cells than sample
+#: points is degenerate). At the cap, mean cell size grows as N/4096:
+#: the documented codebook-sample boundedness class.
+SEM_DEDUP_MAX_CELLS = 4096
+
+#: Observability: the cell count the last semantic_dedup call derived
+#: (None = no re-cluster), mirroring dedup.LAST_CC_ROUNDS — so scale
+#: studies and tests can see the valve's decision, not just its wall.
+LAST_SEMDEDUP_CELLS: "int | None" = None
+
+
 def semantic_dedup(
     df: DataFrame,
     cluster_col: str = "label",
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    recluster_cells: int | None = None,
+    recluster_cells: "int | str | None" = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop every vector that has
     a LOWER-id neighbor above ``threshold`` cosine *within its cluster*
@@ -800,21 +824,39 @@ def semantic_dedup(
     of the cluster-then-dedup design: cost is sum(|cluster|^2), never
     |corpus|^2, and the pair join is a plain equi-join on the cluster id
     (AQE-splittable if one cluster runs hot). Upstream clustering can be
-    the corpus' own label, or :func:`centroid-assign <ivf_topk>` output
-    at 100 TB. Cosine is rounded to 6 places before thresholding, the
-    same boundary contract as :func:`cosine_pairs`.
+    the corpus' own label, or :func:`centroid_assign` output at 100 TB.
+    Cosine is rounded to 6 places before thresholding, the same boundary
+    contract as :func:`cosine_pairs`.
 
-    ``recluster_cells`` is the productized scale knob from the sf1.0
-    study (PERFORMANCE.md §64, VERDICT r06 ask #6): with FIXED upstream
-    labels, sum(|cluster|^2) grows quadratically as the corpus grows —
-    measured 164 s at sf1.0 vs 15.4 s after re-clustering at granularity
-    tracking the corpus (~√N cells keeps expected cluster size √N, so
-    total pair cost stays ~linear). Pass an int to REPLACE the cluster
-    column with a :func:`centroid_assign` cell id at that granularity
-    before the pair stage — same dominance semantics, corpus-tracking
-    cost. The caller picks the cell count (≈√(corpus rows)); it is an
-    explicit knob, not an extra count() job hidden in the operator.
-    """
+    ``recluster_cells`` is the scale valve from the sf1.0 study
+    (PERFORMANCE.md §64): with FIXED upstream labels, sum(|cluster|^2)
+    grows quadratically as the corpus grows — measured 164 s at sf1.0 vs
+    15.4 s after re-clustering at corpus-tracking granularity. r10
+    (verdict ask #1, the finding-93 "pin the contract in the operator"
+    precedent): the default is ``"auto"`` — one cheap aggregate
+    (count + countDistinct, a single job on the linear-sized input)
+    measures the mean cluster size, and when it exceeds
+    :data:`SEM_DEDUP_MAX_MEAN_CELL` the operator REPLACES the cluster
+    column with a :func:`centroid_assign` cell id at
+    ``≈ N / SEM_DEDUP_TARGET_CELL`` cells (capped at
+    :data:`SEM_DEDUP_MAX_CELLS`, the codebook sample bound) before the
+    pair stage — same dominance semantics, ~linear cost, no manual knob
+    to forget at 100 TB. Below the trigger the caller's clusters pass
+    through untouched (label-cluster oracles stay bit-exact). Pass an
+    int to force a granularity, or ``None`` to force pass-through (the
+    pre-r10 behavior)."""
+    global LAST_SEMDEDUP_CELLS
+    if recluster_cells == "auto":
+        n, n_clusters = df.agg(
+            F.count("*"), F.countDistinct(F.col(cluster_col))
+        ).first()
+        recluster_cells = None
+        if n and n / max(n_clusters, 1) > SEM_DEDUP_MAX_MEAN_CELL:
+            recluster_cells = min(
+                SEM_DEDUP_MAX_CELLS,
+                max(-(-n // SEM_DEDUP_TARGET_CELL), n_clusters + 1, 2),
+            )
+    LAST_SEMDEDUP_CELLS = recluster_cells if isinstance(recluster_cells, int) else None
     if recluster_cells is not None:
         df = centroid_assign(
             df, recluster_cells, vec_col=vec_col, id_col=id_col, out_col="_semcell"

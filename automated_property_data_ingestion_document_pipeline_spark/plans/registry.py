@@ -39,7 +39,12 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tune(spark)
+            from automated_property_data_ingestion_document_pipeline_spark.catalog import corpus_bytes
+
+            # finding 93 rule 2 as code (r10): shuffle partitions are
+            # sized from the corpus' on-disk bytes, not a constant —
+            # host-pinned settings are respected inside tune().
+            tune(spark, input_bytes=corpus_bytes(sf_dir))
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

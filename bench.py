@@ -148,6 +148,9 @@ HEADLINE = [
     # round-9: the dead-letter taxonomy rollup (9 payload classes incl.
     # the password-protected refusal) — quarantine proven end-to-end
     "q_quarantine_stats",
+    # round-10: the streaming dead-letter parity lane (foreachBatch
+    # quarantine sink, same oracle as the batch twin)
+    "q_stream_quarantine",
 ]
 
 

@@ -713,3 +713,156 @@ def test_semantic_dedup_recluster_knob(spark, sf_dir):
     assert survivors == expect
     # the knob actually reclusters: cell count used, not the raw label
     assert len(by_cell) > 1
+
+
+def test_semantic_dedup_auto_recluster_contract(spark, sf_dir):
+    """r10 (verdict ask #1): the scale valve is the DEFAULT, not a
+    manual knob. Below SEM_DEDUP_MAX_MEAN_CELL the caller's clusters
+    pass through untouched (auto == explicit None, bit-for-bit — the
+    oracle-compatibility half); above it the operator derives
+    ~N/SEM_DEDUP_TARGET_CELL centroid cells (auto == the explicit
+    derived granularity — the corpus-tracking half), observable via
+    LAST_SEMDEDUP_CELLS."""
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark import catalog
+    from automated_property_data_ingestion_document_pipeline_spark.operators import similarity as sim
+
+    emb = catalog.load(spark, sf_dir, "embeddings")  # mean |label| = 50
+    auto = sorted(r.vec_id for r in sim.semantic_dedup(emb, "label", 0.3).select("vec_id").collect())
+    assert sim.LAST_SEMDEDUP_CELLS is None  # under the trigger: pass-through
+    explicit_none = sorted(
+        r.vec_id
+        for r in sim.semantic_dedup(emb, "label", 0.3, recluster_cells=None)
+        .select("vec_id")
+        .collect()
+    )
+    assert auto == explicit_none
+
+    # one fat cluster over the trigger: 3000 rows, a single label ->
+    # mean 3000 > 1024 -> derived cells = ceil(3000/512) = 6
+    fat = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.lit(0).alias("label"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.col("id") / 97, d), F.lit(1000)).cast("double")
+                    / 500.0
+                    - 1.0
+                ),
+            ).alias("embedding"),
+        )
+    )
+    auto_fat = sorted(r.vec_id for r in sim.semantic_dedup(fat, "label", 0.9).select("vec_id").collect())
+    derived = sim.LAST_SEMDEDUP_CELLS
+    assert derived == -(-3000 // sim.SEM_DEDUP_TARGET_CELL) == 6
+    explicit = sorted(
+        r.vec_id
+        for r in sim.semantic_dedup(fat, "label", 0.9, recluster_cells=derived)
+        .select("vec_id")
+        .collect()
+    )
+    assert auto_fat == explicit
+    # derived granularity tracks the corpus but never exceeds the
+    # codebook sample bound
+    assert sim.SEM_DEDUP_MAX_CELLS == 4096
+
+
+def test_derived_shuffle_partitions_curve_and_tune_guards(spark):
+    """r10 (verdict ask #2, finding 93 rule 2 as code): partitions
+    derive from input bytes — floor of one task wave, +1 per 8 MiB,
+    capped — and tune() only ever overrides Spark's default or its own
+    previous derivation, never a host/caller-pinned value."""
+    from automated_property_data_ingestion_document_pipeline_spark.session import (
+        _SHUFFLE_MARKER,
+        derived_shuffle_partitions,
+        tune,
+    )
+
+    mib = 1024 * 1024
+    assert derived_shuffle_partitions(None, 32) == 32
+    assert derived_shuffle_partitions(18 * mib, 32) == 32      # sf0.1-scale: floor wins
+    assert derived_shuffle_partitions(185 * mib, 32) == 32     # sf1.0-scale: still one wave
+    assert derived_shuffle_partitions(1712 * mib, 32) == 214   # sf10-scale: the study's ~256
+    assert derived_shuffle_partitions(10**15, 32) == 32768     # 100 TB: capped
+    assert derived_shuffle_partitions(0, 8) == 8
+
+    conf = spark.conf
+    orig = conf.get("spark.sql.shuffle.partitions")
+    orig_marker = conf.get(_SHUFFLE_MARKER, None)
+    try:
+        # caller-pinned (the test session pins 8, no marker): tune with
+        # a huge input must NOT override
+        conf.unset(_SHUFFLE_MARKER)
+        tune(spark, input_bytes=10**12)
+        assert conf.get("spark.sql.shuffle.partitions") == orig
+        # our own previous derivation: marked -> re-derivable per corpus
+        conf.set(_SHUFFLE_MARKER, orig)
+        tune(spark, input_bytes=1712 * mib)
+        assert conf.get("spark.sql.shuffle.partitions") == "214"
+        assert conf.get(_SHUFFLE_MARKER) == "214"
+        # and back down for a small corpus
+        tune(spark, input_bytes=1)
+        assert conf.get("spark.sql.shuffle.partitions") == "32"
+        # Spark's 200 default is always ours to size
+        conf.unset(_SHUFFLE_MARKER)
+        conf.set("spark.sql.shuffle.partitions", "200")
+        tune(spark, input_bytes=1712 * mib)
+        assert conf.get("spark.sql.shuffle.partitions") == "214"
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig)
+        if orig_marker is None:
+            conf.unset(_SHUFFLE_MARKER)
+        else:
+            conf.set(_SHUFFLE_MARKER, orig_marker)
+
+
+def test_cut_lineage_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """r10 (verdict ask #6): the iterative operators flip
+    localCheckpoint -> reliable checkpoint THEMSELVES when the session
+    has a checkpoint dir — run connected components and fixed-point
+    PageRank under a temp checkpoint dir, assert identical results AND
+    that checkpoint files actually landed in the dir."""
+    import os
+
+    from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage, has_checkpoint_dir
+    from automated_property_data_ingestion_document_pipeline_spark.operators.dedup import connected_components
+    from automated_property_data_ingestion_document_pipeline_spark.operators.graph import pagerank_fixedpoint
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    base_cc = {(r.id, r.cluster_id) for r in connected_components(pairs).collect()}
+    base_pr = {
+        (r.node, r.rank_fp)
+        for r in pagerank_fixedpoint(pairs, "id_a", "id_b", iterations=3).collect()
+    }
+
+    sc = spark.sparkContext
+    assert not has_checkpoint_dir(spark.range(1))
+    ckpt = str(tmp_path / "reliable_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        assert has_checkpoint_dir(spark.range(1))
+        got_cc = {(r.id, r.cluster_id) for r in connected_components(pairs).collect()}
+        got_pr = {
+            (r.node, r.rank_fp)
+            for r in pagerank_fixedpoint(pairs, "id_a", "id_b", iterations=3).collect()
+        }
+        assert got_cc == base_cc and got_pr == base_pr
+        # reliable checkpoints actually materialized on disk
+        n_files = sum(len(fs) for _, _, fs in os.walk(ckpt))
+        assert n_files > 0, "no checkpoint files written under the configured dir"
+        # eager and lazy forms both route through the reliable path
+        df = cut_lineage(spark.range(10), eager=True)
+        assert df.count() == 10
+    finally:
+        # restore the no-checkpoint-dir state for the shared session
+        # (scala: SparkContext.checkpointDir is an Option var)
+        none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
+    assert not has_checkpoint_dir(spark.range(1))

@@ -569,3 +569,121 @@ def test_quarantine_stats_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan[:2000]
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
     assert "partial_count" in plan or "partial" in plan.lower(), plan[:2000]
+
+
+# -- finding 94 guards (r10 verdict ask #5) -----------------------------------
+
+# The r09 registry-wide broadcast audit's full flag list: every key whose
+# physical plan carries a BroadcastExchange with a Generate (explode)
+# in its subtree. Spark's sizeInBytes never multiplies by explode
+# fan-out (finding 93/94), so these are exactly the plans where the
+# planner CANNOT be trusted and boundedness must come from design:
+# class (a) — the broadcast side is bounded regardless of estimate
+# (salt ranges over aggregates, the ≤10-doc benchmark's shingles,
+# ≤64-row ANN query/probe sides, k x dim codebooks); classes (b)/(c) —
+# vocab- and fact-scale sides, pinned merge/shuffle_hash in r09 (their
+# remaining broadcasts are the bounded ones).
+FINDING94_AUDITED = {
+    "q_bloom_filter", "q_centroid_assign", "q_countmin_error",
+    "q_curation_pipeline2", "q_decontaminate", "q_embedding_neardup_portable",
+    "q_geo_nearest", "q_geo_pipeline", "q_geo_radius_join",
+    "q_ivf_recall", "q_ivfpq_recall", "q_kmeans_step", "q_knn_ivf",
+    "q_knn_lsh", "q_lsh_recall", "q_minhash_neardup", "q_minhash_portable",
+    "q_salted_join", "q_skipgram_pmi", "q_tfidf",
+    # r10: the streaming quarantine twin shares q_quarantine_stats'
+    # builder; its plan is audited identically (map-only, no joins)
+}
+
+
+def _broadcast_over_generate_keys(spark, sf_dir, keys):
+    """Keys whose executed plan has a Generate inside (indent-below) a
+    BroadcastExchange subtree — the finding-93/94 hazard shape."""
+    import re
+
+    flagged = set()
+    for key in keys:
+        plan = plan_of(spark, sf_dir, key)
+        for m in re.finditer(r"BroadcastExchange", plan):
+            lines = plan[m.start():].splitlines()
+            head = len(lines[0]) - len(lines[0].lstrip(" :+-*"))
+            for ln in lines[1:80]:
+                ind = len(ln) - len(ln.lstrip(" :+-*"))
+                if "Generate" in ln:
+                    flagged.add(key)
+                    break
+                if ind < head and ln.strip():
+                    break
+            if key in flagged:
+                break
+    return flagged
+
+
+def test_finding94_no_new_explode_under_broadcast(spark, sf_dir):
+    """REGISTRY-WIDE tripwire: any NEW key whose plan broadcasts a
+    relation containing an explode must fail here until it is audited
+    (bounded by design, or pinned merge/shuffle_hash like findings
+    93/94) and added to the allowlist — the optimizer cannot see explode
+    fan-out, so this exact shape is the one non-self-correcting
+    mis-broadcast class at scale. Covers every registered key except
+    the streaming/sink lanes that EXECUTE on plan build (cost; their
+    batch twins are covered)."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans.registry import QUERIES
+
+    keys = [
+        k
+        for k in QUERIES
+        if not k.startswith("q_stream_")
+        and k not in ("q_partitioned_write", "q_letter_render", "q_report_archive")
+    ]
+    flagged = _broadcast_over_generate_keys(spark, sf_dir, keys)
+    new = flagged - FINDING94_AUDITED
+    assert not new, (
+        f"unaudited explode-under-broadcast in {sorted(new)}: bound the "
+        "broadcast side by design or pin the join (finding 93/94), then "
+        "add the key to FINDING94_AUDITED"
+    )
+
+
+def test_finding94_class_a_bounds_hold(spark, sf_dir):
+    """The class-(a) 'safe by design' bounds, asserted at build time so
+    an edit can't silently grow a broadcast side past broadcastability:
+    - ANN entry points: the PQ/IVF-PQ query side is a TYPED contract at
+      MAX_QUERY_SIDE (driver-side ADC LUT), enforced, not advisory;
+    - centroid_assign: codebook trained on a ≤4096-row deterministic
+      sample — the cell count can never exceed the sample;
+    - q_decontaminate: the benchmark side is the ≤10-doc eval set, its
+      pushed filter visible in the broadcast subtree's scan;
+    - q_salted_join: the replicated side's fan-out is a LITERAL 8-salt
+      sequence over a post-aggregate relation (estimates self-correct);
+    - the ANN lanes' broadcast query sides carry their bounding filter
+      (vec_id < 5) pushed into the scan."""
+    import pytest as _pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import similarity as sim
+
+    # 1. the typed query-side contract
+    assert sim.MAX_QUERY_SIDE == 65_536
+    big = spark.range(sim.MAX_QUERY_SIDE + 1).selectExpr(
+        "id as vec_id", "array(cast(id as float)) as embedding"
+    )
+    with _pytest.raises(ValueError, match="MAX_QUERY_SIDE"):
+        sim._bounded_query_rows(big, "vec_id", "embedding")
+
+    # 2. codebook sample bound (source-level constant wired through
+    # semantic_dedup's derived-cells cap)
+    assert sim.SEM_DEDUP_MAX_CELLS == 4096
+
+    # 3. decontamination: benchmark filter pushed under the broadcast
+    plan = plan_of(spark, sf_dir, "q_decontaminate")
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan, plan[:3000]
+
+    # 4. salted join: the replicated side's fan-out source is a
+    # CONSTANT-FOLDED literal array (the 8-salt sequence) — a Generate
+    # over UnsafeArrayData, never over a data column
+    plan = plan_of(spark, sf_dir, "q_salted_join")
+    assert "Generate explode(org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" in plan, plan[:3000]
+
+    # 5. ANN broadcast query sides: bounding filter pushed to the scan
+    for key in ("q_knn_lsh", "q_knn_ivf"):
+        plan = plan_of(spark, sf_dir, key)
+        assert "LessThan(vec_id,5)" in plan, (key, plan[:3000])

@@ -152,3 +152,47 @@ def test_streaming_materialized_view_upsert(spark, sf_dir, tmp_path):
         prev_totals[0][1] + part["c"],
     )
     assert after2[0] == want0  # exactly-once despite double replay
+
+
+def test_stream_quarantine_dead_letter_parity(spark, sf_dir, tmp_path):
+    """r10 (verdict ask #7): the streaming dead-letter lane — (a)
+    dead_letter_split is idempotent under foreachBatch's
+    replay-same-batch_id contract and routes EVERY error row (and only
+    those) to the quarantine parquet; (b) the full q_stream_quarantine
+    lane reproduces the batch twin q_quarantine_stats' histogram
+    exactly (same corruption corpus, stream vs batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans.registry import QUERIES
+    from automated_property_data_ingestion_document_pipeline_spark.streaming import sinks
+
+    batch = spark.createDataFrame(
+        [
+            (1, "pdf", None, 3),
+            (2, None, "PdfUnsupported: truncated", None),
+            (3, "docx", None, 2),
+            (4, None, "DocxUnsupported: no part", None),
+        ],
+        "doc_id long, kind string, error string, n_items long",
+    )
+    qdir = str(tmp_path / "quarantine")
+    clean = sinks.dead_letter_split(batch, qdir, batch_id=7)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 3]
+    sinks.dead_letter_split(batch, qdir, batch_id=7)  # replay: overwrite, not append
+    bad = spark.read.parquet(os.path.join(qdir, "batch_id=7"))
+    assert sorted((r.doc_id, r.error.split(":")[0]) for r in bad.collect()) == [
+        (2, "PdfUnsupported"),
+        (4, "DocxUnsupported"),
+    ]
+
+    stream_hist = {
+        (r["err_kind"], r["kind"]): (r["n_docs"], r["n_items_sum"])
+        for r in QUERIES["q_stream_quarantine"](spark, sf_dir).collect()
+    }
+    batch_hist = {
+        (r["err_kind"], r["kind"]): (r["n_docs"], r["n_items_sum"])
+        for r in QUERIES["q_quarantine_stats"](spark, sf_dir).collect()
+    }
+    assert stream_hist == batch_hist and stream_hist
