@@ -793,8 +793,9 @@ def centroid_assign(
 SEM_DEDUP_MAX_MEAN_CELL = 1024
 #: Granularity the derived re-cluster targets: cells ≈ N / this, so the
 #: expected pair cost per cell stays ~TARGET^2 and total ~N * TARGET —
-#: linear in the corpus at fixed target.
-SEM_DEDUP_TARGET_CELL = 512
+#: linear in the corpus at fixed target. 200 reproduces the r09
+#: measured valve exactly (sf1.0: 100 cells → 15.4 s vs 164 s fixed).
+SEM_DEDUP_TARGET_CELL = 200
 #: Derived cell count never exceeds the k-means codebook sample bound
 #: (centroid_assign trains on ≤4096 rows — more cells than sample
 #: points is degenerate). At the cap, mean cell size grows as N/4096:

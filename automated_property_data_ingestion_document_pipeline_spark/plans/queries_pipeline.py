@@ -1193,7 +1193,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     form 12 a FOUR-generation incremental-update /Prev chain where
     every generation but the last is a distinct decoy. The oracle
     rebuilds the same strings in pure SQL — it never sees a PDF.
-    Row-local mapInPandas; 4 ints per doc leave the executor."""
+    Row-local mapInPandas; 4 ints per doc leave the executor. r10
+    (finding 101): the 128-key input is REPARTITIONED to the session's
+    parallelism before the decode map — the bounded corpus arrives as
+    ONE file split, and a single-task decode SERIALIZES the V5 forms'
+    Algorithm 2.B cost (2.B is a password KDF: expensive per auth BY
+    DESIGN). At 100 TB the scan's own file splits provide this
+    parallelism for free; a sub-split corpus must ask for it. The
+    round-robin exchange ships 128 ints — free."""
     import pandas as pd
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
@@ -1210,6 +1217,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 128)
         .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def _extract(batches):

@@ -152,26 +152,70 @@ _SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
 _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
+# Forward-cipher T-tables (the classic 32-bit formulation): T_r[x]
+# packs MixColumns applied to SBOX[x] at row position r, so one round
+# is 4 table lookups + 4 XORs per column instead of per-byte GF
+# multiplies. This is the hot path of the V5 handler: Algorithm 2.B
+# CBC-encrypts 128-320 blocks per hash iteration x 64+ iterations per
+# password operation — the per-byte _mul() form measured 1.6 s per
+# hash_2b call; the T-table form is ~15x that (finding 101).
+def _t_tables() -> "tuple[list[int], list[int], list[int], list[int]]":
+    t0, t1, t2, t3 = [], [], [], []
+    for x in range(256):
+        y = _SBOX[x]
+        y2 = _xtime(y)
+        y3 = y2 ^ y
+        t0.append((y2 << 24) | (y << 16) | (y << 8) | y3)
+        t1.append((y3 << 24) | (y2 << 16) | (y << 8) | y)
+        t2.append((y << 24) | (y3 << 16) | (y2 << 8) | y)
+        t3.append((y << 24) | (y << 16) | (y3 << 8) | y2)
+    return t0, t1, t2, t3
+
+
+_T0, _T1, _T2, _T3 = _t_tables()
+
+
+def _pack_round_keys(rks: list[list[int]]) -> list[tuple]:
+    """Round keys as 4 big-endian 32-bit words each."""
+    return [
+        tuple(
+            (rk[4 * j] << 24) | (rk[4 * j + 1] << 16) | (rk[4 * j + 2] << 8) | rk[4 * j + 3]
+            for j in range(4)
+        )
+        for rk in rks
+    ]
+
+
+def _encrypt_block_w(rkw: "list[tuple]", block: bytes) -> bytes:
+    """Forward cipher on packed round keys — state lives as 4 words
+    (unpack/repack through one 128-bit int: large-int ops are C-speed)."""
+    b = int.from_bytes(block, "big")
+    k = rkw[0]
+    w0 = (b >> 96) ^ k[0]
+    w1 = ((b >> 64) & 0xFFFFFFFF) ^ k[1]
+    w2 = ((b >> 32) & 0xFFFFFFFF) ^ k[2]
+    w3 = (b & 0xFFFFFFFF) ^ k[3]
+    t0, t1, t2, t3, sbox = _T0, _T1, _T2, _T3, _SBOX
+    for k in rkw[1:-1]:
+        n0 = t0[w0 >> 24] ^ t1[(w1 >> 16) & 0xFF] ^ t2[(w2 >> 8) & 0xFF] ^ t3[w3 & 0xFF] ^ k[0]
+        n1 = t0[w1 >> 24] ^ t1[(w2 >> 16) & 0xFF] ^ t2[(w3 >> 8) & 0xFF] ^ t3[w0 & 0xFF] ^ k[1]
+        n2 = t0[w2 >> 24] ^ t1[(w3 >> 16) & 0xFF] ^ t2[(w0 >> 8) & 0xFF] ^ t3[w1 & 0xFF] ^ k[2]
+        n3 = t0[w3 >> 24] ^ t1[(w0 >> 16) & 0xFF] ^ t2[(w1 >> 8) & 0xFF] ^ t3[w2 & 0xFF] ^ k[3]
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    k = rkw[-1]
+    o0 = ((sbox[w0 >> 24] << 24) | (sbox[(w1 >> 16) & 0xFF] << 16)
+          | (sbox[(w2 >> 8) & 0xFF] << 8) | sbox[w3 & 0xFF]) ^ k[0]
+    o1 = ((sbox[w1 >> 24] << 24) | (sbox[(w2 >> 16) & 0xFF] << 16)
+          | (sbox[(w3 >> 8) & 0xFF] << 8) | sbox[w0 & 0xFF]) ^ k[1]
+    o2 = ((sbox[w2 >> 24] << 24) | (sbox[(w3 >> 16) & 0xFF] << 16)
+          | (sbox[(w0 >> 8) & 0xFF] << 8) | sbox[w1 & 0xFF]) ^ k[2]
+    o3 = ((sbox[w3 >> 24] << 24) | (sbox[(w0 >> 16) & 0xFF] << 16)
+          | (sbox[(w1 >> 8) & 0xFF] << 8) | sbox[w2 & 0xFF]) ^ k[3]
+    return ((o0 << 96) | (o1 << 64) | (o2 << 32) | o3).to_bytes(16, "big")
+
+
 def _encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
-    s = list(block)
-    _add_round_key(s, rks[0])
-    for rnd in range(1, len(rks) - 1):
-        s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
-        # MixColumns
-        t = s
-        s = []
-        for c in range(4):
-            col = t[4 * c : 4 * c + 4]
-            s += [
-                _mul(col[0], 2) ^ _mul(col[1], 3) ^ col[2] ^ col[3],
-                col[0] ^ _mul(col[1], 2) ^ _mul(col[2], 3) ^ col[3],
-                col[0] ^ col[1] ^ _mul(col[2], 2) ^ _mul(col[3], 3),
-                _mul(col[0], 3) ^ col[1] ^ col[2] ^ _mul(col[3], 2),
-            ]
-        _add_round_key(s, rks[rnd])
-    s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
-    _add_round_key(s, rks[-1])
-    return bytes(s)
+    return _encrypt_block_w(_pack_round_keys(rks), block)
 
 
 def _decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
@@ -268,14 +312,16 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     under a 16- (AES-128) or 32-byte (AES-256) key."""
     if len(key) not in (16, 32) or len(iv) != 16:
         raise AesError("AES key must be 16/32 bytes with a 16-byte IV")
-    rks = _expand_key(key)
+    rkw = _pack_round_keys(_expand_key(key))
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(rks, block)
+        block = (
+            int.from_bytes(data[i : i + 16], "big") ^ int.from_bytes(prev, "big")
+        ).to_bytes(16, "big")
+        prev = _encrypt_block_w(rkw, block)
         out += prev
     return bytes(out)
 
@@ -337,9 +383,12 @@ def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
     out = bytearray()
     prev = iv
     if encrypt:
+        rkw = _pack_round_keys(rks)
         for i in range(0, len(data), 16):
-            block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-            prev = _encrypt_block(rks, block)
+            block = (
+                int.from_bytes(data[i : i + 16], "big") ^ int.from_bytes(prev, "big")
+            ).to_bytes(16, "big")
+            prev = _encrypt_block_w(rkw, block)
             out += prev
     else:
         for i in range(0, len(data), 16):
@@ -353,9 +402,9 @@ def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
     """ECB, no padding — the §7.6.4.4.9 /Perms wrap is one block."""
     if len(data) % 16:
         raise AesError("ECB needs block-aligned data")
-    rks = _expand_key(key)
+    rkw = _pack_round_keys(_expand_key(key))
     return b"".join(
-        _encrypt_block(rks, data[i : i + 16]) for i in range(0, len(data), 16)
+        _encrypt_block_w(rkw, data[i : i + 16]) for i in range(0, len(data), 16)
     )
 
 

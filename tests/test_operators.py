@@ -758,7 +758,7 @@ def test_semantic_dedup_auto_recluster_contract(spark, sf_dir):
     )
     auto_fat = sorted(r.vec_id for r in sim.semantic_dedup(fat, "label", 0.9).select("vec_id").collect())
     derived = sim.LAST_SEMDEDUP_CELLS
-    assert derived == -(-3000 // sim.SEM_DEDUP_TARGET_CELL) == 6
+    assert derived == -(-3000 // sim.SEM_DEDUP_TARGET_CELL) == 15
     explicit = sorted(
         r.vec_id
         for r in sim.semantic_dedup(fat, "label", 0.9, recluster_cells=derived)
