@@ -1,4 +1,9 @@
-"""Standard security handler for PDF encryption — pure stdlib.
+"""Standard security handler for PDF encryption — stdlib only.
+
+AES runs through OpenSSL's EVP when the libcrypto CPython already
+links is ctypes-loadable (finding 102; ~185x on the V5 KDF), with the
+pure-Python T-table cipher as the always-present reference
+implementation and fallback — both pinned byte-identical by KATs.
 
 Implements the PUBLIC ISO 32000-1 §7.6.2–7.6.4 algorithms the
 document-ingest surface needs to read the common "protected" scanned
@@ -155,10 +160,12 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 # Forward-cipher T-tables (the classic 32-bit formulation): T_r[x]
 # packs MixColumns applied to SBOX[x] at row position r, so one round
 # is 4 table lookups + 4 XORs per column instead of per-byte GF
-# multiplies. This is the hot path of the V5 handler: Algorithm 2.B
-# CBC-encrypts 128-320 blocks per hash iteration x 64+ iterations per
-# password operation — the per-byte _mul() form measured 1.6 s per
-# hash_2b call; the T-table form is ~15x that (finding 101).
+# multiplies. This is the hot path of the V5 handler WHEN the EVP
+# fast path below is unavailable: Algorithm 2.B CBC-encrypts 128-320
+# blocks per hash iteration x 64+ iterations per password operation —
+# the per-byte _mul() form measured 1.6 s per hash_2b call; the
+# T-table form is ~15x that (finding 101), and libcrypto EVP another
+# ~185x when the probe succeeds (finding 102).
 def _t_tables() -> "tuple[list[int], list[int], list[int], list[int]]":
     t0, t1, t2, t3 = [], [], [], []
     for x in range(256):
@@ -244,6 +251,134 @@ class AesError(ValueError):
     """Malformed AES-CBC payload (bad length, bad padding)."""
 
 
+# --- OpenSSL EVP fast path (ctypes, optional) ------------------------------
+#
+# CPython's own hashlib/ssl link libcrypto, so binding the SAME shared
+# library through the stdlib ``ctypes`` adds no dependency — it uses
+# the crypto implementation the interpreter already ships with. AES is
+# in OpenSSL 3's DEFAULT provider (unlike RC4, which moved to the
+# legacy provider and stays pure-Python above). The pure-Python
+# T-table cipher remains the REFERENCE implementation and the
+# fallback: the probe is best-effort, every EVP call falls back on any
+# error, and the FIPS-197 KATs + a forced-fallback test pin the two
+# paths byte-identical. Why it matters: Algorithm 2.B (the V5 password
+# KDF) is ~64-127 rounds x 128 sequential CBC blocks BY DESIGN, and
+# the scalar T-table form costs ~0.23 s per hash — EVP does the same
+# work in ~1 ms, taking KDF cost out of the encrypted-PDF decode lane
+# entirely (finding 102).
+
+_EVP = None  # None = unprobed, False = unavailable, else the binding
+
+
+class _EvpBinding:
+    """Minimal EVP_Encrypt/Decrypt binding over libcrypto (AES
+    ECB/CBC only, padding always off — PKCS#7 is handled by the
+    callers exactly as on the pure path)."""
+
+    def __init__(self, lib, ctypes_mod):
+        ct = ctypes_mod
+        self._ct = ct
+        self.lib = lib
+        lib.EVP_CIPHER_CTX_new.restype = ct.c_void_p
+        lib.EVP_CIPHER_CTX_new.argtypes = []
+        lib.EVP_CIPHER_CTX_free.restype = None
+        lib.EVP_CIPHER_CTX_free.argtypes = [ct.c_void_p]
+        for name in ("EVP_aes_128_ecb", "EVP_aes_256_ecb",
+                     "EVP_aes_128_cbc", "EVP_aes_256_cbc"):
+            fn = getattr(lib, name)
+            fn.restype = ct.c_void_p
+            fn.argtypes = []
+        for name in ("EVP_EncryptInit_ex", "EVP_DecryptInit_ex"):
+            fn = getattr(lib, name)
+            fn.restype = ct.c_int
+            fn.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_void_p,
+                           ct.c_char_p, ct.c_char_p]
+        for name in ("EVP_EncryptUpdate", "EVP_DecryptUpdate"):
+            fn = getattr(lib, name)
+            fn.restype = ct.c_int
+            fn.argtypes = [ct.c_void_p, ct.c_char_p,
+                           ct.POINTER(ct.c_int), ct.c_char_p, ct.c_int]
+        lib.EVP_CIPHER_CTX_set_padding.restype = ct.c_int
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [ct.c_void_p, ct.c_int]
+
+    def transform(self, key, iv, data, encrypt, mode):
+        """One-shot no-padding AES over block-aligned ``data``;
+        returns the transformed bytes or raises on any EVP failure
+        (callers catch and fall back to the pure path)."""
+        ct, lib = self._ct, self.lib
+        cipher = getattr(
+            lib, f"EVP_aes_{len(key) * 8}_{mode}"
+        )()
+        ctx = lib.EVP_CIPHER_CTX_new()
+        if not ctx or not cipher:
+            raise OSError("EVP context/cipher allocation failed")
+        try:
+            init = lib.EVP_EncryptInit_ex if encrypt else lib.EVP_DecryptInit_ex
+            upd = lib.EVP_EncryptUpdate if encrypt else lib.EVP_DecryptUpdate
+            if init(ctx, cipher, None, key, iv if mode == "cbc" else None) != 1:
+                raise OSError("EVP init failed")
+            if lib.EVP_CIPHER_CTX_set_padding(ctx, 0) != 1:
+                raise OSError("EVP set_padding failed")
+            out = ct.create_string_buffer(len(data) + 16)
+            outl = ct.c_int(0)
+            if upd(ctx, out, ct.byref(outl), data, len(data)) != 1:
+                raise OSError("EVP update failed")
+            if outl.value != len(data):
+                raise OSError("EVP produced a partial block")
+            return out.raw[: outl.value]
+        finally:
+            lib.EVP_CIPHER_CTX_free(ctx)
+
+
+def _load_evp():
+    """Probe libcrypto once; memoized tri-state in ``_EVP``."""
+    global _EVP
+    if _EVP is not None:
+        return _EVP or None
+    try:  # pragma: no cover - environment probe
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("crypto")
+        lib = None
+        for cand in ([name] if name else []) + [
+            "libcrypto.so.3", "libcrypto.so.1.1", "libcrypto.so",
+        ]:
+            try:
+                lib = ctypes.CDLL(cand)
+                break
+            except OSError:
+                continue
+        if lib is None:
+            raise OSError("no libcrypto")
+        binding = _EvpBinding(lib, ctypes)
+        # self-check before trusting it: FIPS-197 C.1 vector
+        kat = binding.transform(
+            bytes(range(16)), b"", bytes.fromhex("00112233445566778899aabbccddeeff"),
+            True, "ecb",
+        )
+        if kat != bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a"):
+            raise OSError("EVP KAT mismatch")
+        _EVP = binding
+    except Exception:
+        _EVP = False
+    return _EVP or None
+
+
+def _evp_aes(key, iv, data, encrypt, mode):
+    """EVP transform or ``None`` when unavailable/failing — callers
+    treat None as 'use the pure-Python path'."""
+    evp = _load_evp()
+    if evp is None or len(key) not in (16, 32) or len(data) % 16:
+        return None
+    try:
+        return evp.transform(key, iv, data, encrypt, mode)
+    except Exception:  # pragma: no cover - defensive downgrade
+        global _EVP
+        _EVP = False
+        return None
+
+
 # --- vectorized decrypt path (numpy, optional) ----------------------------
 #
 # CBC DECRYPTION is embarrassingly parallel (every block's ECB inverse
@@ -312,9 +447,12 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     under a 16- (AES-128) or 32-byte (AES-256) key."""
     if len(key) not in (16, 32) or len(iv) != 16:
         raise AesError("AES key must be 16/32 bytes with a 16-byte IV")
-    rkw = _pack_round_keys(_expand_key(key))
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
+    fast = _evp_aes(key, iv, data, True, "cbc")
+    if fast is not None:
+        return iv + fast
+    rkw = _pack_round_keys(_expand_key(key))
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
@@ -334,8 +472,15 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
         raise AesError("AES key must be 16 or 32 bytes")
     if len(data) < 32 or len(data) % 16:
         raise AesError(f"AES-CBC payload length {len(data)} invalid")
-    rks = _expand_key(key)
     iv, body = data[:16], data[16:]
+    fast = _evp_aes(key, iv, body, False, "cbc")
+    if fast is not None:
+        out = bytearray(fast)
+        pad = out[-1]
+        if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+            raise AesError("bad PKCS#7 padding")
+        return bytes(out[:-pad])
+    rks = _expand_key(key)
     if _np is not None and len(body) >= 256:
         ecb = _aes_ecb_decrypt_np(rks, body)
         # chain XOR: block i ^ ciphertext block i-1 (IV for block 0)
@@ -379,6 +524,9 @@ def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
         raise AesError("AES key must be 16 or 32 bytes")
     if len(data) % 16 or len(iv) != 16:
         raise AesError("raw CBC needs block-aligned data and a 16-byte IV")
+    fast = _evp_aes(key, iv, data, encrypt, "cbc")
+    if fast is not None:
+        return fast
     rks = _expand_key(key)
     out = bytearray()
     prev = iv
@@ -402,6 +550,9 @@ def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
     """ECB, no padding — the §7.6.4.4.9 /Perms wrap is one block."""
     if len(data) % 16:
         raise AesError("ECB needs block-aligned data")
+    fast = _evp_aes(key, b"", data, True, "ecb")
+    if fast is not None:
+        return fast
     rkw = _pack_round_keys(_expand_key(key))
     return b"".join(
         _encrypt_block_w(rkw, data[i : i + 16]) for i in range(0, len(data), 16)
@@ -411,6 +562,9 @@ def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
 def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise AesError("ECB needs block-aligned data")
+    fast = _evp_aes(key, b"", data, False, "ecb")
+    if fast is not None:
+        return fast
     rks = _expand_key(key)
     return b"".join(
         _decrypt_block(rks, data[i : i + 16]) for i in range(0, len(data), 16)

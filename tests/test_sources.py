@@ -1592,6 +1592,46 @@ def test_pdf_crypt_primitives_known_answers():
         )
 
 
+def test_pdf_crypt_evp_and_pure_paths_agree(monkeypatch):
+    """r10 finding 102: the optional OpenSSL-EVP fast path (ctypes over
+    the libcrypto CPython itself links) must be byte-identical to the
+    pure-Python T-table reference on every primitive it accelerates —
+    CBC encrypt/decrypt (padded and raw) for 128/256-bit keys, ECB both
+    directions, and the Algorithm 2.B KDF built on them. The pure path
+    is forced by poisoning the probe memo, exactly the downgrade the
+    runtime performs when any EVP call errors."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt as pc
+
+    cases = []
+
+    def run():
+        out = []
+        for key in (bytes(range(16)), bytes(range(32))):
+            iv = b"\x07" * 16
+            data = bytes((i * 11) & 0xFF for i in range(1000))
+            out.append(pc.aes_cbc_encrypt(key, iv, data))
+            out.append(pc.aes_cbc_decrypt(key, out[-1]))
+            out.append(pc._aes_cbc_raw(key, iv, bytes(64), True))
+            out.append(pc._aes_cbc_raw(key, iv, out[-1], False))
+            out.append(pc.aes_ecb_encrypt(key, bytes(48)))
+            out.append(pc.aes_ecb_decrypt(key, out[-1]))
+        out.append(pc.hash_2b(b"", b"saltsalt", b"", 6))
+        out.append(pc.hash_2b(b"pw", b"\x01" * 8, b"u" * 48, 6))
+        return out
+
+    evp_available = pc._load_evp() is not None
+    cases.append(run())  # whatever path the environment provides
+    monkeypatch.setattr(pc, "_EVP", False)  # the post-error downgrade state
+    assert pc._load_evp() is None
+    cases.append(run())  # forced pure-Python reference
+    assert cases[0] == cases[1]
+    # the probe itself KAT-checks before trusting libcrypto, so when it
+    # IS available the first run really exercised EVP
+    if evp_available:
+        monkeypatch.setattr(pc, "_EVP", None)
+        assert pc._load_evp() is not None
+
+
 def test_docx_table_cell_paragraphs_extract_exactly_once():
     """r08 verdict stretch #8: table cell text lives in w:p elements
     nested inside w:tbl/w:tr/w:tc — the nested-paragraph fix
