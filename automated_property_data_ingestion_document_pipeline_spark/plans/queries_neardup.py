@@ -466,3 +466,114 @@ def q_embedding_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the corpus-tracking granularity knob (finding 79) — this oracle
     key pins planes=4 to keep its SQL twin static."""
     return embedding_neardup_portable_lane(spark, sf_dir)
+
+
+# -- winnowing fingerprints (MOSS) --------------------------------------------
+
+_WINNOW_K = 4  # tokens per k-gram
+_WINNOW_W = 4  # window size: any shared run >= w+k-1 tokens is GUARANTEED caught
+
+
+@query(
+    "q_winnowing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, tk,
+             unnest(range(1, greatest(len(tk) - {_WINNOW_K - 1}, 0) + 1)) AS pos
+      FROM toks),
+    h AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(array_to_string(
+                    tk[pos:pos+{_WINNOW_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+      FROM g),
+    wm AS (
+      SELECT doc_id,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS fp
+      FROM h),
+    fps AS (SELECT DISTINCT doc_id, n_grams, fp FROM wm),
+    inc AS (
+      SELECT doc_id, n_grams, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS n_docs_with
+      FROM fps)
+    SELECT doc_id, n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS shared_frac
+    FROM inc GROUP BY doc_id, n_grams
+    """,
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm), the third
+    member of the substring-duplication family: q_dup_spans measures
+    ALL shingle-level duplication (exact but |tokens|-sized state per
+    shingle), MinHash sketches SET similarity (whole-document), while
+    winnowing SELECTS a sparse, position-robust fingerprint subset with
+    a hard GUARANTEE — any shared token run of length >= w+k-1 (here 7)
+    contributes at least one common fingerprint — at expected density
+    2/(w+1) of the gram stream. That bound is what makes it the
+    plagiarism/license-scan workhorse: sparse enough to index, never
+    misses a long match.
+
+    Per doc: k-gram (k=4) rolling hashes by position, min-hash of each
+    w=4 sliding window (partial trailing windows included — keeps every
+    >=1-gram doc represented; both engines compute the identical
+    variant), DISTINCT selected values form the fingerprint set;
+    n_shared counts fingerprints selected by >=2 docs (the same
+    unordered-COUNT-over-grouped-rows shape as q_dup_spans — no
+    join-back). Hashes are md5-hex-prefix BIGINTs, portable across
+    engines (the q_minhash_portable contract).
+
+    Scale: the explode is ~|tokens| rows (the shingling cost class);
+    the window min is one shuffle on doc_id; the DISTINCT + incidence
+    window shuffle on fp carries only ~2/(w+1) of the gram stream —
+    the winnowed sparsity is exactly what survives at 100 TB, and the
+    fp-keyed incidence is a uniform-key partial-agg shuffle (md5 keys
+    cannot skew)."""
+    from pyspark.sql import Window
+
+    K, W = _WINNOW_K, _WINNOW_W
+    d = catalog.load(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    base = d.filter(F.col("text").isNotNull()).select("doc_id", tk.alias("tk"))
+    idx = F.when(
+        F.size("tk") >= K, F.sequence(F.lit(1), F.size("tk") - K + 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    g = base.select("doc_id", "tk", F.explode(idx).alias("pos"))
+    h = g.select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("tk", F.col("pos"), K), " ")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    wm = h.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+        F.min("h")
+        .over(Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1))
+        .alias("fp"),
+    )
+    fps = wm.distinct()
+    inc = fps.withColumn("n_docs_with", F.count("*").over(Window.partitionBy("fp")))
+    shared = F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0))
+    return inc.groupBy("doc_id", "n_grams").agg(
+        F.count("*").alias("n_fp"),
+        shared.alias("n_shared"),
+        F.round(shared.cast("double") / F.count("*"), 6).alias("shared_frac"),
+    )

@@ -151,6 +151,9 @@ HEADLINE = [
     # round-10: the streaming dead-letter parity lane (foreachBatch
     # quarantine sink, same oracle as the batch twin)
     "q_stream_quarantine",
+    # round-10: winnowing fingerprints (MOSS) — the third substring-
+    # duplication family member, oracle-backed
+    "q_winnowing",
 ]
 
 

@@ -866,3 +866,44 @@ def test_cut_lineage_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
         none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
     assert not has_checkpoint_dir(spark.range(1))
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """The winnowing paper's theorem (Schleimer et al. 2003 §3): two
+    documents sharing a token run of length >= w + k - 1 MUST share at
+    least one selected fingerprint, regardless of surrounding text —
+    verified here with planted 7-token runs inside otherwise-disjoint
+    vocabularies; disjoint docs share nothing; and the selected-set
+    size stays well under the gram count (the sparsity that makes the
+    technique indexable)."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_neardup import (
+        _WINNOW_K,
+        _WINNOW_W,
+        q_winnowing,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(_WINNOW_W + _WINNOW_K - 1))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta " + run + " epsilon zeta eta theta",
+                "one two three four five " + run + " six seven eight nine ten",
+                "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    rows = {r["doc_id"]: r for r in q_winnowing(spark, sf).collect()}
+    assert rows[0]["n_shared"] >= 1 and rows[1]["n_shared"] >= 1, (
+        "a shared run of w+k-1 tokens must contribute a common fingerprint"
+    )
+    assert rows[2]["n_shared"] == 0, "disjoint text must share nothing"
+    for did in (0, 1, 2):
+        assert 1 <= rows[did]["n_fp"] <= rows[did]["n_grams"]
