@@ -111,6 +111,7 @@ def get_spark(
     app_name: str = "apdidp-spark",
     shuffle_partitions: int | None = None,
     master: str | None = None,
+    extra_conf: "dict[str, str] | None" = None,
 ) -> SparkSession:
     """Build (or reuse) a local session sized from the driver env contract.
 
@@ -151,6 +152,8 @@ def get_spark(
         .config("spark.sql.warehouse.dir", warehouse)
     )
     for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     if not caller_pinned:

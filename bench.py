@@ -229,7 +229,15 @@ def load_round_baseline() -> tuple[str, dict] | None:
 
 def main() -> None:
     sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "") or "0.1")
-    spark = get_spark(app_name="apdidp-bench")
+    # the driver records only a 2000-char stdout tail: Spark's console
+    # progress bar interleaves ~90 chars of \r-junk ahead of the spec
+    # line in that tail (see BENCH_r09.json "tail"), so it is disabled
+    # HERE, before the session exists — that junk is exactly the
+    # headroom the 78-key line needs (r10; see the size guard below)
+    spark = get_spark(
+        app_name="apdidp-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/scan path once so per-query numbers measure the plan,
@@ -365,8 +373,12 @@ def main() -> None:
         del line["regressions"]
         out = json.dumps(line, separators=(",", ":"))
     # hard guard: the driver records only a 2000-char stdout tail; the
-    # spec line must never overflow it again (r03 lesson)
-    assert len(out) < 1900, f"bench line {len(out)} chars would overflow driver tail"
+    # spec line must never overflow it again (r03 lesson). The line is
+    # the LAST thing printed, so the whole line must fit in the tail —
+    # junk BEFORE it merely fills the tail's head. With the console
+    # progress bar off (r10: no \r-junk can interleave INTO the line)
+    # the usable budget is the full 2000 minus the trailing newline.
+    assert len(out) < 1980, f"bench line {len(out)} chars would overflow driver tail"
     print(out)
     spark.stop()
 

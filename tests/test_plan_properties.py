@@ -687,3 +687,18 @@ def test_finding94_class_a_bounds_hold(spark, sf_dir):
     for key in ("q_knn_lsh", "q_knn_ivf"):
         plan = plan_of(spark, sf_dir, key)
         assert "LessThan(vec_id,5)" in plan, (key, plan[:3000])
+
+
+def test_winnowing_three_exchange_budget(spark, sf_dir):
+    """q_winnowing's executed plan (r10): exactly 3 hash exchanges —
+    the doc_id window over gram positions, the fp-keyed incidence
+    window (carrying only the winnowed ~2/(w+1) subset), and the final
+    per-doc rollup. The DISTINCT over (doc_id, n_grams, fp) must NOT
+    add a fourth: hash partitioning on doc_id already clusters every
+    distinct group, and EnsureRequirements accepts the subset — a
+    regression here means the aggregate stopped riding the window's
+    partitioning and the whole gram stream shuffles twice."""
+    plan = plan_of(spark, sf_dir, "q_winnowing")
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
+    assert plan.count("Generate explode") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
