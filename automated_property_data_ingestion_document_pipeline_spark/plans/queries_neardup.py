@@ -577,3 +577,188 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.alias("n_shared"),
         F.round(shared.cast("double") / F.count("*"), 6).alias("shared_frac"),
     )
+
+
+# -- incremental (delta-vs-base) near-dup probe -------------------------------
+
+
+@query(
+    "q_neardup_incremental",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS arr
+        FROM documents WHERE text IS NOT NULL
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, u.x[1] || ' ' || u.x[2] || ' ' || u.x[3] AS sh
+        FROM toks,
+        LATERAL (
+            SELECT unnest(list_zip(arr[1:len(arr)-2], arr[2:len(arr)-1],
+                                   arr[3:len(arr)])) AS x
+        ) u
+        WHERE len(arr) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_sig_cols_sql()}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(_band_sql(b) for b in range(_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+        FROM bands d JOIN bands b
+          ON d.band = b.band AND d.bh = b.bh
+        WHERE d.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.delta_id, c.base_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.delta_id
+        JOIN shingles sb ON sb.doc_id = c.base_id AND sb.sh = sa.sh
+        GROUP BY c.delta_id, c.base_id
+    ),
+    verified AS (
+        SELECT i.delta_id,
+               CAST(i.n_common AS DOUBLE)
+                 / CAST(za.n_sh + zb.n_sh - i.n_common AS DOUBLE) AS jacc
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.delta_id
+        JOIN sizes zb ON zb.doc_id = i.base_id
+    ),
+    per_delta AS (
+        SELECT delta_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN jacc >= {_JACC_MIN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               ROUND(MAX(jacc), 6) AS max_jaccard
+        FROM verified GROUP BY delta_id
+    )
+    SELECT t.doc_id,
+           COALESCE(p.n_cand, 0) AS n_cand,
+           COALESCE(p.n_dup, 0) AS n_dup,
+           p.max_jaccard
+    FROM (SELECT doc_id FROM documents
+          WHERE text IS NOT NULL AND doc_id % 10 = 7) t
+    LEFT JOIN per_delta p ON p.delta_id = t.doc_id
+    """,
+)
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: probe a small arriving DELTA (the daily
+    ingest batch, modeled as doc_id % 10 == 7) against the accumulated
+    BASE corpus without ever forming a base x base pair — the
+    production shape of dedup-at-ingest, where yesterday's corpus is
+    already banded and only delta x base candidates are generated and
+    verified. Same portable md5 machinery as q_minhash_portable
+    (3-gram shingles, 16-way signature, 4x4 banding, exact-Jaccard
+    verify at {_JACC_MIN}), but the bucket join keys delta bands
+    against base bands only, so candidate count — and therefore
+    verify cost — scales with |delta| x bucket density, not
+    |corpus|^2. Every delta doc reports (n_cand, n_dup, max_jaccard),
+    zero-candidate docs included (the 'publish it, nothing matches'
+    fast path).
+
+    Scale contract (finding 94 discipline): the delta side is
+    INGEST-RATE-scale, not bounded-constant-scale, so it must NOT
+    broadcast — the bucket join pins shuffle_hash with the delta side
+    as the partition-local build, and the shingle verify joins pin
+    merge exactly like the full-corpus lane (post-aggregate and
+    post-explode size estimates cannot be trusted to pick the build
+    side). At 100 TB the banded base lives as a bucketed table keyed
+    on (band, bh) and each day's delta probes it shuffle-free; here
+    both sides derive from one corpus scan."""
+    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("arr"),
+    ).filter(F.size("arr") >= 3)
+    n1 = F.size("arr") - 2
+    grams = F.zip_with(
+        F.slice("arr", 1, n1),
+        F.zip_with(
+            F.slice("arr", 2, n1), F.slice("arr", 3, n1), lambda b, c: F.concat_ws(" ", b, c)
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    shingles = toks.select("doc_id", F.explode(grams).alias("sh")).distinct()
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
+            for s in range(_K)
+        ]
+    )
+    bands = None
+    for b in range(_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"s{b * 4 + i}") for i in range(4)])).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    is_delta = F.col("doc_id") % 10 == 7
+    delta_bands = bands.filter(is_delta).select(
+        F.col("doc_id").alias("delta_id"),
+        F.col("band").alias("band_d"),
+        F.col("bh").alias("bh_d"),
+    )
+    base_bands = bands.filter(~is_delta).select(
+        F.col("doc_id").alias("base_id"),
+        F.col("band").alias("band_b"),
+        F.col("bh").alias("bh_b"),
+    )
+    cand = (
+        base_bands.join(
+            delta_bands.hint("shuffle_hash"),
+            (F.col("band_d") == F.col("band_b")) & (F.col("bh_d") == F.col("bh_b")),
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("_db"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.hint("merge")
+        .join(sa, "delta_id")
+        .join(
+            sb.hint("merge"),
+            (F.col("base_id") == F.col("_db")) & (F.col("sh_b") == F.col("sh_a")),
+        )
+        .groupBy("delta_id", "base_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    verified = (
+        inter.join(za.hint("shuffle_hash"), "delta_id")
+        .join(zb.hint("shuffle_hash"), "base_id")
+        .select("delta_id", jacc.alias("jacc"))
+    )
+    per_delta = verified.groupBy("delta_id").agg(
+        F.count("*").alias("n_cand"),
+        F.sum(F.when(F.col("jacc") >= _JACC_MIN, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.round(F.max("jacc"), 6).alias("max_jaccard"),
+    )
+    delta_docs = docs.filter(is_delta).select("doc_id")
+    return (
+        delta_docs.join(
+            per_delta.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_cand", F.lit(0).cast("bigint")).alias("n_cand"),
+            F.coalesce("n_dup", F.lit(0).cast("bigint")).alias("n_dup"),
+            "max_jaccard",
+        )
+    )

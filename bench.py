@@ -154,6 +154,9 @@ HEADLINE = [
     # round-10: winnowing fingerprints (MOSS) — the third substring-
     # duplication family member, oracle-backed
     "q_winnowing",
+    # round-10: the incremental delta-vs-base near-dup probe (the
+    # dedup-at-ingest production shape)
+    "q_neardup_incremental",
 ]
 
 

@@ -907,3 +907,39 @@ def test_winnowing_guarantee_and_density(spark, tmp_path):
     assert rows[2]["n_shared"] == 0, "disjoint text must share nothing"
     for did in (0, 1, 2):
         assert 1 <= rows[did]["n_fp"] <= rows[did]["n_grams"]
+
+
+def test_neardup_incremental_probes_delta_only(spark, tmp_path):
+    """The incremental lane's contract: a delta doc (doc_id % 10 == 7)
+    near-duplicating a base doc is found; duplication BETWEEN base docs
+    is never reported (that pair was yesterday's problem); a delta doc
+    matching nothing still appears with n_cand = 0."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_neardup import (
+        q_neardup_incremental,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(30))
+    docs = pd.DataFrame(
+        {
+            # 7 and 17 are delta; 3, 4 are base near-dups of each other
+            # AND of doc 7; doc 17 is unrelated
+            "doc_id": [3, 4, 7, 17],
+            "text": [
+                shared + " basetail one",
+                shared + " basetail two",
+                shared + " deltatail xyz",
+                "completely different words nothing shared here at all ok",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    rows = {r["doc_id"]: r for r in q_neardup_incremental(spark, sf).collect()}
+    assert set(rows) == {7, 17}, "only delta docs appear in the report"
+    assert rows[7]["n_dup"] >= 1 and rows[7]["max_jaccard"] > 0.3
+    assert rows[17]["n_cand"] == 0 and rows[17]["max_jaccard"] is None

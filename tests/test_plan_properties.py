@@ -702,3 +702,16 @@ def test_winnowing_three_exchange_budget(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
     assert plan.count("Generate explode") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_neardup_incremental_never_broadcasts(spark, sf_dir):
+    """q_neardup_incremental (r10): every relation in the lane is
+    either corpus-scale (base bands, shingle sets) or INGEST-RATE-scale
+    (the delta), so nothing may broadcast — the bucket join pins
+    shuffle_hash with the delta build side and the verify joins pin
+    merge, the finding-93/94 contract applied at authoring time instead
+    of after an sf10 OOM."""
+    plan = plan_of(spark, sf_dir, "q_neardup_incremental")
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ShuffledHashJoin") >= 1  # the delta-probe bucket join
+    assert plan.count("SortMergeJoin") >= 2  # the shingle verify joins
