@@ -45,10 +45,14 @@ def _band_sql(b: int) -> str:
     return f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig"
 
 
-@query(
-    "q_minhash_portable",
-    oracle=f"""
-    WITH toks AS (
+def _portable_ctes_sql() -> str:
+    """The shared toks → shingles → sig → bands CTE prefix. The md5
+    portable contract (tokenization, 3-gram shingling, 16-way seeded
+    min signature, 4×4 banding) is used by BOTH the full-corpus lane
+    and the incremental delta probe — it lives HERE exactly once, in
+    lockstep with the Spark-side helpers below (r10 review: the two
+    lanes initially duplicated all four stages in both languages)."""
+    return f"""toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                            x -> x <> '') AS arr
@@ -70,7 +74,53 @@ def _band_sql(b: int) -> str:
     ),
     bands AS (
         {" UNION ALL ".join(_band_sql(b) for b in range(_BANDS))}
-    ),
+    )"""
+
+
+def _portable_shingles(docs: DataFrame) -> DataFrame:
+    """Spark half of the portable contract: per-doc DISTINCT word
+    3-gram shingles over lowercase [^a-z0-9]+ tokenization."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("arr"),
+    ).filter(F.size("arr") >= 3)
+    n1 = F.size("arr") - 2
+    grams = F.zip_with(
+        F.slice("arr", 1, n1),
+        F.zip_with(
+            F.slice("arr", 2, n1), F.slice("arr", 3, n1), lambda b, c: F.concat_ws(" ", b, c)
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    return toks.select("doc_id", F.explode(grams).alias("sh")).distinct()
+
+
+def _portable_bands(shingles: DataFrame) -> DataFrame:
+    """16-way seeded-min md5 signature in one grouped aggregate, then
+    the 4 row-local band hashes, unioned to (doc_id, band, bh)."""
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
+            for s in range(_K)
+        ]
+    )
+    bands = None
+    for b in range(_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"s{b * 4 + i}") for i in range(4)])).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+@query(
+    "q_minhash_portable",
+    oracle=f"""
+    WITH {_portable_ctes_sql()},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -103,37 +153,8 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggregate → 4 row-local band hashes → bucket equi-join for
     candidates → exact Jaccard on candidate shingle sets only."""
     docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
-        ).alias("arr"),
-    ).filter(F.size("arr") >= 3)
-    n1 = F.size("arr") - 2
-    grams = F.zip_with(
-        F.slice("arr", 1, n1),
-        F.zip_with(
-            F.slice("arr", 2, n1), F.slice("arr", 3, n1), lambda b, c: F.concat_ws(" ", b, c)
-        ),
-        lambda a, bc: F.concat_ws(" ", a, bc),
-    )
-    shingles = (
-        toks.select("doc_id", F.explode(grams).alias("sh")).distinct()
-    )
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
-            for s in range(_K)
-        ]
-    )
-    bands = None
-    for b in range(_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"s{b * 4 + i}") for i in range(4)])).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    shingles = _portable_shingles(docs)
+    bands = _portable_bands(shingles)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("bh").alias("bh_a")
     )
@@ -479,7 +500,8 @@ _WINNOW_W = 4  # window size: any shared run >= w+k-1 tokens is GUARANTEED caugh
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> '') AS tk
       FROM documents WHERE text IS NOT NULL),
     g AS (
       SELECT doc_id, tk,
@@ -543,7 +565,11 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K, W = _WINNOW_K, _WINNOW_W
     d = catalog.load(spark, sf_dir, "documents")
-    tk = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    # explicit whitespace class, NOT \s: Java regex \s includes \x0B
+    # but DuckDB's RE2 \s does not, so the two engines would tokenize a
+    # vertical-tab document differently (r10 review finding, verified
+    # empirically); the same escape text means the same class to both
+    tk = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
     base = d.filter(F.col("text").isNotNull()).select("doc_id", tk.alias("tk"))
     idx = F.when(
         F.size("tk") >= K, F.sequence(F.lit(1), F.size("tk") - K + 1)
@@ -585,29 +611,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_neardup_incremental",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS arr
-        FROM documents WHERE text IS NOT NULL
-    ),
-    shingles AS (
-        SELECT DISTINCT doc_id, u.x[1] || ' ' || u.x[2] || ' ' || u.x[3] AS sh
-        FROM toks,
-        LATERAL (
-            SELECT unnest(list_zip(arr[1:len(arr)-2], arr[2:len(arr)-1],
-                                   arr[3:len(arr)])) AS x
-        ) u
-        WHERE len(arr) >= 3
-    ),
-    sig AS (
-        SELECT doc_id,
-               {_sig_cols_sql()}
-        FROM shingles GROUP BY doc_id
-    ),
-    bands AS (
-        {" UNION ALL ".join(_band_sql(b) for b in range(_BANDS))}
-    ),
+    WITH {_portable_ctes_sql()},
     cand AS (
         SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
         FROM bands d JOIN bands b
@@ -672,35 +676,8 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band, bh) and each day's delta probes it shuffle-free; here
     both sides derive from one corpus scan."""
     docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
-        ).alias("arr"),
-    ).filter(F.size("arr") >= 3)
-    n1 = F.size("arr") - 2
-    grams = F.zip_with(
-        F.slice("arr", 1, n1),
-        F.zip_with(
-            F.slice("arr", 2, n1), F.slice("arr", 3, n1), lambda b, c: F.concat_ws(" ", b, c)
-        ),
-        lambda a, bc: F.concat_ws(" ", a, bc),
-    )
-    shingles = toks.select("doc_id", F.explode(grams).alias("sh")).distinct()
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
-            for s in range(_K)
-        ]
-    )
-    bands = None
-    for b in range(_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"s{b * 4 + i}") for i in range(4)])).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    shingles = _portable_shingles(docs)
+    bands = _portable_bands(shingles)
     is_delta = F.col("doc_id") % 10 == 7
     delta_bands = bands.filter(is_delta).select(
         F.col("doc_id").alias("delta_id"),

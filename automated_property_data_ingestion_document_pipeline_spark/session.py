@@ -156,6 +156,18 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate() silently drops builder confs when it REUSES a live
+    # session — re-apply extra_conf through the runtime conf so dynamic
+    # settings still land; static ones (e.g. showConsoleProgress, read
+    # once at SparkContext start) raise and are skipped, which callers
+    # that truly require them must treat as "only effective on the
+    # session this call creates" (bench.py creates its own process, so
+    # its tail-budget flag always lands at build time).
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     if not caller_pinned:
         spark.conf.set(_SHUFFLE_MARKER, str(shuffle_partitions))
     return tune(spark, shuffle_partitions)

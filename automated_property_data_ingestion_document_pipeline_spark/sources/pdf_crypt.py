@@ -306,12 +306,17 @@ class _EvpBinding:
         returns the transformed bytes or raises on any EVP failure
         (callers catch and fall back to the pure path)."""
         ct, lib = self._ct, self.lib
+        # fetch the cipher BEFORE allocating the context: raising
+        # between the two would leak the ctx (its free lives in the
+        # finally below)
         cipher = getattr(
             lib, f"EVP_aes_{len(key) * 8}_{mode}"
         )()
+        if not cipher:
+            raise OSError("EVP cipher fetch failed")
         ctx = lib.EVP_CIPHER_CTX_new()
-        if not ctx or not cipher:
-            raise OSError("EVP context/cipher allocation failed")
+        if not ctx:
+            raise OSError("EVP context allocation failed")
         try:
             init = lib.EVP_EncryptInit_ex if encrypt else lib.EVP_DecryptInit_ex
             upd = lib.EVP_EncryptUpdate if encrypt else lib.EVP_DecryptUpdate

@@ -375,15 +375,18 @@ def main() -> None:
         # BENCH_DETAIL's delta_x either way
         del line["regressions"]
         out = json.dumps(line, separators=(",", ":"))
-    # hard guard: the driver records only a 2000-char stdout tail; the
-    # spec line must never overflow it again (r03 lesson). The line is
-    # the LAST thing printed, so the whole line must fit in the tail —
-    # junk BEFORE it merely fills the tail's head. With the console
-    # progress bar off (r10: no \r-junk can interleave INTO the line)
-    # the usable budget is the full 2000 minus the trailing newline.
-    assert len(out) < 1980, f"bench line {len(out)} chars would overflow driver tail"
-    print(out)
+    # hard guard: the driver records only a 2000-char tail of the
+    # MERGED output stream; the spec line must never overflow it again
+    # (r03 lesson). The line must be the LAST bytes of that stream —
+    # junk BEFORE it merely fills the tail's head, junk AFTER it
+    # evicts the line's head. Two defenses (r10): the console progress
+    # bar is off (no \r-junk can interleave INTO the line), and
+    # spark.stop() runs BEFORE the print so JVM shutdown logging —
+    # the only post-line writer this process has — precedes the line.
+    # The 1950 bound leaves ~50 chars for interpreter-exit stragglers.
     spark.stop()
+    assert len(out) < 1950, f"bench line {len(out)} chars would overflow driver tail"
+    print(out, flush=True)
 
 
 if __name__ == "__main__":
