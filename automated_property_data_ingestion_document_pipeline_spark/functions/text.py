@@ -20,9 +20,18 @@ STOPWORDS = {
 }
 
 
+# The canonical whitespace tokenizer class, spelled out instead of \s:
+# Java regex \s is exactly [ \t\n\x0B\f\r] but DuckDB's RE2 \s omits
+# \x0B, so oracles written with \s would diverge from the engine on a
+# vertical-tab document (r10 review finding, verified empirically).
+# The same escape text means the same class to BOTH regex dialects;
+# every Spark tokenizer site and both SQL oracle templates use it.
+WS_SPLIT = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization; multi-space safe (filters empties)."""
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(col, WS_SPLIT), lambda t: t != "")
 
 
 def token_count_ws(col: Column) -> Column:

@@ -18,7 +18,10 @@ from automated_property_data_ingestion_document_pipeline_spark.functions import 
 from automated_property_data_ingestion_document_pipeline_spark.operators import dedup
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 
-_TOKS_SQL = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+# explicit class, not \s — RE2's \s omits \x0B (see functions/text.WS_SPLIT)
+_TOKS_SQL = (
+    "list_filter(string_split_regex({col}, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+)
 
 
 # -- X1: wordcount -------------------------------------------------------------
@@ -541,7 +544,7 @@ def q_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
     t = d.select("doc_id", F.explode(toks).alias("tok"))
     # vocab count as an unordered window over tok, NOT groupBy+join-back:
     # the join form scans and explodes the corpus twice (Spark doesn't
@@ -601,7 +604,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
     t = d.select("doc_id", F.explode(toks).alias("tok"))
     tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_w = F.count("*").over(Window.partitionBy("tok"))
@@ -814,7 +817,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter(split(text)) expression re-evaluates it per element
     # (O(len²) per doc; same fix as q_skipgram_pmi).
     toks_df = d.select(
-        "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("tk")
+        "doc_id", F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "").alias("tk")
     )
     tk = F.col("tk")
     shingles = F.transform(
@@ -952,7 +955,7 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(len²) per doc (the classic expression-blowup; 19.5 s → ~3 s at
     # sf0.1 from this select alone).
     toks_df = d.select(
-        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("tk")
+        F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "").alias("tk")
     )
     tk = F.col("tk")
 
@@ -1034,7 +1037,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = catalog.load(spark, sf_dir, "documents")
     toked = d.select(
         "doc_id",
-        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        F.size(F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != ""))
         .cast("bigint")
         .alias("words"),
         F.greatest(

@@ -3,9 +3,11 @@ int8 embedding quantization, sequence packing, PII scrubbing, benchmark
 decontamination, stratified sampling — each with a DuckDB oracle so the
 driver checks values, not shapes.
 
-Tokenization parity: both engines tokenize as
-``filter(split(text, '\\s+'), t -> t <> '')``; shingles are the same
-windows ``shingles_of`` builds (full-text single shingle when n < k).
+Tokenization parity: both engines split on the EXPLICIT whitespace
+class ``[ \\t\\n\\x0B\\f\\r]+`` (not ``\\s`` — Java's includes \\x0B, RE2's
+does not; see functions/text.WS_SPLIT) and filter empties; shingles are
+the same windows ``shingles_of`` builds (full-text single shingle when
+n < k).
 """
 
 from __future__ import annotations
@@ -18,7 +20,8 @@ from automated_property_data_ingestion_document_pipeline_spark.functions import 
 from automated_property_data_ingestion_document_pipeline_spark.operators import training
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 
-_TOKS = r"list_filter(regexp_split_to_array({col}, '\s+'), t -> t <> '')"
+# explicit class, not \s — RE2's \s omits \x0B (see functions/text.WS_SPLIT)
+_TOKS = r"list_filter(regexp_split_to_array({col}, '[ \t\n\x0B\f\r]+'), t -> t <> '')"
 
 
 # -- int8 embedding quantization ----------------------------------------------
@@ -342,7 +345,7 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop); the fan-out is ~n/24 rows per doc. Trailing chunks
     shorter than the window are kept (slice clamps on both engines)."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
     base = d.select("doc_id", toks.alias("_toks")).withColumn(
         "_k",
         F.greatest(
@@ -419,7 +422,7 @@ def q_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
     mix = d.filter(F.substring(key, 1, 8) < threshold).select("doc_id", "source", "text")
 
-    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
     t = mix.select("doc_id", F.explode(toks).alias("tok"))
     # one-scan vocab count (window over tok), as in q_unigram_logfreq
     bucket = F.length(F.bin(F.count("*").over(Window.partitionBy("tok")))) - F.lit(1)
@@ -583,7 +586,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; exact BIGINT running sums so the cut-off document is
     identical on both engines."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
     t = d.select("doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
     w = (
         Window.partitionBy("source")
@@ -628,7 +631,7 @@ def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     this form as its oracle-checkable twin (q_quantile_error's pattern
     measures that substitution's error)."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
     t = d.select("doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
     w = Window.partitionBy("source").orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
     return (

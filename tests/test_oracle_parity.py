@@ -103,3 +103,38 @@ def test_embedding_neardup_granularity_knob_parity(spark, duck):
     odf = duck.execute(_ndp_oracle(planes=5)).fetchdf()
     assert len(sdf) == len(odf) == 32  # 2^5 buckets, all occupied at sf0.001
     assert normalize(sdf).equals(normalize(odf))
+
+
+def test_vertical_tab_document_tokenizes_identically(spark, tmp_path):
+    """r10 review finding: Java regex \\s includes \\x0B, DuckDB's RE2
+    \\s does not — every tokenizer site now spells the explicit class
+    [ \\t\\n\\x0B\\f\\r]+ so both engines read the same token stream. This
+    pins it with the one corpus the sf corpora never contain: a
+    vertical-tab document, run through a _TOKS_SQL-based lane
+    (q_wordcount) end to end on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans import ORACLES, QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha\x0bbeta  gamma", "alpha beta\tgamma\x0b\x0bdelta"],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [0, 0],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    sdf = QUERIES["q_wordcount"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(ORACLES["q_wordcount"]).fetchdf()
+    con.close()
+    ns, no = normalize(sdf), normalize(odf)
+    assert ns.equals(no), f"spark:\n{ns}\noracle:\n{no}"
