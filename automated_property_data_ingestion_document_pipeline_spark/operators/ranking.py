@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
+
 
 def global_rank(
     df: DataFrame,
@@ -48,7 +50,7 @@ def global_rank(
     # silently corrupt (duplicates + gaps; caught by the equi-depth
     # histogram at sf0.01). A lazy localCheckpoint materializes the
     # partitioning once and shares it.
-    local = local.localCheckpoint(eager=False)
+    local = cut_lineage(local, eager=False)
     offsets = (
         local.groupBy("_pid")
         .agg(F.count("*").alias("_cnt"))
@@ -122,7 +124,7 @@ def global_prefix_sum(
     )
     # Same double-evaluation hazard as global_rank: pin ONE sampled
     # partitioning for both the offsets aggregate and the final join.
-    local = local.localCheckpoint(eager=False)
+    local = cut_lineage(local, eager=False)
     offsets = (
         local.groupBy("_pid")
         .agg(F.sum(sum_col).alias("_tot"))

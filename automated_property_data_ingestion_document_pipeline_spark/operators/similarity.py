@@ -857,6 +857,14 @@ def semantic_dedup(
                 SEM_DEDUP_MAX_CELLS,
                 max(-(-n // SEM_DEDUP_TARGET_CELL), n_clusters + 1, 2),
             )
+            if recluster_cells <= n_clusters:
+                # the codebook cap binds BELOW the caller's own
+                # granularity: re-clustering would be COARSER than what
+                # we already have and raise sum(|cell|^2), not lower it
+                # (r10 review finding — n=20M in 10k clusters derived
+                # 4096 capped cells, ~2.4x the pair cost of
+                # pass-through). Keep the finer caller clustering.
+                recluster_cells = None
     LAST_SEMDEDUP_CELLS = recluster_cells if isinstance(recluster_cells, int) else None
     if recluster_cells is not None:
         df = centroid_assign(

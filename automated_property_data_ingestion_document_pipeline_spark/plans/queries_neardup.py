@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from automated_property_data_ingestion_document_pipeline_spark import catalog
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+from automated_property_data_ingestion_document_pipeline_spark.functions.text import WS_SPLIT
 
 _K = 16          # signature length
 _BANDS = 4       # 4 bands x 4 rows
@@ -569,7 +570,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but DuckDB's RE2 \s does not, so the two engines would tokenize a
     # vertical-tab document differently (r10 review finding, verified
     # empirically); the same escape text means the same class to both
-    tk = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    tk = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     base = d.filter(F.col("text").isNotNull()).select("doc_id", tk.alias("tk"))
     idx = F.when(
         F.size("tk") >= K, F.sequence(F.lit(1), F.size("tk") - K + 1)

@@ -2448,38 +2448,54 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials: list = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        clean = dead_letter_split(batch_df, qdir, batch_id)
-        # the clean branch must stay consumable downstream — prove it
-        # with a row count (one job; at scale this is the main sink)
-        clean.count()
-        partials.extend(
-            batch_df.groupBy(
-                F.coalesce(
-                    F.element_at(F.split("error", ": "), 1), F.lit("ok")
-                ).alias("err_kind"),
-                "kind",
+        # three actions consume this batch (quarantine write, clean
+        # count, histogram collect) — persist so the expensive
+        # mapInPandas payload build + extract runs ONCE per row, not
+        # three times (r10 review finding; this lane is bench HEADLINE)
+        batch_df.persist()
+        try:
+            clean = dead_letter_split(batch_df, qdir, batch_id)
+            # the clean branch must stay consumable downstream — prove
+            # it with a row count (one job; at scale the main sink)
+            clean.count()
+            partials.extend(
+                batch_df.groupBy(
+                    F.coalesce(
+                        F.element_at(F.split("error", ": "), 1), F.lit("ok")
+                    ).alias("err_kind"),
+                    "kind",
+                )
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_items").alias("n_items_sum"),
+                )
+                .collect()
             )
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_items").alias("n_items_sum"),
-            )
-            .collect()
-        )
+        finally:
+            batch_df.unpersist()
 
     # FRESH checkpoint per invocation: a reused one would mark the
     # source files already-processed and this run would see ZERO
     # batches (real deployments keep it stable — that is the point of
     # exactly-once recovery; a verification lane must reprocess)
+    import shutil
     import tempfile
 
+    # clear last run's quarantine table too: a run that processes fewer
+    # batches must not inherit stale batch_id=N dirs from a prior run
+    # (r10 review finding — both trees are per-invocation scratch)
+    shutil.rmtree(qdir, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="stream_quarantine_ckpt_")
-    q = (
-        extracted.writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            extracted.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     # exact associative merge of the per-batch partials (None-preserving
     # sum: SUM over all-NULL stays NULL, matching the SQL oracle)
     merged: dict = {}

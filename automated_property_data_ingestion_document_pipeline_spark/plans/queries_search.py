@@ -33,6 +33,7 @@ from automated_property_data_ingestion_document_pipeline_spark.plans.queries_tex
     _TOKS_SQL,
 )
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+from automated_property_data_ingestion_document_pipeline_spark.functions.text import WS_SPLIT
 
 _POSTINGS_CAP = 8  # sorted-prefix length emitted per term
 
@@ -63,7 +64,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the term aggregate; df >= 3 bounds the long tail of hapax
     terms out of the output."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     t = d.select("doc_id", F.explode(toks).alias("tok")).distinct()
     return (
         t.groupBy("tok")
@@ -122,7 +123,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     §41 carve-out case that genuinely KEEPS the defensive ROUND: the
     operands are identical, the evaluation isn't."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     docs = d.select("doc_id", toks.alias("tk")).withColumn(
         "doc_len", F.size("tk").cast("bigint")
     ).filter(F.col("doc_len") > 0)
@@ -253,7 +254,7 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the join back to documents fetches display fields for the page
     of results only."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     t = d.select("doc_id", F.explode(toks).alias("tok")).filter(
         F.col("tok").isin(*_QUERY_TERMS)
     )
@@ -304,7 +305,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacently (q_boolean_search hits) drop out here."""
     d = catalog.load(spark, sf_dir, "documents")
     toked = d.select(
-        "doc_id", F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "").alias("tk")
+        "doc_id", F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
     )
     t = (
         toked.select("doc_id", F.posexplode("tk").alias("pos0", "tok"))

@@ -17,6 +17,7 @@ from automated_property_data_ingestion_document_pipeline_spark import catalog
 from automated_property_data_ingestion_document_pipeline_spark.functions import text as T
 from automated_property_data_ingestion_document_pipeline_spark.operators import dedup
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+from automated_property_data_ingestion_document_pipeline_spark.functions.text import WS_SPLIT
 
 # explicit class, not \s — RE2's \s omits \x0B (see functions/text.WS_SPLIT)
 _TOKS_SQL = (
@@ -544,7 +545,7 @@ def q_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     t = d.select("doc_id", F.explode(toks).alias("tok"))
     # vocab count as an unordered window over tok, NOT groupBy+join-back:
     # the join form scans and explodes the corpus twice (Spark doesn't
@@ -604,7 +605,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     t = d.select("doc_id", F.explode(toks).alias("tok"))
     tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_w = F.count("*").over(Window.partitionBy("tok"))
@@ -817,7 +818,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter(split(text)) expression re-evaluates it per element
     # (O(len²) per doc; same fix as q_skipgram_pmi).
     toks_df = d.select(
-        "doc_id", F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "").alias("tk")
+        "doc_id", F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
     )
     tk = F.col("tk")
     shingles = F.transform(
@@ -955,7 +956,7 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(len²) per doc (the classic expression-blowup; 19.5 s → ~3 s at
     # sf0.1 from this select alone).
     toks_df = d.select(
-        F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "").alias("tk")
+        F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
     )
     tk = F.col("tk")
 
@@ -1037,7 +1038,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = catalog.load(spark, sf_dir, "documents")
     toked = d.select(
         "doc_id",
-        F.size(F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != ""))
+        F.size(F.filter(F.split("text", WS_SPLIT), lambda t: t != ""))
         .cast("bigint")
         .alias("words"),
         F.greatest(

@@ -19,6 +19,7 @@ from automated_property_data_ingestion_document_pipeline_spark import catalog
 from automated_property_data_ingestion_document_pipeline_spark.functions import text as T
 from automated_property_data_ingestion_document_pipeline_spark.operators import training
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+from automated_property_data_ingestion_document_pipeline_spark.functions.text import WS_SPLIT
 
 # explicit class, not \s — RE2's \s omits \x0B (see functions/text.WS_SPLIT)
 _TOKS = r"list_filter(regexp_split_to_array({col}, '[ \t\n\x0B\f\r]+'), t -> t <> '')"
@@ -345,7 +346,7 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop); the fan-out is ~n/24 rows per doc. Trailing chunks
     shorter than the window are kept (slice clamps on both engines)."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     base = d.select("doc_id", toks.alias("_toks")).withColumn(
         "_k",
         F.greatest(
@@ -422,7 +423,7 @@ def q_curation_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
     mix = d.filter(F.substring(key, 1, 8) < threshold).select("doc_id", "source", "text")
 
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     t = mix.select("doc_id", F.explode(toks).alias("tok"))
     # one-scan vocab count (window over tok), as in q_unigram_logfreq
     bucket = F.length(F.bin(F.count("*").over(Window.partitionBy("tok")))) - F.lit(1)
@@ -586,7 +587,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; exact BIGINT running sums so the cut-off document is
     identical on both engines."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     t = d.select("doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
     w = (
         Window.partitionBy("source")
@@ -631,7 +632,7 @@ def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     this form as its oracle-checkable twin (q_quantile_error's pattern
     measures that substitution's error)."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
     t = d.select("doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
     w = Window.partitionBy("source").orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
     return (

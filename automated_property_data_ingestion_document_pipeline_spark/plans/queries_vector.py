@@ -16,6 +16,7 @@ from automated_property_data_ingestion_document_pipeline_spark import catalog
 from automated_property_data_ingestion_document_pipeline_spark.functions.vectors import dot, norm
 from automated_property_data_ingestion_document_pipeline_spark.operators import similarity
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
+from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
 
 _COS_SQL = (
     "round(list_dot_product({a}, {b}) / "
@@ -388,7 +389,8 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>"),
             lambda x: F.round(x * 1_000_000).cast("bigint"),
         ).alias("qv"),
-    ).localCheckpoint(eager=False)
+    )
+    qe = cut_lineage(qe, eager=False)
 
     assign = qe.select("vec_id", (F.col("vec_id") % 8).alias("cluster_id"))
     iters = 0
@@ -429,8 +431,8 @@ def q_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("rk") == 1)
             .select("vec_id", "new_cluster", "d2")
-            .localCheckpoint(eager=False)
         )
+        scored = cut_lineage(scored, eager=False)
         moved = (
             scored.join(assign, "vec_id")
             .filter(F.col("new_cluster") != F.col("cluster_id"))

@@ -2133,10 +2133,18 @@ def extract_pdf_text(payload: bytes) -> list[str]:
         # key needs num/gen; None stays a typed refusal inside
         # _stream_body — never a gen=0 guess)
         objref = None
+        win_start = max(0, m.start() - 256)
         hm = re.search(
-            rb"(\d+)\s+(\d+)\s+obj\s*$", payload[max(0, m.start() - 64) : m.start()]
+            rb"(\d+)\s+(\d+)\s+obj\s*$", payload[win_start : m.start()]
         )
-        if hm is not None:
+        # a match whose object number touches the window's left edge may
+        # be CLIPPED ('123 0 obj' read as '23 0 obj') — and RC4 has no
+        # integrity check, so a wrong per-object key would emit garbage
+        # rows instead of a typed refusal (r10 review finding). Only
+        # trust the id when the digit run provably starts inside the
+        # window (a non-digit precedes it, or the window is the file
+        # start).
+        if hm is not None and (win_start == 0 or hm.start(1) > 0):
             objref = (int(hm.group(1)), int(hm.group(2)))
         stream, consumed_to = _stream_body(idx, m.group(1), m.end(), objref)
         lines.extend(_text_ops(stream))

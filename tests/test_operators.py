@@ -771,6 +771,49 @@ def test_semantic_dedup_auto_recluster_contract(spark, sf_dir):
     assert sim.SEM_DEDUP_MAX_CELLS == 4096
 
 
+def test_semantic_dedup_auto_valve_never_coarsens(spark, monkeypatch):
+    """r10 review finding: when the codebook cap binds BELOW the
+    caller's own cluster count, re-clustering would be COARSER than
+    the existing clustering and RAISE sum(|cell|^2); the auto valve
+    must fall back to pass-through instead. Constants are shrunk so a
+    12-row corpus exercises the branch: 4 caller clusters of 3 (mean
+    3 > trigger 2) derive min(cap 3, max(ceil(12/2)=6, 5, 2)) = 3
+    cells <= 4 existing clusters -> pass-through, observable as
+    LAST_SEMDEDUP_CELLS is None and results identical to explicit
+    None."""
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "SEM_DEDUP_MAX_MEAN_CELL", 2)
+    monkeypatch.setattr(sim, "SEM_DEDUP_TARGET_CELL", 2)
+    monkeypatch.setattr(sim, "SEM_DEDUP_MAX_CELLS", 3)
+    df = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000)).cast("double") / 500.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    auto = sorted(
+        r.vec_id for r in sim.semantic_dedup(df, "label", 0.5).select("vec_id").collect()
+    )
+    assert sim.LAST_SEMDEDUP_CELLS is None, (
+        "capped-below-caller-granularity must pass through, not coarsen"
+    )
+    explicit_none = sorted(
+        r.vec_id
+        for r in sim.semantic_dedup(df, "label", 0.5, recluster_cells=None)
+        .select("vec_id")
+        .collect()
+    )
+    assert auto == explicit_none
+
+
 def test_derived_shuffle_partitions_curve_and_tune_guards(spark):
     """r10 (verdict ask #2, finding 93 rule 2 as code): partitions
     derive from input bytes — floor of one task wave, +1 per 8 MiB,

@@ -1530,6 +1530,34 @@ def test_pdf_encrypted_xref_stream_trailer_backstop():
             assert extract_pdf_text(broken) == lines, method
 
 
+def test_pdf_fallback_walk_recovers_padded_object_headers():
+    """r10 review finding: the fallback walk recovered object identity
+    from a fixed 64-byte lookback, so >55 bytes of comment/whitespace
+    between 'N G obj' and its '<<' clipped the number — and a clipped
+    RC4 per-object key decrypts to GARBAGE rows (no integrity check),
+    not a typed refusal. The window is now 256 bytes with a clip guard
+    (a digit run touching the window edge is never trusted). Inject
+    ~90 bytes of whitespace after every object header of an encrypted
+    classic file and destroy the xref chain: extraction must still
+    return the exact lines."""
+    import re
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+    )
+
+    lines = [f"padded header line {i}" for i in range(40)]
+    for method in ("rc4-128", "aes-128"):
+        base = pdf_bytes_encrypted(lines, method=method)
+        padded = re.sub(
+            rb"(\d+\s+\d+\s+obj)", rb"\1\n" + b" " * 90 + b"\n", base
+        )
+        m = list(re.finditer(rb"startxref\s+(\d+)", padded))[-1]
+        broken = padded[: m.start()] + b"startxref\n999999999\n%%EOF\n"
+        assert extract_pdf_text(broken) == lines, method
+
+
 def test_pdf_encrypted_mutation_fuzz_stays_typed():
     """Corrupted ciphertext must stay inside the typed contract: 300
     random byte flips over an AES-128 and an RC4-128 file each — bad
