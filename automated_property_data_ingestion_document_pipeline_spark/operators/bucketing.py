@@ -27,35 +27,43 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: "str | list[str]",
     num_buckets: int = 8,
     sort: bool = True,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally bucket-sorted)
-    managed table on ``key``. Idempotent across sessions: the in-memory
-    catalog forgets managed tables when a session ends but their
-    warehouse directories persist, so any orphaned location is cleared
-    before the write (LOCATION_ALREADY_EXISTS otherwise)."""
+    managed table on ``key`` (a column name or a composite key list —
+    e.g. the LSH band index ``(band, bh)``). Idempotent across
+    sessions: the in-memory catalog forgets managed tables when a
+    session ends but their warehouse directories persist, so any
+    orphaned location is cleared before the write
+    (LOCATION_ALREADY_EXISTS otherwise)."""
+    keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
     if loc and os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
-    w = df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, key)
+    w = df.write.format("parquet").mode("overwrite").bucketBy(
+        num_buckets, keys[0], *keys[1:]
+    )
     if sort:
-        w = w.sortBy(key)
+        w = w.sortBy(keys[0], *keys[1:])
     w.saveAsTable(table)
 
 
-def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
-    """Join two same-bucketed tables on their bucket key. The ``MERGE``
-    hint pins SortMergeJoin (a broadcast would hide the co-location
-    being demonstrated); with matching bucket specs the physical plan
-    carries no Exchange."""
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: "str | list[str]"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key(s). The
+    ``MERGE`` hint pins SortMergeJoin (a broadcast would hide the
+    co-location being demonstrated); with matching bucket specs the
+    physical plan carries no Exchange."""
+    keys = [key] if isinstance(key, str) else list(key)
     lt = spark.table(left_table).hint("merge")
     rt = spark.table(right_table)
-    return lt.join(rt, key)
+    return lt.join(rt, keys)
 
 
 def shuffle_exchanges_in_plan(df: DataFrame) -> int:

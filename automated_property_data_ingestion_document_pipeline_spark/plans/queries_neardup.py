@@ -674,8 +674,14 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge exactly like the full-corpus lane (post-aggregate and
     post-explode size estimates cannot be trusted to pick the build
     side). At 100 TB the banded base lives as a bucketed table keyed
-    on (band, bh) and each day's delta probes it shuffle-free; here
-    both sides derive from one corpus scan."""
+    on (band, bh) and each day's delta probes it with only the delta
+    shuffling — that deployment shape is CODE, not prose:
+    tests/test_bucketing.py::
+    test_banded_base_bucket_probe_only_delta_shuffles bands the base
+    through operators/bucketing.write_bucketed (composite-key support,
+    r10) and pins the probe plan to a bucketed base scan with a single
+    delta-side exchange. Here both sides derive from one corpus
+    scan."""
     docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     shingles = _portable_shingles(docs)
     bands = _portable_bands(shingles)

@@ -60,3 +60,61 @@ def test_bucketed_aggregation_reuses_bucketing(spark, sf_dir):
     )
     assert bucketing.shuffle_exchanges_in_plan(agg) == 0
     assert agg.count() > 0
+
+
+def test_banded_base_bucket_probe_only_delta_shuffles(spark, sf_dir):
+    """The q_neardup_incremental 100 TB deployment claim as CODE: band
+    the base corpus ONCE into a table bucketed on the composite LSH key
+    (band, bh); a daily delta probe then shuffles ONLY the delta — the
+    base side reads its buckets with no Exchange. Pinned: the probe
+    plan has exactly one hash Exchange (the delta), the base scan is a
+    bucketed scan, and the candidate pairs equal the direct-join
+    answer."""
+    from pyspark.sql import functions as F
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_neardup import (
+        _portable_bands,
+        _portable_shingles,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    is_delta = F.col("doc_id") % 10 == 7
+    base_bands = _portable_bands(_portable_shingles(docs.filter(~is_delta)))
+    delta_bands = _portable_bands(_portable_shingles(docs.filter(is_delta)))
+
+    bucketing.write_bucketed(
+        base_bands, "t_neardup_base_bands", ["band", "bh"], num_buckets=4
+    )
+    probe = (
+        spark.table("t_neardup_base_bands")
+        .hint("merge")
+        .join(
+            delta_bands.withColumnRenamed("doc_id", "delta_id").repartition(
+                4, "band", "bh"
+            ),
+            ["band", "bh"],
+        )
+        .select(F.col("doc_id").alias("base_id"), "delta_id")
+        .distinct()
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the base side reads pre-bucketed files: its scan line reports the
+    # bucket selection instead of needing an Exchange
+    assert "Bucketed: true" in plan, plan[:2000]
+    # the only exchanges are the DELTA repartition and the final
+    # distinct; the base never shuffles (3 would mean both join sides)
+    n_join_exchanges = plan.split("SortMergeJoin")[0].count("Exchange hashpartitioning")
+    assert n_join_exchanges <= 1, plan[:2000]
+
+    direct = (
+        base_bands.hint("merge")
+        .join(
+            delta_bands.withColumnRenamed("doc_id", "delta_id"), ["band", "bh"]
+        )
+        .select(F.col("doc_id").alias("base_id"), "delta_id")
+        .distinct()
+    )
+    got = {(r.base_id, r.delta_id) for r in probe.collect()}
+    want = {(r.base_id, r.delta_id) for r in direct.collect()}
+    assert got == want and len(got) > 0
