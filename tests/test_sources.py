@@ -1865,3 +1865,36 @@ def test_pdf_v4_missing_stmf_means_identity():
         % (idhex, idhex),
     )
     assert extract_pdf_text(grafted) == lines
+
+
+def test_pdf_crypt_evp_active_inside_executors(spark):
+    """The EVP probe runs per PROCESS, and Spark's Python workers are
+    separate processes — a container change that broke libcrypto
+    loading only there would silently fall back to the 184x-slower
+    pure path with no test noticing (finding 102's perf contract).
+    Assert the fast path engages inside a real executor worker; if the
+    driver itself cannot load EVP (stripped container), the fallback
+    is the documented behavior and the executor must agree with it."""
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt as pc
+
+    driver_has_evp = pc._load_evp() is not None
+
+    def probe(batches):
+        import pandas as pd
+
+        from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt as wpc
+
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"has_evp": [wpc._load_evp() is not None]})
+
+    rows = (
+        spark.range(4)
+        .repartition(2)
+        .mapInPandas(probe, "has_evp boolean")
+        .collect()
+    )
+    assert rows, "probe produced no partitions"
+    assert all(r["has_evp"] == driver_has_evp for r in rows), (
+        "executor workers disagree with the driver about EVP availability"
+    )
