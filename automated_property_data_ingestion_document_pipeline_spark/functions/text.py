@@ -25,7 +25,9 @@ STOPWORDS = {
 # \x0B, so oracles written with \s would diverge from the engine on a
 # vertical-tab document (r10 review finding, verified empirically).
 # The same escape text means the same class to BOTH regex dialects;
-# every Spark tokenizer site and both SQL oracle templates use it.
+# every Spark tokenizer site imports it and every SQL oracle template
+# interpolates it (the constant contains no quotes, so it embeds
+# directly into SQL string literals) — one definition, zero copies.
 WS_SPLIT = r"[ \t\n\x0B\f\r]+"
 
 
@@ -41,8 +43,11 @@ def token_count_ws(col: Column) -> Column:
 
 # GPT-2-style pretokenizer shape: alnum runs or single punct chars.
 # RE2-compatible (no lookaround) so the DuckDB oracle can run the same
-# pattern via regexp_extract_all.
-BPE_PIECE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+# pattern via regexp_extract_all — and the whitespace is the explicit
+# class, not \s, for the same Java-vs-RE2 \x0B reason as WS_SPLIT (the
+# pattern string is shared verbatim by both engines, so one constant
+# keeps them aligned).
+BPE_PIECE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def token_count_bpe_estimate(col: Column) -> Column:

@@ -29,10 +29,26 @@ def has_checkpoint_dir(df: DataFrame) -> bool:
         return False
 
 
-def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+def cut_lineage(df: DataFrame, eager: bool = True, durable: bool = True) -> DataFrame:
     """Truncate ``df``'s lineage: reliable ``checkpoint`` when the
     session has a checkpoint dir, ``localCheckpoint`` otherwise. Same
-    eager/lazy semantics as the underlying calls."""
-    if has_checkpoint_dir(df):
+    eager/lazy semantics as the underlying calls.
+
+    ``durable=False`` pins ``localCheckpoint`` even under a checkpoint
+    dir — for TRANSIENT per-query cuts whose purpose is consistent
+    REUSE of a nondeterministic subtree (a sampled range partitioning,
+    a rollup read twice), not cross-failure durability. Reliable
+    checkpoints there would cost an extra write job per query and
+    accumulate rdd-*/ scratch on the checkpoint filesystem
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
+    false) for no recovery benefit: losing a localCheckpoint block
+    mid-QUERY fails that one query, which the caller simply retries.
+    Iterative operators (PageRank, connected components, k-means) keep
+    the durable default — an executor loss there wastes the whole
+    multi-round run, which IS the failure reliable checkpoints exist
+    to survive. Production sessions that enable durable cuts should
+    also set ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    so out-of-scope checkpoint dirs are reclaimed."""
+    if durable and has_checkpoint_dir(df):
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

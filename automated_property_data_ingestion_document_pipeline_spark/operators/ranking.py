@@ -50,7 +50,7 @@ def global_rank(
     # silently corrupt (duplicates + gaps; caught by the equi-depth
     # histogram at sf0.01). A lazy localCheckpoint materializes the
     # partitioning once and shares it.
-    local = cut_lineage(local, eager=False)
+    local = cut_lineage(local, eager=False, durable=False)
     offsets = (
         local.groupBy("_pid")
         .agg(F.count("*").alias("_cnt"))
@@ -124,7 +124,7 @@ def global_prefix_sum(
     )
     # Same double-evaluation hazard as global_rank: pin ONE sampled
     # partitioning for both the offsets aggregate and the final join.
-    local = cut_lineage(local, eager=False)
+    local = cut_lineage(local, eager=False, durable=False)
     offsets = (
         local.groupBy("_pid")
         .agg(F.sum(sum_col).alias("_tot"))

@@ -146,7 +146,7 @@ def _grid_from_hourly(hourly):
     rescan the fact table. At 100 TB the rollup is |users × active
     hours| — the small side; NULL buckets (NULL-ts rows) are skipped by
     min/max and never join the grid, matching the old two-scan form."""
-    hourly = cut_lineage(hourly, eager=False)
+    hourly = cut_lineage(hourly, eager=False, durable=False)
     bounds = hourly.groupBy("user_id").agg(
         F.min("bucket").alias("t0"), F.max("bucket").alias("t1")
     )

@@ -501,7 +501,7 @@ _WINNOW_W = 4  # window size: any shared run >= w+k-1 tokens is GUARANTEED caugh
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+             list_filter(string_split_regex(text, '{WS_SPLIT}'),
                          x -> x <> '') AS tk
       FROM documents WHERE text IS NOT NULL),
     g AS (

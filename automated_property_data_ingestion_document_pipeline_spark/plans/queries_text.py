@@ -19,9 +19,12 @@ from automated_property_data_ingestion_document_pipeline_spark.operators import 
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 from automated_property_data_ingestion_document_pipeline_spark.functions.text import WS_SPLIT
 
-# explicit class, not \s — RE2's \s omits \x0B (see functions/text.WS_SPLIT)
+# explicit class, not \s — RE2's \s omits \x0B; derived from the ONE
+# canonical constant so Spark and the oracles cannot de-synchronize
 _TOKS_SQL = (
-    "list_filter(string_split_regex({col}, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
+    "list_filter(string_split_regex({{col}}, '{ws}'), x -> x <> '')".format(
+        ws=WS_SPLIT
+    )
 )
 
 
@@ -637,8 +640,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GPT-2-family pre-tokenizer, minus the lookahead clause ((?!\S) is
 # Java-regex-only; RE2 has no lookahead, and the clause only affects
 # runs of trailing spaces). Unicode classes \p{L}/\p{N} behave
-# identically in Java regex and RE2 for letter/number scripts.
-_BPE_RX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# identically in Java regex and RE2 for letter/number scripts — but
+# \s does NOT (Java's includes \x0B, RE2's omits it; the WS_SPLIT
+# lesson), so the whitespace inside the negated class is spelled out.
+_BPE_RX = r" ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
 
 
 @query(

@@ -21,8 +21,11 @@ from automated_property_data_ingestion_document_pipeline_spark.operators import 
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 from automated_property_data_ingestion_document_pipeline_spark.functions.text import WS_SPLIT
 
-# explicit class, not \s — RE2's \s omits \x0B (see functions/text.WS_SPLIT)
-_TOKS = r"list_filter(regexp_split_to_array({col}, '[ \t\n\x0B\f\r]+'), t -> t <> '')"
+# explicit class, not \s — RE2's \s omits \x0B; derived from the ONE
+# canonical constant so Spark and the oracles cannot de-synchronize
+_TOKS = "list_filter(regexp_split_to_array({{col}}, '{ws}'), t -> t <> '')".format(
+    ws=WS_SPLIT
+)
 
 
 # -- int8 embedding quantization ----------------------------------------------

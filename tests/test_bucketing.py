@@ -86,13 +86,21 @@ def test_banded_base_bucket_probe_only_delta_shuffles(spark, sf_dir):
     bucketing.write_bucketed(
         base_bands, "t_neardup_base_bands", ["band", "bh"], num_buckets=4
     )
+    # materialize the delta's banding first (in production it arrives
+    # already banded from the ingest job) so the probe plan contains
+    # ONLY probe-side shuffles and the exchange count isolates the
+    # claim under test
+    import tempfile
+
+    delta_path = tempfile.mkdtemp(prefix="delta_bands_")
+    delta_bands.withColumnRenamed("doc_id", "delta_id").write.mode(
+        "overwrite"
+    ).parquet(delta_path)
     probe = (
         spark.table("t_neardup_base_bands")
         .hint("merge")
         .join(
-            delta_bands.withColumnRenamed("doc_id", "delta_id").repartition(
-                4, "band", "bh"
-            ),
+            spark.read.parquet(delta_path).repartition(4, "band", "bh"),
             ["band", "bh"],
         )
         .select(F.col("doc_id").alias("base_id"), "delta_id")
@@ -102,10 +110,12 @@ def test_banded_base_bucket_probe_only_delta_shuffles(spark, sf_dir):
     # the base side reads pre-bucketed files: its scan line reports the
     # bucket selection instead of needing an Exchange
     assert "Bucketed: true" in plan, plan[:2000]
-    # the only exchanges are the DELTA repartition and the final
-    # distinct; the base never shuffles (3 would mean both join sides)
-    n_join_exchanges = plan.split("SortMergeJoin")[0].count("Exchange hashpartitioning")
-    assert n_join_exchanges <= 1, plan[:2000]
+    # the WHOLE plan carries exactly two shuffles — the DELTA
+    # repartition feeding the join and the final distinct; a third
+    # would mean the bucketed base side shuffled too (the regression
+    # this test exists to catch — plan strings print parent-first, so
+    # any prefix-split count would miss join-input exchanges entirely)
+    assert bucketing.shuffle_exchanges_in_plan(probe) == 2, plan[:2000]
 
     direct = (
         base_bands.hint("merge")

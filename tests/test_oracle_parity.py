@@ -128,13 +128,16 @@ def test_vertical_tab_document_tokenizes_identically(spark, tmp_path):
     )
     sf = str(tmp_path)
     spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
-    sdf = QUERIES["q_wordcount"](spark, sf).toPandas()
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf}/documents.parquet/*.parquet')"
     )
-    odf = con.execute(ORACLES["q_wordcount"]).fetchdf()
+    # q_wordcount exercises _TOKS_SQL; q_token_count_bpe exercises
+    # BPE_PIECE_RE (whose negated class also had the \s divergence)
+    for key in ("q_wordcount", "q_token_count_bpe"):
+        sdf = QUERIES[key](spark, sf).toPandas()
+        odf = con.execute(ORACLES[key]).fetchdf()
+        ns, no = normalize(sdf), normalize(odf)
+        assert ns.equals(no), f"{key}\nspark:\n{ns}\noracle:\n{no}"
     con.close()
-    ns, no = normalize(sdf), normalize(odf)
-    assert ns.equals(no), f"spark:\n{ns}\noracle:\n{no}"
