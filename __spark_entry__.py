@@ -76,7 +76,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # drains the oldest 50 automatically — no hand-editing, and the policy
 # itself is pinned by tests/test_driver_window.py.
 
-_MANUAL_PRIORITY: list[str] = []  # escape hatch: keys forced to the very front
+# Escape hatch: keys forced to the very front of the window. The
+# rotation orders by staleness only — it cannot see that a key's
+# IMPLEMENTATION changed since its last witness. r11 (r10 verdict ask
+# #1): the five most-rewritten operators carry r5-r8-vintage driver
+# proofs, so they jump the queue for one fresh driver witness each:
+#   q_pdf_extract          r6 witness; since: RC4/AES-128/AES-256 V5
+#                          encryption, EVP fast path, 13-form cycle
+#   q_semantic_dedup       r5 witness; since: recluster_cells='auto'
+#   q_minhash_portable     r5 witness; since: r09 merge/shuffle_hash pins
+#   q_letter_roundtrip     r8 witness; since: encrypted PDF forms
+#   q_report_archive_extract r8 witness; since: encrypted PDF forms
+# Remove each key once CORRECTNESS_r11+ shows it green (the staleness
+# ledger then carries it normally again).
+_MANUAL_PRIORITY: list[str] = [
+    "q_pdf_extract",
+    "q_semantic_dedup",
+    "q_minhash_portable",
+    "q_letter_roundtrip",
+    "q_report_archive_extract",
+]
 
 
 def _witness_rounds() -> dict[str, int]:

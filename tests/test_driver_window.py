@@ -52,7 +52,12 @@ def test_window_drains_the_oldest_vintage():
     newest key inside it (new never-witnessed keys count as round 0)."""
     q = list(entry.queries())
     seen = entry._witness_rounds()
-    window, rest = q[:50], q[50:]
+    # _MANUAL_PRIORITY keys deliberately jump the staleness queue (their
+    # implementation changed since last witness), so the drain property
+    # applies to the rest of the window only.
+    manual = {k for k in entry._MANUAL_PRIORITY if k in q}
+    window = [k for k in q[:50] if k not in manual]
+    rest = q[50:]
     newest_in_window = max(seen.get(k, 0) for k in window)
     staler_outside = [k for k in rest if seen.get(k, 0) < newest_in_window]
     assert not staler_outside, (
@@ -141,3 +146,21 @@ def test_manual_priority_has_no_unknown_or_duplicate_keys():
     missing = [k for k in entry._MANUAL_PRIORITY if k not in q]
     assert not missing, missing
     assert len(entry._MANUAL_PRIORITY) == len(set(entry._MANUAL_PRIORITY))
+
+
+def test_manual_priority_lands_in_the_driver_window():
+    """The whole point of the escape hatch is a fresh driver witness:
+    every manual key must sit inside the first-50 window the driver
+    samples, ahead of the staleness-ordered body, and each must already
+    have at least one historical witness (new growth keys don't need
+    the hatch — they sort first anyway)."""
+    q = list(entry.queries())
+    seen = entry._witness_rounds()
+    manual = [k for k in entry._MANUAL_PRIORITY if k in q]
+    assert q[: len(manual)] == manual
+    assert len(manual) <= 50
+    never_witnessed = [k for k in manual if k not in seen]
+    assert not never_witnessed, (
+        f"manual priority is for re-witnessing changed keys, but these were "
+        f"never witnessed (they'd sort first anyway): {never_witnessed}"
+    )
