@@ -1191,7 +1191,11 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     11 the LINEARIZED fast-web-view layout (first-page xref BEFORE its
     objects, /Prev pointing forward-in-chain to the main xref at EOF),
     form 12 a FOUR-generation incremental-update /Prev chain where
-    every generation but the last is a distinct decoy. The oracle
+    every generation but the last is a distinct decoy. r11 widens to
+    % 14: form 13 is AES-256 under a REAL user password, opened by
+    passing the credential to the reader (user-then-owner auth;
+    wrong/absent passwords stay typed refusals — the refusal fuzz in
+    tests/test_sources.py covers both). The oracle
     rebuilds the same strings in pure SQL — it never sees a PDF.
     Row-local mapInPandas; 4 ints per doc leave the executor. r10
     (finding 101): the 128-key input is REPARTITIONED to the session's
@@ -1238,8 +1242,13 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # password), 9: AES-128 /AESV2 encrypted (r09),
                 # 10: AES-256 /V 5 /R 6 /AESV3 (r10), 11: linearized
                 # fast-web-view layout (r10), 12: 4-generation
-                # /Prev update chain (r10)
-                form = did % 13
+                # /Prev update chain (r10), 13: AES-256 under a REAL
+                # user password, opened with the caller-supplied
+                # credential (r11 — authorized ingest of credentialed
+                # archives; the password reaches the reader as a
+                # parameter, never an assumption)
+                form = did % 14
+                pw = None
                 if form == 4:
                     payload = pdf_bytes_with_incremental_update(lines)
                 elif form == 5:
@@ -1263,13 +1272,18 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = pdf_bytes_linearized(lines)
                 elif form == 12:
                     payload = pdf_bytes_with_update_chain(lines, generations=4)
+                elif form == 13:
+                    pw = f"pw-{did}"
+                    payload = pdf_bytes_encrypted(
+                        lines, method="aes-256", user_pw=pw.encode()
+                    )
                 else:
                     payload = pdf_bytes_from_lines(
                         lines,
                         compress=form != 0,
                         text_op={2: "TJ", 3: "hex"}.get(form, "Tj"),
                     )
-                got = extract_pdf_text(payload)  # the REAL bytes
+                got = extract_pdf_text(payload, password=pw)  # the REAL bytes
                 out["doc_id"].append(did)
                 out["n_lines"].append(len(got))
                 out["total_chars"].append(sum(len(x) for x in got))

@@ -370,18 +370,49 @@ def _load_evp():
     return _EVP or None
 
 
+# Consecutive EVP call failures before the memo is poisoned for the
+# process (treating the breakage as systemic rather than one-off).
+_EVP_POISON_AFTER = 3
+_EVP_CALL_FAILURES = 0
+
+
 def _evp_aes(key, iv, data, encrypt, mode):
     """EVP transform or ``None`` when unavailable/failing — callers
-    treat None as 'use the pure-Python path'."""
+    treat None as 'use the pure-Python path'.
+
+    A one-off call failure falls back for THAT call only (logged once
+    per process); only _EVP_POISON_AFTER consecutive failures poison
+    the memo, so a single transient error cannot silently downgrade
+    every subsequent AES to the ~185x-slower pure path. Systemic
+    probe-time failures (missing symbols, KAT mismatch) are still
+    poisoned immediately by :func:`_load_evp`.
+    """
+    global _EVP, _EVP_CALL_FAILURES
     evp = _load_evp()
     if evp is None or len(key) not in (16, 32) or len(data) % 16:
         return None
     try:
-        return evp.transform(key, iv, data, encrypt, mode)
-    except Exception:  # pragma: no cover - defensive downgrade
-        global _EVP
-        _EVP = False
+        out = evp.transform(key, iv, data, encrypt, mode)
+    except Exception as exc:  # pragma: no cover - defensive downgrade
+        _EVP_CALL_FAILURES += 1
+        import logging
+
+        log = logging.getLogger(__name__)
+        if _EVP_CALL_FAILURES == 1:
+            log.warning(
+                "OpenSSL EVP AES call failed (%s: %s); falling back to "
+                "pure-Python AES for this call", type(exc).__name__, exc
+            )
+        if _EVP_CALL_FAILURES >= _EVP_POISON_AFTER:
+            log.warning(
+                "OpenSSL EVP AES failed %d consecutive calls — disabling "
+                "the EVP fast path for this process (pure-Python AES from "
+                "here on)", _EVP_CALL_FAILURES,
+            )
+            _EVP = False
         return None
+    _EVP_CALL_FAILURES = 0
+    return out
 
 
 # --- vectorized decrypt path (numpy, optional) ----------------------------
@@ -447,6 +478,16 @@ def _aes_ecb_decrypt_np(rks: "list[list[int]]", data: bytes) -> bytes:
     return s.tobytes()
 
 
+def _pkcs7_unpad(out: "bytes | bytearray") -> bytes:
+    """Validate and strip PKCS#7 padding — the single copy both the
+    EVP fast path and the pure path of :func:`aes_cbc_decrypt` use, so
+    the two validations cannot drift."""
+    pad = out[-1]
+    if not 1 <= pad <= 16 or bytes(out[-pad:]) != bytes([pad]) * pad:
+        raise AesError("bad PKCS#7 padding")
+    return bytes(out[:-pad])
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """PDF §7.6.2 AESV2/AESV3 stream form: ``iv + CBC(pkcs7(data))``
     under a 16- (AES-128) or 32-byte (AES-256) key."""
@@ -480,11 +521,7 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     iv, body = data[:16], data[16:]
     fast = _evp_aes(key, iv, body, False, "cbc")
     if fast is not None:
-        out = bytearray(fast)
-        pad = out[-1]
-        if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
-            raise AesError("bad PKCS#7 padding")
-        return bytes(out[:-pad])
+        return _pkcs7_unpad(fast)
     rks = _expand_key(key)
     if _np is not None and len(body) >= 256:
         ecb = _aes_ecb_decrypt_np(rks, body)
@@ -501,10 +538,7 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
             blk = body[i : i + 16]
             out += bytes(a ^ b for a, b in zip(_decrypt_block(rks, blk), prev))
             prev = blk
-    pad = out[-1]
-    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
-        raise AesError("bad PKCS#7 padding")
-    return bytes(out[:-pad])
+    return _pkcs7_unpad(out)
 
 
 # 16-byte-key wrappers kept for the original AES-128 surface (and its
@@ -650,6 +684,33 @@ def authenticate_user_password(
     return key if got == want else None
 
 
+def authenticate_owner_password(
+    owner_pw: bytes, o_value: bytes, u_value: bytes, p: int, id0: bytes,
+    r: int, key_bytes: int, encrypt_metadata: bool = True,
+) -> "bytes | None":
+    """Algorithm 7 (r11, caller-supplied credentials): decrypt /O with
+    the owner key to recover the PADDED user password, then run
+    Algorithm 6 on it. The recovered 32-byte value feeds the user
+    branch unchanged — ``_pad_password`` is the identity on an
+    already-padded password. Returns the file key, or None when
+    ``owner_pw`` is wrong."""
+    digest = hashlib.md5(_pad_password(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    rc4_key = digest[:key_bytes]
+    user_padded = o_value[:32]
+    if r == 2:
+        user_padded = rc4(rc4_key, user_padded)
+    else:
+        for i in range(19, -1, -1):
+            user_padded = rc4(bytes(b ^ i for b in rc4_key), user_padded)
+    return authenticate_user_password(
+        user_padded, o_value, u_value, p, id0, r, key_bytes,
+        encrypt_metadata=encrypt_metadata,
+    )
+
+
 # --------------------------------------------------------------------------
 # AES-256 standard handler, /V 5 /R 5-6 (public ISO 32000-2 §7.6.4.3,
 # Algorithms 2.A / 2.B — r10, the last document-ingest extension the
@@ -695,6 +756,24 @@ def authenticate_user_password_v5(
         return None
     intermediate = hash_2b(user_pw, ksalt, b"", r)
     return _aes_cbc_raw(intermediate, b"\x00" * 16, ue_value, encrypt=False)
+
+
+def authenticate_owner_password_v5(
+    owner_pw: bytes, o_value: bytes, oe_value: bytes, u_value: bytes, r: int
+) -> "bytes | None":
+    """Algorithm 2.A (owner-password branch, r11): check ``owner_pw``
+    against /O's validation salt — the owner hash salts with the full
+    48-byte /U as ``udata`` — and on success unwrap the file key from
+    /OE. Returns the file key, or None when the password is wrong /
+    the fields are malformed."""
+    if len(o_value) < 48 or len(oe_value) != 32 or len(u_value) < 48:
+        return None
+    u48 = u_value[:48]
+    expect, vsalt, ksalt = o_value[:32], o_value[32:40], o_value[40:48]
+    if hash_2b(owner_pw, vsalt, u48, r) != expect:
+        return None
+    intermediate = hash_2b(owner_pw, ksalt, u48, r)
+    return _aes_cbc_raw(intermediate, b"\x00" * 16, oe_value, encrypt=False)
 
 
 def compute_u_ue_v5(

@@ -1941,15 +1941,19 @@ def _named_crypt_filter(enc: bytes, name: bytes) -> "bytes | None":
     return cf_body[nm.end() - 2 : _dict_span(cf_body, nm.end() - 2)]
 
 
-def _setup_decryption(idx: "_ObjIndex") -> None:
-    """Authenticate the standard security handler with the EMPTY user
-    password and install ``idx.decryptor``: /V 1-2 RC4 (40..128-bit)
-    and /V 4 crypt filters /V2 (RC4) or /AESV2 (AES-128-CBC) per ISO
-    32000-1 §7.6.3-7.6.4, plus (r10) /V 5 /R 5-6 /AESV3 (AES-256) per
-    ISO 32000-2 §7.6.4.3 Algorithms 2.A/2.B — the full set of standard-
-    handler shapes in the wild. Everything else is a typed refusal:
-    real user passwords, non-Standard handlers, unknown /CFM; /Identity
-    leaves streams plaintext (no decryptor)."""
+def _setup_decryption(idx: "_ObjIndex", password: bytes = b"") -> None:
+    """Authenticate the standard security handler and install
+    ``idx.decryptor``: /V 1-2 RC4 (40..128-bit) and /V 4 crypt filters
+    /V2 (RC4) or /AESV2 (AES-128-CBC) per ISO 32000-1 §7.6.3-7.6.4,
+    plus (r10) /V 5 /R 5-6 /AESV3 (AES-256) per ISO 32000-2 §7.6.4.3
+    Algorithms 2.A/2.B — the full set of standard-handler shapes in
+    the wild. ``password`` (r11, default empty — the ubiquitous
+    owner-restrictions-only case) is tried as the USER password first,
+    then — when non-empty — as the OWNER password (Algorithm 7 /
+    2.A owner branch), so authorized bulk ingest of credentialed
+    archives works with either credential. Everything else is a typed
+    refusal: wrong passwords, non-Standard handlers, unknown /CFM;
+    /Identity leaves streams plaintext (no decryptor)."""
     import re
 
     from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt
@@ -2003,10 +2007,18 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
         ue_val = _pdf_string_value(enc, b"UE")
         if ue_val is None or len(u_val) < 48 or len(ue_val) != 32:
             raise PdfUnsupported("/V 5 encryption dictionary missing 48-byte /U + 32-byte /UE")
-        key = pdf_crypt.authenticate_user_password_v5(b"", u_val, ue_val, r)
+        key = pdf_crypt.authenticate_user_password_v5(password, u_val, ue_val, r)
+        if key is None and password:
+            oe_val = _pdf_string_value(enc, b"OE")
+            if oe_val is not None:
+                key = pdf_crypt.authenticate_owner_password_v5(
+                    password, o_val, oe_val, u_val, r
+                )
         if key is None:
             raise PdfUnsupported(
-                "password-protected PDF (empty user password rejected)"
+                "password-protected PDF (supplied password rejected)"
+                if password
+                else "password-protected PDF (empty user password rejected)"
             )
         perms = _pdf_string_value(enc, b"Perms")
         if perms is not None and not pdf_crypt.verify_perms_v5(perms, key):
@@ -2061,12 +2073,19 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
     if idx.file_id is None:
         raise PdfUnsupported("encrypted PDF without a trailer /ID")
     key = pdf_crypt.authenticate_user_password(
-        b"", o_val, u_val, p, idx.file_id, r, key_bytes,
+        password, o_val, u_val, p, idx.file_id, r, key_bytes,
         encrypt_metadata=encrypt_metadata,
     )
+    if key is None and password:
+        key = pdf_crypt.authenticate_owner_password(
+            password, o_val, u_val, p, idx.file_id, r, key_bytes,
+            encrypt_metadata=encrypt_metadata,
+        )
     if key is None:
         raise PdfUnsupported(
-            "password-protected PDF (empty user password rejected)"
+            "password-protected PDF (supplied password rejected)"
+            if password
+            else "password-protected PDF (empty user password rejected)"
         )
     idx.decryptor = lambda num, gen, data: pdf_crypt.decrypt_bytes(
         key, num, gen, data, method
@@ -2074,7 +2093,7 @@ def _setup_decryption(idx: "_ObjIndex") -> None:
     idx._finish_deferred_objstm()
 
 
-def extract_pdf_text(payload: bytes) -> list[str]:
+def extract_pdf_text(payload: bytes, password: "bytes | str | None" = None) -> list[str]:
     """Reparse the text lines out of a PDF's PAGE CONTENT streams —
     plain or FlateDecode-encoded, ``Tj`` or ``TJ`` show operators (r06:
     the extractor graduated from test helper to source operator; r07:
@@ -2107,9 +2126,15 @@ def extract_pdf_text(payload: bytes) -> list[str]:
     # password, AES-256 (R5/6), or a non-Standard handler stays a
     # typed refusal. Checked on the PARSED dicts, never the raw
     # payload, so ciphertext bytes that happen to spell '/Encrypt'
-    # can't false-positive (r08).
+    # can't false-positive (r08). ``password`` (r11): the caller's
+    # credential for authorized ingest of password-protected archives —
+    # tried as user then owner password; str encodes as UTF-8 (the /R 6
+    # SASLprep-input form; classic revisions treat the same bytes as
+    # PDFDocEncoding, which agrees on ASCII credentials).
     if idx.encrypted:
-        _setup_decryption(idx)
+        if isinstance(password, str):
+            password = password.encode("utf-8")
+        _setup_decryption(idx, password or b"")
     pages = _pages(idx)
     if pages:
         lines: list[str] = []
