@@ -33,6 +33,10 @@ from automated_property_data_ingestion_document_pipeline_spark.functions.text im
 _K = 16          # signature length
 _BANDS = 4       # 4 bands x 4 rows
 _JACC_MIN = 0.3  # verification threshold on exact Jaccard
+# Bucket count for the persisted banded-base tables behind
+# q_neardup_incremental: one local task wave here; at 100 TB you size
+# it for 100-500 MB bucket files (bucketing.py rule of thumb).
+_BASE_BUCKETS = 16
 
 
 def _sig_cols_sql() -> str:
@@ -669,44 +673,86 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale contract (finding 94 discipline): the delta side is
     INGEST-RATE-scale, not bounded-constant-scale, so it must NOT
-    broadcast — the bucket join pins shuffle_hash with the delta side
-    as the partition-local build, and the shingle verify joins pin
-    merge exactly like the full-corpus lane (post-aggregate and
-    post-explode size estimates cannot be trusted to pick the build
-    side). At 100 TB the banded base lives as a bucketed table keyed
-    on (band, bh) and each day's delta probes it with only the delta
-    shuffling — that deployment shape is CODE, not prose:
-    tests/test_bucketing.py::
-    test_banded_base_bucket_probe_only_delta_shuffles bands the base
-    through operators/bucketing.write_bucketed (composite-key support,
-    r10) and pins the probe plan to a bucketed base scan with a single
-    delta-side exchange. Here both sides derive from one corpus
-    scan."""
+    broadcast — every join pins merge/shuffle_hash (post-aggregate and
+    post-explode size estimates cannot be trusted to pick a build
+    side).
+
+    Deployment shape IN the lane (r11, verdict ask #3 — previously it
+    lived only in tests/test_bucketing.py): the base corpus is banded
+    ONCE per (session, corpus) into three bucket-sorted warehouse
+    tables — shingles on (doc_id, sh), bands on (band, bh), shingle
+    counts on (doc_id) — guarded by a corpus fingerprint
+    (operators/bucketing.ensure_bucketed), and the probe then reads
+    them with ZERO base-side Exchange and ZERO base-side Sort: each
+    bucket is one bucket-sorted file, so the merge joins stream the
+    base while only the delta (ingest-rate-sized) shuffles and sorts.
+    That deletes the sf10 finding-104 spill source (the base-side
+    verify sort over 90% of the corpus' shingles) and bounds per-probe
+    cost by |delta| x bucket density. First call in a session pays the
+    build (the same banding work the lane previously did inline, plus
+    one bucketed write); every later call probes only — bench
+    median-of-3 and any real ingest cadence amortize exactly this
+    way."""
+    import os as _os
+    import re as _re
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
     docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    shingles = _portable_shingles(docs)
-    bands = _portable_bands(shingles)
     is_delta = F.col("doc_id") % 10 == 7
-    delta_bands = bands.filter(is_delta).select(
+    sf_tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    fp = (
+        bucketing.corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+        + f":v1:k3 s{_K} b{_BANDS}"
+    )
+    sh_t = f"b_nd_base_shingles_{sf_tag}"
+    bands_t = f"b_nd_base_bands_{sf_tag}"
+    sz_t = f"b_nd_base_sizes_{sf_tag}"
+    nb = _BASE_BUCKETS
+    bucketing.ensure_bucketed(
+        spark, sh_t, ["doc_id", "sh"], fp,
+        lambda: _portable_shingles(docs.filter(~is_delta)).repartition(nb, "doc_id", "sh"),
+        num_buckets=nb,
+    )
+    # bands and sizes derive from the just-persisted shingle table, so
+    # the corpus-wide shingle explode runs ONCE per build, not once per
+    # derived table
+    bucketing.ensure_bucketed(
+        spark, bands_t, ["band", "bh"], fp,
+        lambda: _portable_bands(spark.table(sh_t)).repartition(nb, "band", "bh"),
+        num_buckets=nb,
+    )
+    bucketing.ensure_bucketed(
+        spark, sz_t, ["doc_id"], fp,
+        lambda: spark.table(sh_t)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+        .repartition(nb, "doc_id"),
+        num_buckets=nb,
+    )
+
+    # delta side: shingled/banded inline (it arrives fresh each probe);
+    # filtered BEFORE shingling so the probe never re-explodes the base
+    delta_sh = _portable_shingles(docs.filter(is_delta))
+    delta_bands = _portable_bands(delta_sh).select(
         F.col("doc_id").alias("delta_id"),
         F.col("band").alias("band_d"),
         F.col("bh").alias("bh_d"),
     )
-    base_bands = bands.filter(~is_delta).select(
-        F.col("doc_id").alias("base_id"),
-        F.col("band").alias("band_b"),
-        F.col("bh").alias("bh_b"),
-    )
     cand = (
-        base_bands.join(
-            delta_bands.hint("shuffle_hash"),
-            (F.col("band_d") == F.col("band_b")) & (F.col("bh_d") == F.col("bh_b")),
+        spark.table(bands_t)
+        .hint("merge")
+        .join(
+            delta_bands,
+            (F.col("band") == F.col("band_d")) & (F.col("bh") == F.col("bh_d")),
         )
-        .select("delta_id", "base_id")
+        .select("delta_id", F.col("doc_id").alias("base_id"))
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = shingles.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
-    sb = shingles.select(F.col("doc_id").alias("_db"), F.col("sh").alias("sh_b"))
+    sa = delta_sh.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
+    sb = spark.table(sh_t).select(
+        F.col("doc_id").alias("_db"), F.col("sh").alias("sh_b")
+    )
     inter = (
         cand.hint("merge")
         .join(sa, "delta_id")
@@ -717,14 +763,20 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("delta_id", "base_id")
         .agg(F.count("*").alias("n_common"))
     )
-    za = sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("n_b"))
+    za = (
+        delta_sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+        .select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("n_a"))
+    )
+    zb = spark.table(sz_t).select(
+        F.col("doc_id").alias("base_id"), F.col("n_sh").alias("n_b")
+    )
     jacc = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     ).cast("double")
     verified = (
         inter.join(za.hint("shuffle_hash"), "delta_id")
-        .join(zb.hint("shuffle_hash"), "base_id")
+        .join(zb.hint("merge"), "base_id")
         .select("delta_id", jacc.alias("jacc"))
     )
     per_delta = verified.groupBy("delta_id").agg(

@@ -30,7 +30,29 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # r11 (finding 95 follow-through, MEASURED): the derived partition
+    # COUNT protects the sort-heavy lanes' heap; coalescing may merge
+    # only the genuinely tiny post-shuffle fragments back. The
+    # aggressive form — parallelismFirst=false, advisory 64 MiB — was
+    # tried first and REFUTED by a same-day sf10 A/B (PERFORMANCE.md
+    # finding 106): it re-fattens the very partitions the derivation
+    # exists to keep small (q_minhash_portable 526 s -> 1185 s with
+    # 354 GB mem spill; q_neardup_clusters 480 -> 763 s). So Spark's
+    # parallelism-first default stays, and only the coalesce floor
+    # rises 1 MiB -> 8 MiB — the same 8 MiB/partition constant the
+    # derivation below uses — which merges sub-8 MiB fragment tails
+    # without touching any stage whose per-task share already exceeds
+    # the floor.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r11: expose bucket-sort ordering from bucketed table scans so a
+    # merge join against a bucket-sorted table (one file per bucket —
+    # operators/bucketing.ensure_bucketed's builder contract) streams
+    # the table with NO read-side Sort. Spark 4 gates this behind a
+    # legacy flag because the files-per-bucket check lists files at
+    # planning; our scans list files anyway, and ordering is only
+    # claimed when each bucket is a single file, so it is always safe.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
     # read as long and convert in catalog.load (truncated to micros, the
@@ -166,8 +188,17 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass
+        except Exception as exc:
+            # Only a static conf on a reused session is an expected,
+            # documented skip; anything else (bad value for a modifiable
+            # conf, etc.) must not vanish silently.
+            if "cannot modify" in str(exc).lower() or "CANNOT_MODIFY" in str(exc):
+                continue
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "extra_conf %r=%r not applied to reused session: %s", k, v, exc
+            )
     if not caller_pinned:
         spark.conf.set(_SHUFFLE_MARKER, str(shuffle_partitions))
     return tune(spark, shuffle_partitions)

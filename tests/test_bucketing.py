@@ -62,7 +62,7 @@ def test_bucketed_aggregation_reuses_bucketing(spark, sf_dir):
     assert agg.count() > 0
 
 
-def test_banded_base_bucket_probe_only_delta_shuffles(spark, sf_dir):
+def test_banded_base_bucket_probe_only_delta_shuffles(spark, sf_dir, tmp_path):
     """The q_neardup_incremental 100 TB deployment claim as CODE: band
     the base corpus ONCE into a table bucketed on the composite LSH key
     (band, bh); a daily delta probe then shuffles ONLY the delta — the
@@ -86,45 +86,48 @@ def test_banded_base_bucket_probe_only_delta_shuffles(spark, sf_dir):
     bucketing.write_bucketed(
         base_bands, "t_neardup_base_bands", ["band", "bh"], num_buckets=4
     )
-    # materialize the delta's banding first (in production it arrives
-    # already banded from the ingest job) so the probe plan contains
-    # ONLY probe-side shuffles and the exchange count isolates the
-    # claim under test
-    import tempfile
-
-    delta_path = tempfile.mkdtemp(prefix="delta_bands_")
-    delta_bands.withColumnRenamed("doc_id", "delta_id").write.mode(
-        "overwrite"
-    ).parquet(delta_path)
-    probe = (
-        spark.table("t_neardup_base_bands")
-        .hint("merge")
-        .join(
-            spark.read.parquet(delta_path).repartition(4, "band", "bh"),
-            ["band", "bh"],
+    try:
+        # materialize the delta's banding first (in production it
+        # arrives already banded from the ingest job) so the probe plan
+        # contains ONLY probe-side shuffles and the exchange count
+        # isolates the claim under test
+        delta_path = str(tmp_path / "delta_bands")
+        delta_bands.withColumnRenamed("doc_id", "delta_id").write.mode(
+            "overwrite"
+        ).parquet(delta_path)
+        probe = (
+            spark.table("t_neardup_base_bands")
+            .hint("merge")
+            .join(
+                spark.read.parquet(delta_path).repartition(4, "band", "bh"),
+                ["band", "bh"],
+            )
+            .select(F.col("doc_id").alias("base_id"), "delta_id")
+            .distinct()
         )
-        .select(F.col("doc_id").alias("base_id"), "delta_id")
-        .distinct()
-    )
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    # the base side reads pre-bucketed files: its scan line reports the
-    # bucket selection instead of needing an Exchange
-    assert "Bucketed: true" in plan, plan[:2000]
-    # the WHOLE plan carries exactly two shuffles — the DELTA
-    # repartition feeding the join and the final distinct; a third
-    # would mean the bucketed base side shuffled too (the regression
-    # this test exists to catch — plan strings print parent-first, so
-    # any prefix-split count would miss join-input exchanges entirely)
-    assert bucketing.shuffle_exchanges_in_plan(probe) == 2, plan[:2000]
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the base side reads pre-bucketed files: its scan line reports
+        # the bucket selection instead of needing an Exchange
+        assert "Bucketed: true" in plan, plan[:2000]
+        # the WHOLE plan carries exactly two shuffles — the DELTA
+        # repartition feeding the join and the final distinct; a third
+        # would mean the bucketed base side shuffled too (the
+        # regression this test exists to catch — plan strings print
+        # parent-first, so any prefix-split count would miss join-input
+        # exchanges entirely)
+        assert bucketing.shuffle_exchanges_in_plan(probe) == 2, plan[:2000]
 
-    direct = (
-        base_bands.hint("merge")
-        .join(
-            delta_bands.withColumnRenamed("doc_id", "delta_id"), ["band", "bh"]
+        direct = (
+            base_bands.hint("merge")
+            .join(
+                delta_bands.withColumnRenamed("doc_id", "delta_id"),
+                ["band", "bh"],
+            )
+            .select(F.col("doc_id").alias("base_id"), "delta_id")
+            .distinct()
         )
-        .select(F.col("doc_id").alias("base_id"), "delta_id")
-        .distinct()
-    )
-    got = {(r.base_id, r.delta_id) for r in probe.collect()}
-    want = {(r.base_id, r.delta_id) for r in direct.collect()}
-    assert got == want and len(got) > 0
+        got = {(r.base_id, r.delta_id) for r in probe.collect()}
+        want = {(r.base_id, r.delta_id) for r in direct.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_neardup_base_bands")

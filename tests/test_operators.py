@@ -855,6 +855,14 @@ def test_derived_shuffle_partitions_curve_and_tune_guards(spark):
         conf.set("spark.sql.shuffle.partitions", "200")
         tune(spark, input_bytes=1712 * mib)
         assert conf.get("spark.sql.shuffle.partitions") == "214"
+        # r11 (verdict ask #2, as adjudicated by finding 106's sf10
+        # A/B): parallelism-first coalescing stays — the aggressive
+        # advisory-size form re-fattens the fat lanes — and only the
+        # coalesce floor rises to the derivation's own 8 MiB constant,
+        # merging sub-8 MiB fragment tails.
+        assert (
+            conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "8m"
+        )
     finally:
         conf.set("spark.sql.shuffle.partitions", orig)
         if orig_marker is None:

@@ -705,13 +705,25 @@ def test_winnowing_three_exchange_budget(spark, sf_dir):
 
 
 def test_neardup_incremental_never_broadcasts(spark, sf_dir):
-    """q_neardup_incremental (r10): every relation in the lane is
-    either corpus-scale (base bands, shingle sets) or INGEST-RATE-scale
-    (the delta), so nothing may broadcast — the bucket join pins
-    shuffle_hash with the delta build side and the verify joins pin
-    merge, the finding-93/94 contract applied at authoring time instead
-    of after an sf10 OOM."""
+    """q_neardup_incremental (r10; bucketed base r11): every relation
+    in the lane is either corpus-scale (base bands, shingle sets) or
+    INGEST-RATE-scale (the delta), so nothing may broadcast — every
+    join pins merge/shuffle_hash, the finding-93/94 contract applied at
+    authoring time instead of after an sf10 OOM. Since r11 the base
+    side additionally reads PERSISTED bucket-sorted tables (shingles on
+    (doc_id, sh), bands on (band, bh), sizes on doc_id), so all three
+    base relations scan with `Bucketed: true` and neither an Exchange
+    nor a Sort on the base side — only the delta shuffles."""
+    import re
+
     plan = plan_of(spark, sf_dir, "q_neardup_incremental")
     assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("ShuffledHashJoin") >= 1  # the delta-probe bucket join
-    assert plan.count("SortMergeJoin") >= 2  # the shingle verify joins
+    assert plan.count("ShuffledHashJoin") >= 1  # the delta-side sizes join
+    assert plan.count("SortMergeJoin") >= 3  # bucket probe + shingle verify + sizes
+    assert plan.count("Bucketed: true") == 3, plan[:3000]
+    # the finding-104 spill source is DELETED, not just moved: the base
+    # tables are bucket-sorted one-file-per-bucket and the session
+    # exposes their ordering, so no Sort may appear over the base
+    # bands (band, bh) or base shingles (_db, sh_b) attributes — only
+    # delta-side sorts remain
+    assert not re.search(r"Sort \[(band#|_db#|sh_b#)", plan), plan[:3000]
