@@ -848,6 +848,113 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exact longest-common-substring (token runs) ------------------------------
+
+
+@query(
+    "q_longest_match",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL.format(col='text')} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, u.s[1] AS pos, u.s[2] AS g
+      FROM toks,
+      LATERAL (
+        SELECT unnest(list_zip(
+          range(1, greatest(len(tk) - 6, 1)),
+          list_transform(range(1, greatest(len(tk) - 6, 1)),
+                         i -> array_to_string(tk[i:i+7], ' ')))) AS s
+      ) u),
+    pp AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos - b.pos AS diag, a.pos AS pa
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id),
+    isl AS (
+      SELECT da, db, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+      FROM pp),
+    runs AS (
+      SELECT da, db, CAST(COUNT(*) + 7 AS BIGINT) AS run_tokens
+      FROM isl GROUP BY da, db, diag, grp),
+    agg AS (
+      SELECT da AS doc_id, CAST(MAX(run_tokens) AS BIGINT) AS longest_match,
+             CAST(COUNT(DISTINCT db) AS BIGINT) AS n_partners
+      FROM runs GROUP BY da)
+    SELECT d.doc_id,
+           COALESCE(a.longest_match, 0) AS longest_match,
+           COALESCE(a.n_partners, 0) AS n_partners
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def q_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest shared token run per document (r11 stretch — the
+    lane that closes the long-match bracket: q_dup_spans is
+    shingle-complete but reports only the duplicated FRACTION;
+    q_winnowing is sparse with bounded-miss; this one answers "what is
+    the longest verbatim copy, exactly?"). The suffix-structure
+    answer re-expressed relationally as sorted-anchor extension: every
+    8-token shingle is an anchor (doc, pos, gram); two documents
+    sharing an anchor define a DIAGONAL (da, db, pa - pb), and a
+    maximal exact run of m tokens is exactly m - 7 consecutive anchor
+    positions on one diagonal — recovered with the gaps-and-islands
+    trick (pos - row_number per diagonal) in ONE window pass, no
+    iteration. Reports per doc the longest cross-doc run (>= 8 tokens,
+    0 when none) and the distinct partner count.
+
+    Scale shape: one explode (~|tokens| anchors, the q_dup_spans cost
+    class), one merge-pinned anchor self-join — fan-out is sum over
+    grams of df² like every candidate generator, so on boilerplate-
+    heavy corpora you run q_winnowing first and this lane on its
+    candidates — then one window + two partial aggs, all shuffling on
+    (da, db, diag)-grained keys. The join must never broadcast:
+    both sides are the SAME corpus-scale explode (finding-94 class).
+    """
+    d = catalog.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks_df = d.select(
+        "doc_id", F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
+    )
+    tk = F.col("tk")
+    entries = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 7),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(tk, i, 8), " ").alias("g")
+        ),
+    )
+    entries = F.when(F.size(tk) >= 8, entries).otherwise(
+        F.array().cast("array<struct<pos:int,g:string>>")
+    )
+    sh = toks_df.select("doc_id", F.explode(entries).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
+    )
+    a = sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "g")
+    b = sh.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "g")
+    pp = (
+        a.hint("merge")
+        .join(b, "g")
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "pa")
+    )
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    isl = pp.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("da", "db", "diag", "grp").agg(
+        (F.count("*") + 7).cast("bigint").alias("run_tokens")
+    )
+    agg = runs.groupBy("da").agg(
+        F.max("run_tokens").alias("longest_match"),
+        F.countDistinct("db").cast("bigint").alias("n_partners"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg.withColumnRenamed("da", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("longest_match", F.lit(0).cast("bigint")).alias("longest_match"),
+            F.coalesce("n_partners", F.lit(0).cast("bigint")).alias("n_partners"),
+        )
+    )
+
+
 # -- BPE merge-candidate pair counts ------------------------------------------
 
 

@@ -157,6 +157,9 @@ HEADLINE = [
     # round-10: the incremental delta-vs-base near-dup probe (the
     # dedup-at-ingest production shape)
     "q_neardup_incremental",
+    # round-11: exact longest-shared-run via anchor diagonals (the
+    # heaviest new shape — corpus-scale anchor self-join + island window)
+    "q_longest_match",
 ]
 
 

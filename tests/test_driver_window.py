@@ -76,7 +76,13 @@ def test_witness_rounds_covers_full_registry():
     # growth budget per round is <=10; anything larger means the ledger
     # parse broke, not that 10+ keys appeared at once
     assert len(unseen) <= 10, f"ledger parse regression? unseen={len(unseen)}"
-    assert unseen == q[: len(unseen)]
+    # order is manual block, then new growth, then staleness body — so
+    # the unseen keys (minus any manually forced ones) start right
+    # after the manual prefix
+    manual = [k for k in entry._MANUAL_PRIORITY if k in q]
+    body_unseen = [k for k in unseen if k not in manual]
+    assert body_unseen == q[len(manual) : len(manual) + len(body_unseen)]
+    assert len(manual) + len(unseen) <= 50, "growth + manual must fit the window"
 
 
 def test_failed_rows_do_not_count_as_witnessed():

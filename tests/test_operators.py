@@ -994,3 +994,39 @@ def test_neardup_incremental_probes_delta_only(spark, tmp_path):
     assert set(rows) == {7, 17}, "only delta docs appear in the report"
     assert rows[7]["n_dup"] >= 1 and rows[7]["max_jaccard"] > 0.3
     assert rows[17]["n_cand"] == 0 and rows[17]["max_jaccard"] is None
+
+
+def test_longest_match_exact_runs(spark, tmp_path):
+    """q_longest_match (r11): the gaps-and-islands extension recovers
+    EXACT maximal shared token runs — a 12-token verbatim copy reports
+    12 (not 8, not 13), an 8-token minimum match reports 8, disjoint
+    text reports 0, and partner counts are distinct documents."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import (
+        q_longest_match,
+    )
+
+    run12 = " ".join(f"r{i}" for i in range(12))
+    run8 = " ".join(f"s{i}" for i in range(8))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"alpha beta {run12} gamma delta " + run8,
+                f"one two three {run12} four five six seven",
+                "totally disjoint words with no shared runs at all here ok fine",
+                f"prefix {run8} suffix tail words pad pad2 pad3",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    rows = {r["doc_id"]: r for r in q_longest_match(spark, sf).collect()}
+    assert rows[0]["longest_match"] == 12 and rows[0]["n_partners"] == 2
+    assert rows[1]["longest_match"] == 12 and rows[1]["n_partners"] == 1
+    assert rows[2]["longest_match"] == 0 and rows[2]["n_partners"] == 0
+    assert rows[3]["longest_match"] == 8 and rows[3]["n_partners"] == 1
