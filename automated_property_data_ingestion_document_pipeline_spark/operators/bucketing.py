@@ -85,8 +85,9 @@ def corpus_fingerprint(*paths: str) -> str:
                 f"{os.path.basename(root)}:{st.st_size}:{st.st_mtime_ns}".encode()
             )
             continue
-        for dirpath, dirnames, filenames in sorted(os.walk(root)):
-            dirnames.sort()
+        # sorted() drains the walk up front, so ordering comes from the
+        # outer sort on dirpath, not from mutating dirnames
+        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
             for name in sorted(filenames):
                 p = os.path.join(dirpath, name)
                 st = os.stat(p)
@@ -138,12 +139,15 @@ def ensure_bucketed(
     amortization holds within a session (a driver/bench run over many
     keys) and rebuilds on the first touch of a new session; with a
     persistent metastore it would hold across jobs."""
+    if "'" in fingerprint:
+        # stripping the quote at store time would make the stored value
+        # never equal the caller's, i.e. a silent rebuild-every-call
+        raise ValueError("fingerprint must not contain single quotes")
     if table_fingerprint(spark, table) == fingerprint:
         return False
     write_bucketed(build(), table, key, num_buckets=num_buckets, sort=sort)
     spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES "
-        f"('{_FP_PROP}'='{fingerprint.replace(chr(39), '')}')"
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('{_FP_PROP}'='{fingerprint}')"
     )
     return True
 

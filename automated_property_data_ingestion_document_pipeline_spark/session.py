@@ -30,20 +30,17 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # r11 (finding 95 follow-through, MEASURED): the derived partition
-    # COUNT protects the sort-heavy lanes' heap; coalescing may merge
-    # only the genuinely tiny post-shuffle fragments back. The
-    # aggressive form — parallelismFirst=false, advisory 64 MiB — was
-    # tried first and REFUTED by a same-day sf10 A/B (PERFORMANCE.md
-    # finding 106): it re-fattens the very partitions the derivation
-    # exists to keep small (q_minhash_portable 526 s -> 1185 s with
-    # 354 GB mem spill; q_neardup_clusters 480 -> 763 s). So Spark's
-    # parallelism-first default stays, and only the coalesce floor
-    # rises 1 MiB -> 8 MiB — the same 8 MiB/partition constant the
-    # derivation below uses — which merges sub-8 MiB fragment tails
-    # without touching any stage whose per-task share already exceeds
-    # the floor.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8m",
+    # r11 (finding 95 follow-through): AQE coalescing stays at SPARK
+    # DEFAULTS — both attempted overrides were measured and REFUTED
+    # the same day (PERFORMANCE.md finding 106). parallelismFirst=
+    # false + advisory 64 MiB re-fattens the sort partitions the
+    # input-derived count keeps small (minhash 526 -> 1185 s, 354 GB
+    # spill at sf10); raising minPartitionSize 1 -> 8 MiB then
+    # destroyed post-shuffle parallelism at bench scale (a 20 MB
+    # shuffle coalesces to ~3 tasks instead of 32 — q_topk 10.7x,
+    # whole bench ~2-4x). The finding-95 fragmentation cost is map-
+    # output compression, written before coalescing can see it: not
+    # an AQE-recoverable cost, and the defaults are already right.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # r11: expose bucket-sort ordering from bucketed table scans so a
     # merge join against a bucket-sorted table (one file per bucket —

@@ -378,6 +378,12 @@ def main() -> None:
         # BENCH_DETAIL's delta_x either way
         del line["regressions"]
         out = json.dumps(line, separators=(",", ":"))
+    if len(out) >= 1950:
+        # r11: 81 keys at 2 decimals brushed the guard — drop the
+        # per-key precision to 1 decimal (BENCH_DETAIL keeps 3) before
+        # ever failing the hard assert below
+        line["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        out = json.dumps(line, separators=(",", ":"))
     # hard guard: the driver records only a 2000-char tail of the
     # MERGED output stream; the spec line must never overflow it again
     # (r03 lesson). The line must be the LAST bytes of that stream —

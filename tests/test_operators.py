@@ -855,14 +855,19 @@ def test_derived_shuffle_partitions_curve_and_tune_guards(spark):
         conf.set("spark.sql.shuffle.partitions", "200")
         tune(spark, input_bytes=1712 * mib)
         assert conf.get("spark.sql.shuffle.partitions") == "214"
-        # r11 (verdict ask #2, as adjudicated by finding 106's sf10
-        # A/B): parallelism-first coalescing stays — the aggressive
-        # advisory-size form re-fattens the fat lanes — and only the
-        # coalesce floor rises to the derivation's own 8 MiB constant,
-        # merging sub-8 MiB fragment tails.
-        assert (
-            conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "8m"
-        )
+        # r11 (verdict ask #2, adjudicated by finding 106's two
+        # same-day refutations): AQE coalescing must stay at Spark
+        # defaults — tune() must NOT override parallelismFirst, the
+        # advisory size, or the coalesce floor (each override was
+        # measured harmful at one scale or the other).
+        from automated_property_data_ingestion_document_pipeline_spark.session import _RUNTIME_CONF
+
+        for k in (
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        ):
+            assert k not in _RUNTIME_CONF, k
     finally:
         conf.set("spark.sql.shuffle.partitions", orig)
         if orig_marker is None:
