@@ -43,8 +43,7 @@ def write_bucketed(
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    loc = _table_location(spark, table)
     if loc and os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
     w = df.write.format("parquet").mode("overwrite").bucketBy(
@@ -116,6 +115,11 @@ def table_fingerprint(spark: SparkSession, table: str) -> "str | None":
     return None
 
 
+def _table_location(spark: SparkSession, table: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return os.path.join(warehouse.removeprefix("file:"), table.lower())
+
+
 def ensure_bucketed(
     spark: SparkSession,
     table: str,
@@ -125,30 +129,68 @@ def ensure_bucketed(
     num_buckets: int = 8,
     sort: bool = True,
 ) -> bool:
-    """Build-once guard for a persisted bucketed table: (re)build via
-    ``build()`` only when ``table`` does not already carry
-    ``fingerprint`` in its properties — the "band the base ONCE, probe
-    it forever" amortization the 100 TB ingest shape depends on.
-    Returns True when the table was (re)built this call.
+    """Build-once guard for a persisted bucketed table — the "band the
+    base ONCE, probe it forever" amortization the 100 TB ingest shape
+    depends on. Returns True when ``build()`` actually ran this call.
+
+    The stamp compared is ``fingerprint`` plus the bucket spec (keys,
+    bucket count, sort flag), folded in HERE so no caller can change
+    the physical layout without forcing a rebuild. Three tiers:
+
+    1. same session, stamp matches table properties → no-op;
+    2. new session/process, but the warehouse directory holds a
+       complete build (``_SUCCESS``) whose on-disk ``_graft_stamp``
+       matches → ADOPT it: re-register the existing files as a
+       bucketed table (``CREATE TABLE … CLUSTERED BY … LOCATION``),
+       zero data movement. This is what lets a driver run, a bench
+       run, and a pytest session share one base build without a
+       persistent metastore — and it removes the destroy-while-
+       another-process-reads hazard from the common same-corpus path;
+    3. otherwise (re)build via ``build()``. A STALE-corpus rebuild
+       still clears the old directory, so concurrent readers of a
+       superseded corpus remain unsupported (single-writer cadence,
+       as in any ingest pipeline without snapshot isolation).
 
     The builder should ``repartition(num_buckets, *keys)`` its output
     so each bucket lands as ONE file — Spark's scan only exposes the
     bucket-sort ordering (eliding the read-side Sort in a merge join)
-    when files-per-bucket is exactly 1. Scope note: Spark's in-memory
-    catalog forgets managed tables between sessions, so the
-    amortization holds within a session (a driver/bench run over many
-    keys) and rebuilds on the first touch of a new session; with a
-    persistent metastore it would hold across jobs."""
-    if "'" in fingerprint:
+    when files-per-bucket is exactly 1."""
+    keys = [key] if isinstance(key, str) else list(key)
+    stamp = f"{fingerprint}|keys={','.join(keys)}|nb={num_buckets}|sorted={sort}"
+    if "'" in stamp:
         # stripping the quote at store time would make the stored value
         # never equal the caller's, i.e. a silent rebuild-every-call
         raise ValueError("fingerprint must not contain single quotes")
-    if table_fingerprint(spark, table) == fingerprint:
+    if table_fingerprint(spark, table) == stamp:
         return False
+
+    loc = _table_location(spark, table)
+    stamp_path = os.path.join(loc, "_graft_stamp")
+    if not spark.catalog.tableExists(table) and os.path.exists(
+        os.path.join(loc, "_SUCCESS")
+    ):
+        try:
+            disk_stamp = open(stamp_path).read()
+        except OSError:
+            disk_stamp = None
+        if disk_stamp == stamp:
+            schema = spark.read.parquet(loc).schema
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+            sort_sql = f"SORTED BY ({', '.join(keys)}) " if sort else ""
+            spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(keys)}) {sort_sql}"
+                f"INTO {num_buckets} BUCKETS LOCATION '{loc}'"
+            )
+            spark.sql(
+                f"ALTER TABLE {table} SET TBLPROPERTIES ('{_FP_PROP}'='{stamp}')"
+            )
+            return False
+
     write_bucketed(build(), table, key, num_buckets=num_buckets, sort=sort)
-    spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES ('{_FP_PROP}'='{fingerprint}')"
-    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{_FP_PROP}'='{stamp}')")
+    with open(stamp_path, "w") as f:
+        f.write(stamp)
     return True
 
 

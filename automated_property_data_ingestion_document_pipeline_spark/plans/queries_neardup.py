@@ -688,11 +688,13 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base while only the delta (ingest-rate-sized) shuffles and sorts.
     That deletes the sf10 finding-104 spill source (the base-side
     verify sort over 90% of the corpus' shingles) and bounds per-probe
-    cost by |delta| x bucket density. First call in a session pays the
-    build (the same banding work the lane previously did inline, plus
-    one bucketed write); every later call probes only — bench
-    median-of-3 and any real ingest cadence amortize exactly this
-    way."""
+    cost by |delta| x bucket density. The FIRST process to see a corpus
+    pays the build (the same banding work the lane previously did
+    inline, plus one bucketed write); later sessions ADOPT the on-disk
+    build via its _graft_stamp (ensure_bucketed tier 2 — catalog
+    re-registration, zero data movement) and every later call in a
+    session probes only — bench median-of-3, the driver's runs, and
+    any real ingest cadence amortize exactly this way."""
     import os as _os
     import re as _re
 
@@ -701,6 +703,11 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     is_delta = F.col("doc_id") % 10 == 7
     sf_tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # the fingerprint carries every CONTENT parameter the tables are a
+    # function of (corpus bytes + shingle/signature/banding constants);
+    # the physical bucket spec (keys, width, sort) is folded into the
+    # stamp by ensure_bucketed itself, so a layout change rebuilds
+    # without any caller-side bookkeeping
     fp = (
         bucketing.corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
         + f":v1:k3 s{_K} b{_BANDS}"
@@ -732,8 +739,16 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # delta side: shingled/banded inline (it arrives fresh each probe);
-    # filtered BEFORE shingling so the probe never re-explodes the base
-    delta_sh = _portable_shingles(docs.filter(is_delta))
+    # filtered BEFORE shingling so the probe never re-explodes the base.
+    # The shingle set feeds THREE independent subtrees (banding, the
+    # verify probe, the size counts) — cut lineage once so the delta
+    # scan + explode + distinct run ONCE per probe, not three times
+    # (r11 review finding; transient per-query cut, so durable=False)
+    from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
+
+    delta_sh = cut_lineage(
+        _portable_shingles(docs.filter(is_delta)), durable=False
+    )
     delta_bands = _portable_bands(delta_sh).select(
         F.col("doc_id").alias("delta_id"),
         F.col("band").alias("band_d"),

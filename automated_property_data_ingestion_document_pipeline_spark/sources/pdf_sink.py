@@ -1950,8 +1950,11 @@ def _setup_decryption(idx: "_ObjIndex", password: bytes = b"") -> None:
     the wild. ``password`` (r11, default empty — the ubiquitous
     owner-restrictions-only case) is tried as the USER password first,
     then — when non-empty — as the OWNER password (Algorithm 7 /
-    2.A owner branch), so authorized bulk ingest of credentialed
-    archives works with either credential. Everything else is a typed
+    2.A owner branch), then falls back to the EMPTY user password, so
+    authorized bulk ingest of credentialed archives works with either
+    credential AND a batch credential never quarantines the
+    owner-restrictions-only files mixed into the same batch (the order
+    every real reader uses). Everything else is a typed
     refusal: wrong passwords, non-Standard handlers, unknown /CFM;
     /Identity leaves streams plaintext (no decryptor)."""
     import re
@@ -2014,6 +2017,12 @@ def _setup_decryption(idx: "_ObjIndex", password: bytes = b"") -> None:
                 key = pdf_crypt.authenticate_owner_password_v5(
                     password, o_val, oe_val, u_val, r
                 )
+        if key is None and password:
+            # r11 review: a batch credential must not quarantine the
+            # owner-restrictions-only files mixed into the same batch —
+            # like every real reader, fall back to the empty user
+            # password before refusing
+            key = pdf_crypt.authenticate_user_password_v5(b"", u_val, ue_val, r)
         if key is None:
             raise PdfUnsupported(
                 "password-protected PDF (supplied password rejected)"
@@ -2079,6 +2088,12 @@ def _setup_decryption(idx: "_ObjIndex", password: bytes = b"") -> None:
     if key is None and password:
         key = pdf_crypt.authenticate_owner_password(
             password, o_val, u_val, p, idx.file_id, r, key_bytes,
+            encrypt_metadata=encrypt_metadata,
+        )
+    if key is None and password:
+        # empty-user-password fallback — see the /V 5 branch note
+        key = pdf_crypt.authenticate_user_password(
+            b"", o_val, u_val, p, idx.file_id, r, key_bytes,
             encrypt_metadata=encrypt_metadata,
         )
     if key is None:

@@ -131,3 +131,57 @@ def test_banded_base_bucket_probe_only_delta_shuffles(spark, sf_dir, tmp_path):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_neardup_base_bands")
+
+
+def test_ensure_bucketed_build_once_guard(spark):
+    """r11: ensure_bucketed builds when the table is absent or carries
+    a different fingerprint, skips when the stamp matches, and rejects
+    quote-bearing fingerprints outright (a stripped-at-store copy
+    would never match and rebuild forever)."""
+    import pytest
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    t = "t_ensure_guard"
+    try:
+        assert bucketing.ensure_bucketed(spark, t, "id", "fp-one", build, num_buckets=2)
+        assert bucketing.ensure_bucketed(spark, t, "id", "fp-one", build, num_buckets=2) is False
+        assert calls == [1], "matching fingerprint must skip the build"
+        # the stored stamp folds the physical bucket spec in at the
+        # mechanism level, so no caller can change layout silently
+        assert bucketing.table_fingerprint(spark, t) == (
+            "fp-one|keys=id|nb=2|sorted=True"
+        )
+        # a bucket-spec change alone forces a rebuild
+        assert bucketing.ensure_bucketed(spark, t, "id", "fp-one", build, num_buckets=4)
+        assert calls == [1, 1]
+        assert bucketing.ensure_bucketed(spark, t, "id", "fp-two", build, num_buckets=4)
+        assert calls == [1, 1, 1]
+        with pytest.raises(ValueError, match="single quotes"):
+            bucketing.ensure_bucketed(spark, t, "id", "bad'fp", build, num_buckets=2)
+        # cross-process adoption: a NEW session forgets the catalog
+        # entry but keeps the warehouse files. Simulate by parking the
+        # directory across a managed DROP (which would purge it) and
+        # restoring it — catalog entry gone, files intact.
+        import os as _os
+        import shutil as _sh
+
+        loc = bucketing._table_location(spark, t)
+        _sh.move(loc, loc + ".keep")
+        spark.sql(f"DROP TABLE {t}")
+        _sh.move(loc + ".keep", loc)
+        assert _os.path.exists(_os.path.join(loc, "_SUCCESS"))
+        assert (
+            bucketing.ensure_bucketed(spark, t, "id", "fp-two", build, num_buckets=4)
+            is False
+        ), "matching on-disk stamp must adopt, not rebuild"
+        assert calls == [1, 1, 1]
+        agg = spark.table(t).groupBy("id").count()
+        assert bucketing.shuffle_exchanges_in_plan(agg) == 0
+        assert spark.table(t).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

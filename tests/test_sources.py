@@ -1204,7 +1204,10 @@ def test_pdf_caller_supplied_passwords_all_generations():
     absent credentials stay typed refusals, and the refusal message
     distinguishes 'supplied password rejected' from the empty-password
     case. Empty-password files keep opening with no credential — the
-    r09/r10 surface is unchanged."""
+    r09/r10 surface is unchanged — AND with a wrong batch credential
+    (the empty-user fallback every real reader applies last), so a
+    single archive password never quarantines the owner-restrictions-
+    only files mixed into the same batch."""
     import pytest
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
@@ -1239,6 +1242,11 @@ def test_pdf_caller_supplied_passwords_all_generations():
     )
 
     assert extract_pdf_text(pdf_bytes_from_lines(lines), password="x") == lines
+    # a wrong batch credential against an EMPTY-user-password file must
+    # fall back to the empty password and extract, not quarantine
+    for method in ("rc4-128", "aes-256"):
+        open_blob = pdf_bytes_encrypted(lines, method=method)  # user_pw=b""
+        assert extract_pdf_text(open_blob, password=b"archive-pw") == lines, method
 
 
 def test_extract_document_text_sniff_and_quarantine(spark):
