@@ -500,35 +500,80 @@ _WINNOW_K = 4  # tokens per k-gram
 _WINNOW_W = 4  # window size: any shared run >= w+k-1 tokens is GUARANTEED caught
 
 
-@query(
-    "q_winnowing",
-    oracle=f"""
-    WITH toks AS (
+def _winnow_fps(d: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, n_grams, fp) winnowing fingerprints of the
+    already-NULL-filtered documents ``d`` — the shared Spark half used
+    by q_winnowing (incidence stats) and q_longest_match_winnowed
+    (pair prefilter). Mirrors :func:`_winnow_ctes_sql` exactly."""
+    from pyspark.sql import Window
+
+    K, W = _WINNOW_K, _WINNOW_W
+    tk = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
+    base = d.select("doc_id", tk.alias("tk"))
+    idx = F.when(
+        F.size("tk") >= K, F.sequence(F.lit(1), F.size("tk") - K + 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    g = base.select("doc_id", "tk", F.explode(idx).alias("pos"))
+    h = g.select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("tk", F.col("pos"), K), " ")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    wm = h.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+        F.min("h")
+        .over(Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1))
+        .alias("fp"),
+    )
+    return wm.distinct()
+
+
+def _winnow_ctes_sql() -> str:
+    """DuckDB twin of :func:`_winnow_fps`: CTEs ``wtoks → wg → wh →
+    wwm → wfps`` ending in DISTINCT (doc_id, n_grams, fp) — one copy,
+    used by both winnowing-family oracles."""
+    K, W = _WINNOW_K, _WINNOW_W
+    return f"""wtoks AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '{WS_SPLIT}'),
                          x -> x <> '') AS tk
       FROM documents WHERE text IS NOT NULL),
-    g AS (
+    wg AS (
       SELECT doc_id, tk,
-             unnest(range(1, greatest(len(tk) - {_WINNOW_K - 1}, 0) + 1)) AS pos
-      FROM toks),
-    h AS (
+             unnest(range(1, greatest(len(tk) - {K - 1}, 0) + 1)) AS pos
+      FROM wtoks),
+    wh AS (
       SELECT doc_id, pos,
              CAST(('0x' || substr(md5(array_to_string(
-                    tk[pos:pos+{_WINNOW_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
-      FROM g),
-    wm AS (
+                    tk[pos:pos+{K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+      FROM wg),
+    wwm AS (
       SELECT doc_id,
              CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                          ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
                AS fp
-      FROM h),
-    fps AS (SELECT DISTINCT doc_id, n_grams, fp FROM wm),
+      FROM wh),
+    wfps AS (SELECT DISTINCT doc_id, n_grams, fp FROM wwm)"""
+
+
+@query(
+    "q_winnowing",
+    oracle=f"""
+    WITH {_winnow_ctes_sql()},
     inc AS (
       SELECT doc_id, n_grams, fp,
              COUNT(*) OVER (PARTITION BY fp) AS n_docs_with
-      FROM fps)
+      FROM wfps)
     SELECT doc_id, n_grams,
            CAST(COUNT(*) AS BIGINT) AS n_fp,
            CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -568,45 +613,134 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot skew)."""
     from pyspark.sql import Window
 
-    K, W = _WINNOW_K, _WINNOW_W
     d = catalog.load(spark, sf_dir, "documents")
-    # explicit whitespace class, NOT \s: Java regex \s includes \x0B
-    # but DuckDB's RE2 \s does not, so the two engines would tokenize a
-    # vertical-tab document differently (r10 review finding, verified
-    # empirically); the same escape text means the same class to both
-    tk = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
-    base = d.filter(F.col("text").isNotNull()).select("doc_id", tk.alias("tk"))
-    idx = F.when(
-        F.size("tk") >= K, F.sequence(F.lit(1), F.size("tk") - K + 1)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    g = base.select("doc_id", "tk", F.explode(idx).alias("pos"))
-    h = g.select(
-        "doc_id",
-        "pos",
-        F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice("tk", F.col("pos"), K), " ")), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h"),
-    )
-    wm = h.select(
-        "doc_id",
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
-        F.min("h")
-        .over(Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1))
-        .alias("fp"),
-    )
-    fps = wm.distinct()
+    # tokenization uses the explicit whitespace class WS_SPLIT, NOT \\s:
+    # Java regex \\s includes \\x0B but DuckDB's RE2 \\s does not, so the
+    # same escape text is the only spelling both engines read
+    # identically (r10 review finding, verified empirically). The
+    # shared Spark/SQL halves live in _winnow_fps / _winnow_ctes_sql
+    # (r11: also the pair prefilter of q_longest_match_winnowed).
+    fps = _winnow_fps(d.filter(F.col("text").isNotNull()))
     inc = fps.withColumn("n_docs_with", F.count("*").over(Window.partitionBy("fp")))
     shared = F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0))
     return inc.groupBy("doc_id", "n_grams").agg(
         F.count("*").alias("n_fp"),
         shared.alias("n_shared"),
         F.round(shared.cast("double") / F.count("*"), 6).alias("shared_frac"),
+    )
+
+
+# -- winnowing-gated exact longest match --------------------------------------
+
+
+@query(
+    "q_longest_match_winnowed",
+    oracle=f"""
+    WITH {_winnow_ctes_sql()},
+    cdocs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS ndw FROM wfps)
+      WHERE ndw >= 2),
+    atoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '{WS_SPLIT}'),
+                         x -> x <> '') AS tk
+      FROM documents
+      WHERE text IS NOT NULL
+        AND doc_id IN (SELECT doc_id FROM cdocs)),
+    ash AS (
+      SELECT doc_id, u.s[1] AS pos, u.s[2] AS g
+      FROM atoks,
+      LATERAL (
+        SELECT unnest(list_zip(
+          range(1, greatest(len(tk) - 6, 1)),
+          list_transform(range(1, greatest(len(tk) - 6, 1)),
+                         i -> array_to_string(tk[i:i+7], ' ')))) AS s
+      ) u),
+    pp AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos - b.pos AS diag, a.pos AS pa
+      FROM ash a JOIN ash b ON a.g = b.g AND a.doc_id <> b.doc_id),
+    isl AS (
+      SELECT da, db, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+      FROM pp),
+    runs AS (
+      SELECT da, db, CAST(COUNT(*) + 7 AS BIGINT) AS run_tokens
+      FROM isl GROUP BY da, db, diag, grp),
+    agg AS (
+      SELECT da AS doc_id, CAST(MAX(run_tokens) AS BIGINT) AS longest_match,
+             CAST(COUNT(DISTINCT db) AS BIGINT) AS n_partners
+      FROM runs GROUP BY da)
+    SELECT d.doc_id,
+           COALESCE(a.longest_match, 0) AS longest_match,
+           COALESCE(a.n_partners, 0) AS n_partners
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def q_longest_match_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_longest_match's SPARSE-CORPUS GATE: identical output — per
+    doc, the exact longest cross-doc token run (>= 8) and partner
+    count — but the anchor self-join runs only over the CANDIDATE
+    DOCUMENT SET: documents sharing at least one winnowing fingerprint
+    with any other document. LOSSLESS by the winnowing guarantee
+    (Schleimer et al. 2003): any shared run of >= w+k-1 = 7 tokens
+    selects a common fingerprint in both documents, and every
+    reportable pair shares an 8-token anchor (itself a >= 7-token
+    run), so neither endpoint can be outside the candidate set. A
+    32-bit fp collision only ADDS candidate docs, for which the exact
+    extension reports nothing. Twin equality is pinned by a
+    differential test; both lanes carry independent DuckDB oracles.
+
+    Cost model, MEASURED not assumed: gating must happen at the DOC
+    level, not the pair level — a first cut joined (da, db) candidate
+    pairs against the anchor stream and ran 3-6x SLOWER than naive on
+    the dup-heavy sf corpora (replicating each doc's anchors once per
+    partner dwarfs the matching-anchor join). Doc-gating instead
+    shrinks the naive join's INPUT: corpora where duplication is rare
+    (the real-world sweep: most docs match nothing) drop to the few
+    candidate docs' anchors, and dup-heavy corpora degrade gracefully
+    to naive cost plus one winnowing pass. The candidate filter is a
+    shuffle_hash-pinned semi-join — the doc set scales with the
+    corpus, so it must never broadcast (finding-94 class)."""
+    from pyspark.sql import Window
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import (
+        token_anchors,
+    )
+
+    d = catalog.load(spark, sf_dir, "documents")
+    nn = d.filter(F.col("text").isNotNull())
+    fps = _winnow_fps(nn).select("doc_id", "fp")
+    inc = fps.withColumn("ndw", F.count("*").over(Window.partitionBy("fp")))
+    cand_docs = inc.filter(F.col("ndw") >= 2).select("doc_id").distinct()
+    sh = token_anchors(nn).join(cand_docs.hint("shuffle_hash"), "doc_id", "leftsemi")
+    a = sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "g")
+    b = sh.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("g").alias("gb")
+    )
+    pp = (
+        a.hint("merge")
+        .join(b, F.col("gb") == F.col("g"))
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "pa")
+    )
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    isl = pp.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("da", "db", "diag", "grp").agg(
+        (F.count("*") + 7).cast("bigint").alias("run_tokens")
+    )
+    agg = runs.groupBy("da").agg(
+        F.max("run_tokens").alias("longest_match"),
+        F.countDistinct("db").cast("bigint").alias("n_partners"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg.withColumnRenamed("da", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("longest_match", F.lit(0).cast("bigint")).alias("longest_match"),
+            F.coalesce("n_partners", F.lit(0).cast("bigint")).alias("n_partners"),
+        )
     )
 
 

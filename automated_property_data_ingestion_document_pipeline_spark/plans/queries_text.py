@@ -850,6 +850,31 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- exact longest-common-substring (token runs) ------------------------------
 
+_ANCHOR_LEN = 8  # tokens per anchor; only runs >= this are reported
+
+
+def token_anchors(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, g): every 8-token shingle of every document with
+    its 1-based position — the anchor stream both exact long-match
+    lanes (q_longest_match here, q_longest_match_winnowed in
+    queries_neardup) extend into maximal runs."""
+    toks_df = d.select(
+        "doc_id", F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
+    )
+    tk = F.col("tk")
+    entries = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (_ANCHOR_LEN - 1)),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(tk, i, _ANCHOR_LEN), " ").alias("g")
+        ),
+    )
+    entries = F.when(F.size(tk) >= _ANCHOR_LEN, entries).otherwise(
+        F.array().cast("array<struct<pos:int,g:string>>")
+    )
+    return toks_df.select("doc_id", F.explode(entries).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
+    )
+
 
 @query(
     "q_longest_match",
@@ -911,22 +936,7 @@ def q_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = catalog.load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    toks_df = d.select(
-        "doc_id", F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
-    )
-    tk = F.col("tk")
-    entries = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - 7),
-        lambda i: F.struct(
-            i.alias("pos"), F.array_join(F.slice(tk, i, 8), " ").alias("g")
-        ),
-    )
-    entries = F.when(F.size(tk) >= 8, entries).otherwise(
-        F.array().cast("array<struct<pos:int,g:string>>")
-    )
-    sh = toks_df.select("doc_id", F.explode(entries).alias("s")).select(
-        "doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
-    )
+    sh = token_anchors(d)
     a = sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "g")
     b = sh.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "g")
     pp = (

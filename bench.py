@@ -159,7 +159,10 @@ HEADLINE = [
     "q_neardup_incremental",
     # round-11: exact longest-shared-run via anchor diagonals (the
     # heaviest new shape — corpus-scale anchor self-join + island window)
+    # and its winnowing-gated scale twin (identical output, pair-bounded
+    # join)
     "q_longest_match",
+    "q_longest_match_winnowed",
 ]
 
 

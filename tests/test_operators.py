@@ -1035,3 +1035,43 @@ def test_longest_match_exact_runs(spark, tmp_path):
     assert rows[1]["longest_match"] == 12 and rows[1]["n_partners"] == 1
     assert rows[2]["longest_match"] == 0 and rows[2]["n_partners"] == 0
     assert rows[3]["longest_match"] == 8 and rows[3]["n_partners"] == 1
+
+
+def test_longest_match_winnowed_equals_naive(spark, tmp_path, sf_dir):
+    """q_longest_match_winnowed (r11): the winnowing-pair prefilter is
+    LOSSLESS — any reportable pair shares an 8-token anchor, itself a
+    >= w+k-1 = 7-token run, which the winnowing guarantee says selects
+    a common fingerprint in both docs. Pinned by value equality with
+    the naive twin on the sf corpus AND on a crafted corpus containing
+    boundary runs (12, 8, 0 tokens shared)."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_neardup import (
+        q_longest_match_winnowed,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import (
+        q_longest_match,
+    )
+
+    run12 = " ".join(f"r{i}" for i in range(12))
+    run8 = " ".join(f"s{i}" for i in range(8))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"alpha beta {run12} gamma delta " + run8,
+                f"one two three {run12} four five six seven",
+                "totally disjoint words with no shared runs at all here ok fine",
+                f"prefix {run8} suffix tail words pad pad2 pad3",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    for corpus in (sf, sf_dir):
+        naive = {tuple(r) for r in q_longest_match(spark, corpus).collect()}
+        gated = {tuple(r) for r in q_longest_match_winnowed(spark, corpus).collect()}
+        assert naive == gated and len(naive) > 0, corpus
