@@ -87,6 +87,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   q_minhash_portable     r5 witness; since: r09 merge/shuffle_hash pins
 #   q_letter_roundtrip     r8 witness; since: encrypted PDF forms
 #   q_report_archive_extract r8 witness; since: encrypted PDF forms
+#   q_neardup_incremental  r10 witness; since: persisted bucket-sorted
+#                          base tables + adoption + delta lineage cut
 # Remove each key once CORRECTNESS_r11+ shows it green (the staleness
 # ledger then carries it normally again).
 _MANUAL_PRIORITY: list[str] = [
@@ -95,6 +97,7 @@ _MANUAL_PRIORITY: list[str] = [
     "q_minhash_portable",
     "q_letter_roundtrip",
     "q_report_archive_extract",
+    "q_neardup_incremental",
 ]
 
 

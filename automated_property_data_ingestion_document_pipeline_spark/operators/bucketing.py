@@ -138,14 +138,18 @@ def ensure_bucketed(
     the physical layout without forcing a rebuild. Three tiers:
 
     1. same session, stamp matches table properties → no-op;
-    2. new session/process, but the warehouse directory holds a
-       complete build (``_SUCCESS``) whose on-disk ``_graft_stamp``
-       matches → ADOPT it: re-register the existing files as a
-       bucketed table (``CREATE TABLE … CLUSTERED BY … LOCATION``),
-       zero data movement. This is what lets a driver run, a bench
-       run, and a pytest session share one base build without a
-       persistent metastore — and it removes the destroy-while-
-       another-process-reads hazard from the common same-corpus path;
+    2. new session/process, but the LOCAL warehouse directory holds a
+       complete non-empty build (``_SUCCESS`` + parquet parts) whose
+       on-disk ``_graft_stamp`` matches → ADOPT it: re-register the
+       existing files as a bucketed table (``CREATE TABLE … CLUSTERED
+       BY … LOCATION``), zero data movement. This is what lets a
+       driver run, a bench run, and a pytest session share one base
+       build without a persistent metastore — and it removes the
+       destroy-while-another-process-reads hazard from the common
+       same-corpus path. NOTE an adopted table is EXTERNAL: a bare
+       DROP TABLE keeps its files; use :func:`drop_bucketed` to purge.
+       Remote warehouses (hdfs://, s3a://) skip this tier and keep
+       per-session rebuilds;
     3. otherwise (re)build via ``build()``. A STALE-corpus rebuild
        still clears the old directory, so concurrent readers of a
        superseded corpus remain unsupported (single-writer cadence,
@@ -164,10 +168,17 @@ def ensure_bucketed(
     if table_fingerprint(spark, table) == stamp:
         return False
 
+    import glob
+
     loc = _table_location(spark, table)
     stamp_path = os.path.join(loc, "_graft_stamp")
-    if not spark.catalog.tableExists(table) and os.path.exists(
-        os.path.join(loc, "_SUCCESS")
+    if (
+        not spark.catalog.tableExists(table)
+        and os.path.exists(os.path.join(loc, "_SUCCESS"))
+        # a committed-but-EMPTY build has _SUCCESS and a stamp but no
+        # parquet parts — spark.read.parquet would fail schema
+        # inference, so fall through to a rebuild instead
+        and glob.glob(os.path.join(loc, "*.parquet"))
     ):
         try:
             disk_stamp = open(stamp_path).read()
@@ -189,9 +200,29 @@ def ensure_bucketed(
 
     write_bucketed(build(), table, key, num_buckets=num_buckets, sort=sort)
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{_FP_PROP}'='{stamp}')")
-    with open(stamp_path, "w") as f:
-        f.write(stamp)
+    # the stamp file (and the adoption tier that reads it) only exists
+    # for LOCAL warehouse paths; a remote warehouse (hdfs://, s3a://)
+    # simply keeps the per-session rebuild behavior — never fail a
+    # successful build over the marker
+    if os.path.isdir(loc):
+        try:
+            with open(stamp_path, "w") as f:
+                f.write(stamp)
+        except OSError:
+            pass
     return True
+
+
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """Drop ``table`` AND purge its warehouse directory + _graft_stamp.
+    Needed because an ADOPTED table (ensure_bucketed tier 2) is
+    external — a bare DROP TABLE leaves its files and stamp behind,
+    and a later session would silently re-adopt data the caller
+    thought was gone."""
+    loc = _table_location(spark, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def shuffle_exchanges_in_plan(df: DataFrame) -> int:

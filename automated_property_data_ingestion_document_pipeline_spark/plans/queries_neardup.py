@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from automated_property_data_ingestion_document_pipeline_spark import catalog
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 from automated_property_data_ingestion_document_pipeline_spark.functions.text import WS_SPLIT
+from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import _ANCHOR_LEN
 
 _K = 16          # signature length
 _BANDS = 4       # 4 bands x 4 rows
@@ -500,11 +501,14 @@ _WINNOW_K = 4  # tokens per k-gram
 _WINNOW_W = 4  # window size: any shared run >= w+k-1 tokens is GUARANTEED caught
 
 
-def _winnow_fps(d: DataFrame) -> DataFrame:
-    """DISTINCT (doc_id, n_grams, fp) winnowing fingerprints of the
+def _winnow_fps(d: DataFrame, with_counts: bool = True) -> DataFrame:
+    """DISTINCT (doc_id[, n_grams], fp) winnowing fingerprints of the
     already-NULL-filtered documents ``d`` — the shared Spark half used
     by q_winnowing (incidence stats) and q_longest_match_winnowed
-    (pair prefilter). Mirrors :func:`_winnow_ctes_sql` exactly."""
+    (candidate-doc gate). Mirrors :func:`_winnow_ctes_sql` exactly;
+    ``with_counts=False`` skips the per-doc n_grams COUNT window (a
+    whole-partition pass the gate never reads — the optimizer cannot
+    prune it through the distinct)."""
     from pyspark.sql import Window
 
     K, W = _WINNOW_K, _WINNOW_W
@@ -527,12 +531,17 @@ def _winnow_fps(d: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
+    fp_col = (
+        F.min("h")
+        .over(Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1))
+        .alias("fp")
+    )
+    if not with_counts:
+        return h.select("doc_id", fp_col).distinct()
     wm = h.select(
         "doc_id",
         F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
-        F.min("h")
-        .over(Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1))
-        .alias("fp"),
+        fp_col,
     )
     return wm.distinct()
 
@@ -642,20 +651,16 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS ndw FROM wfps)
       WHERE ndw >= 2),
     atoks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '{WS_SPLIT}'),
-                         x -> x <> '') AS tk
-      FROM documents
-      WHERE text IS NOT NULL
-        AND doc_id IN (SELECT doc_id FROM cdocs)),
+      SELECT doc_id, tk FROM wtoks
+      WHERE doc_id IN (SELECT doc_id FROM cdocs)),
     ash AS (
       SELECT doc_id, u.s[1] AS pos, u.s[2] AS g
       FROM atoks,
       LATERAL (
         SELECT unnest(list_zip(
-          range(1, greatest(len(tk) - 6, 1)),
-          list_transform(range(1, greatest(len(tk) - 6, 1)),
-                         i -> array_to_string(tk[i:i+7], ' ')))) AS s
+          range(1, greatest(len(tk) - {_ANCHOR_LEN - 2}, 1)),
+          list_transform(range(1, greatest(len(tk) - {_ANCHOR_LEN - 2}, 1)),
+                         i -> array_to_string(tk[i:i+{_ANCHOR_LEN - 1}], ' ')))) AS s
       ) u),
     pp AS (
       SELECT a.doc_id AS da, b.doc_id AS db, a.pos - b.pos AS diag, a.pos AS pa
@@ -665,7 +670,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
              pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
       FROM pp),
     runs AS (
-      SELECT da, db, CAST(COUNT(*) + 7 AS BIGINT) AS run_tokens
+      SELECT da, db, CAST(COUNT(*) + {_ANCHOR_LEN - 1} AS BIGINT) AS run_tokens
       FROM isl GROUP BY da, db, diag, grp),
     agg AS (
       SELECT da AS doc_id, CAST(MAX(run_tokens) AS BIGINT) AS longest_match,
@@ -710,7 +715,7 @@ def q_longest_match_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = catalog.load(spark, sf_dir, "documents")
     nn = d.filter(F.col("text").isNotNull())
-    fps = _winnow_fps(nn).select("doc_id", "fp")
+    fps = _winnow_fps(nn, with_counts=False)
     inc = fps.withColumn("ndw", F.count("*").over(Window.partitionBy("fp")))
     cand_docs = inc.filter(F.col("ndw") >= 2).select("doc_id").distinct()
     sh = token_anchors(nn).join(cand_docs.hint("shuffle_hash"), "doc_id", "leftsemi")
@@ -727,7 +732,7 @@ def q_longest_match_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("da", "db", "diag").orderBy("pa")
     isl = pp.withColumn("grp", F.col("pa") - F.row_number().over(w))
     runs = isl.groupBy("da", "db", "diag", "grp").agg(
-        (F.count("*") + 7).cast("bigint").alias("run_tokens")
+        (F.count("*") + (_ANCHOR_LEN - 1)).cast("bigint").alias("run_tokens")
     )
     agg = runs.groupBy("da").agg(
         F.max("run_tokens").alias("longest_match"),

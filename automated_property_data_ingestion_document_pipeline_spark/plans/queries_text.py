@@ -886,9 +886,9 @@ def token_anchors(d: DataFrame) -> DataFrame:
       FROM toks,
       LATERAL (
         SELECT unnest(list_zip(
-          range(1, greatest(len(tk) - 6, 1)),
-          list_transform(range(1, greatest(len(tk) - 6, 1)),
-                         i -> array_to_string(tk[i:i+7], ' ')))) AS s
+          range(1, greatest(len(tk) - {_ANCHOR_LEN - 2}, 1)),
+          list_transform(range(1, greatest(len(tk) - {_ANCHOR_LEN - 2}, 1)),
+                         i -> array_to_string(tk[i:i+{_ANCHOR_LEN - 1}], ' ')))) AS s
       ) u),
     pp AS (
       SELECT a.doc_id AS da, b.doc_id AS db, a.pos - b.pos AS diag, a.pos AS pa
@@ -898,7 +898,7 @@ def token_anchors(d: DataFrame) -> DataFrame:
              pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
       FROM pp),
     runs AS (
-      SELECT da, db, CAST(COUNT(*) + 7 AS BIGINT) AS run_tokens
+      SELECT da, db, CAST(COUNT(*) + {_ANCHOR_LEN - 1} AS BIGINT) AS run_tokens
       FROM isl GROUP BY da, db, diag, grp),
     agg AS (
       SELECT da AS doc_id, CAST(MAX(run_tokens) AS BIGINT) AS longest_match,
@@ -948,7 +948,7 @@ def q_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("da", "db", "diag").orderBy("pa")
     isl = pp.withColumn("grp", F.col("pa") - F.row_number().over(w))
     runs = isl.groupBy("da", "db", "diag", "grp").agg(
-        (F.count("*") + 7).cast("bigint").alias("run_tokens")
+        (F.count("*") + (_ANCHOR_LEN - 1)).cast("bigint").alias("run_tokens")
     )
     agg = runs.groupBy("da").agg(
         F.max("run_tokens").alias("longest_match"),

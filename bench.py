@@ -159,8 +159,8 @@ HEADLINE = [
     "q_neardup_incremental",
     # round-11: exact longest-shared-run via anchor diagonals (the
     # heaviest new shape — corpus-scale anchor self-join + island window)
-    # and its winnowing-gated scale twin (identical output, pair-bounded
-    # join)
+    # and its winnowing DOC-gated twin (identical output; the anchor
+    # join runs only over docs sharing >=1 fingerprint with anyone)
     "q_longest_match",
     "q_longest_match_winnowed",
 ]

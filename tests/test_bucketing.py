@@ -184,4 +184,7 @@ def test_ensure_bucketed_build_once_guard(spark):
         assert bucketing.shuffle_exchanges_in_plan(agg) == 0
         assert spark.table(t).count() == 2
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the adopted table is EXTERNAL — a bare DROP TABLE would leak
+        # the warehouse dir + stamp for the next session to re-adopt
+        bucketing.drop_bucketed(spark, t)
+    assert not __import__("os").path.isdir(bucketing._table_location(spark, t))
