@@ -78,27 +78,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Escape hatch: keys forced to the very front of the window. The
 # rotation orders by staleness only — it cannot see that a key's
-# IMPLEMENTATION changed since its last witness. r11 (r10 verdict ask
-# #1): the five most-rewritten operators carry r5-r8-vintage driver
-# proofs, so they jump the queue for one fresh driver witness each:
-#   q_pdf_extract          r6 witness; since: RC4/AES-128/AES-256 V5
-#                          encryption, EVP fast path, 13-form cycle
-#   q_semantic_dedup       r5 witness; since: recluster_cells='auto'
-#   q_minhash_portable     r5 witness; since: r09 merge/shuffle_hash pins
-#   q_letter_roundtrip     r8 witness; since: encrypted PDF forms
-#   q_report_archive_extract r8 witness; since: encrypted PDF forms
-#   q_neardup_incremental  r10 witness; since: persisted bucket-sorted
-#                          base tables + adoption + delta lineage cut
-# Remove each key once CORRECTNESS_r11+ shows it green (the staleness
-# ledger then carries it normally again).
-_MANUAL_PRIORITY: list[str] = [
-    "q_pdf_extract",
-    "q_semantic_dedup",
-    "q_minhash_portable",
-    "q_letter_roundtrip",
-    "q_report_archive_extract",
-    "q_neardup_incremental",
-]
+# IMPLEMENTATION changed since its last witness, so a key whose
+# operator was rewritten since its last green driver row may be seeded
+# here for ONE round to jump the queue (r11 seeded the six
+# most-rewritten keys; all six re-witnessed green in CORRECTNESS_r11,
+# so r12 unpinned them per the r11 verdict ask #1 and the window is
+# pure staleness order again — draining the r05-vintage tail).
+_MANUAL_PRIORITY: list[str] = []
 
 
 def _witness_rounds() -> dict[str, int]:
