@@ -1195,7 +1195,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     % 14: form 13 is AES-256 under a REAL user password, opened by
     passing the credential to the reader (user-then-owner auth;
     wrong/absent passwords stay typed refusals — the refusal fuzz in
-    tests/test_sources.py covers both). The oracle
+    tests/test_sources.py covers both). r12 widens to % 16 (verdict
+    ask #7): form 14 authenticates a V5 file through the OWNER branch
+    ONLY (the reader holds the owner credential, not the user one, so
+    Algorithm 2.A's user check and the empty-user fallback both fail
+    and the /OE unwrap must carry), and form 15 executes a
+    wrong-password-then-right sequence IN the lane, asserting the
+    'supplied password rejected' typed refusal fires before the same
+    bytes open under the correct credential. The oracle
     rebuilds the same strings in pure SQL — it never sees a PDF.
     Row-local mapInPandas; 4 ints per doc leave the executor. r10
     (finding 101): the 128-key input is REPARTITIONED to the session's
@@ -1208,6 +1215,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
         extract_pdf_text,
         pdf_bytes_encrypted,
         pdf_bytes_from_lines,
@@ -1247,7 +1255,15 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # credential (r11 — authorized ingest of credentialed
                 # archives; the password reaches the reader as a
                 # parameter, never an assumption)
-                form = did % 14
+                # r12 (verdict ask #7) widens to % 16: form 14 opens a
+                # V5 file via the OWNER branch only (real user password
+                # unknown to the reader, so Algorithm 2.A's user check
+                # AND the empty-user fallback both fail and only the
+                # /OE unwrap succeeds); form 15 pins the typed-refusal
+                # ORDERING — a wrong credential must raise the
+                # 'supplied password rejected' refusal BEFORE the same
+                # file opens with the right one
+                form = did % 16
                 pw = None
                 if form == 4:
                     payload = pdf_bytes_with_incremental_update(lines)
@@ -1277,6 +1293,28 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = pdf_bytes_encrypted(
                         lines, method="aes-256", user_pw=pw.encode()
                     )
+                elif form == 14:
+                    pw = f"owner-{did}"
+                    payload = pdf_bytes_encrypted(
+                        lines,
+                        method="aes-256",
+                        user_pw=f"user-secret-{did}".encode(),
+                        owner_pw=pw.encode(),
+                    )
+                elif form == 15:
+                    pw = f"pw-{did}"
+                    payload = pdf_bytes_encrypted(
+                        lines, method="aes-128", user_pw=pw.encode()
+                    )
+                    try:
+                        extract_pdf_text(payload, password=f"wrong-{did}")
+                    except PdfUnsupported as exc:
+                        if "supplied password rejected" not in str(exc):
+                            raise
+                    else:
+                        raise AssertionError(
+                            "wrong password must be a typed refusal"
+                        )
                 else:
                     payload = pdf_bytes_from_lines(
                         lines,

@@ -643,11 +643,16 @@ def compute_file_key(
 
 
 def compute_o_value(owner_pw: bytes, user_pw: bytes, r: int, key_bytes: int) -> bytes:
-    """Algorithm 3: the /O entry."""
+    """Algorithm 3: the /O entry. Step (c) truncates each of the 50
+    re-hash iterations' INPUT to key_bytes (ISO 32000-1 §7.6.3.4 —
+    same truncation as Algorithm 2 step (h) in compute_file_key); a
+    no-op at /Length 128 but load-bearing for R3 files with shorter
+    keys (/V 2 /Length 40-112), where hashing the full 16-byte digest
+    derives an owner key no real reader agrees with (r12, ADVICE)."""
     digest = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
     if r >= 3:
         for _ in range(50):
-            digest = hashlib.md5(digest).digest()
+            digest = hashlib.md5(digest[:key_bytes]).digest()
     rc4_key = digest[:key_bytes]
     o = rc4(rc4_key, _pad_password(user_pw))
     if r >= 3:
@@ -693,11 +698,13 @@ def authenticate_owner_password(
     Algorithm 6 on it. The recovered 32-byte value feeds the user
     branch unchanged — ``_pad_password`` is the identity on an
     already-padded password. Returns the file key, or None when
-    ``owner_pw`` is wrong."""
+    ``owner_pw`` is wrong. The 50x loop truncates each iteration's
+    input to key_bytes — see compute_o_value (r12, ADVICE: without the
+    truncation, short-key R3 files reject correct owner passwords)."""
     digest = hashlib.md5(_pad_password(owner_pw)).digest()
     if r >= 3:
         for _ in range(50):
-            digest = hashlib.md5(digest).digest()
+            digest = hashlib.md5(digest[:key_bytes]).digest()
     rc4_key = digest[:key_bytes]
     user_padded = o_value[:32]
     if r == 2:

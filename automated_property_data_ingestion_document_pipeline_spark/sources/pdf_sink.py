@@ -2147,9 +2147,35 @@ def extract_pdf_text(payload: bytes, password: "bytes | str | None" = None) -> l
     # SASLprep-input form; classic revisions treat the same bytes as
     # PDFDocEncoding, which agrees on ASCII credentials).
     if idx.encrypted:
+        # str credentials encode as UTF-8 first (the /R 6 SASLprep-input
+        # form). Classic R2-R4 handlers interpret password bytes as
+        # PDFDocEncoding — which agrees with Latin-1 on the accented
+        # range a str credential realistically carries — so a non-ASCII
+        # str the UTF-8 attempt cannot open is RETRIED as Latin-1 before
+        # refusing (r12 ADVICE: 'café' must open the RC4/AES-128 file it
+        # was written with, not just the AES-256 one). The retry fires
+        # only after a password REJECTION; every other typed refusal
+        # (non-Standard handler, unknown revision) surfaces immediately,
+        # and ASCII credentials encode identically so never retry.
+        candidates: list = (
+            [password or b""]
+            if not isinstance(password, str)
+            else [password.encode("utf-8")]
+        )
         if isinstance(password, str):
-            password = password.encode("utf-8")
-        _setup_decryption(idx, password or b"")
+            try:
+                latin = password.encode("latin-1")
+            except UnicodeEncodeError:
+                latin = None
+            if latin is not None and latin != candidates[0]:
+                candidates.append(latin)
+        for i, cand in enumerate(candidates):
+            try:
+                _setup_decryption(idx, cand)
+                break
+            except PdfUnsupported as e:
+                if i + 1 == len(candidates) or "rejected" not in str(e):
+                    raise
     pages = _pages(idx)
     if pages:
         lines: list[str] = []

@@ -1249,6 +1249,39 @@ def test_pdf_caller_supplied_passwords_all_generations():
         assert extract_pdf_text(open_blob, password=b"archive-pw") == lines, method
 
 
+def test_pdf_non_ascii_str_password_classic_revisions():
+    """r12 ADVICE: classic R2-R4 handlers read password bytes as
+    PDFDocEncoding (Latin-1 on the accented range), /R 6 reads UTF-8 —
+    so ONE str credential like 'café' must open BOTH a legacy file
+    written with its Latin-1 bytes and a modern file written with its
+    UTF-8 bytes. The extractor tries UTF-8 first, then retries classic
+    password rejections with the Latin-1 form; wrong passwords stay
+    typed refusals and the retry never masks a non-password refusal."""
+    import pytest
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources.pdf_sink import (
+        PdfUnsupported,
+        extract_pdf_text,
+        pdf_bytes_encrypted,
+    )
+
+    lines = ["Accent credential", "Montant: 12,50"]
+    pw = "café"
+    for method in ("rc4-40", "rc4-128", "aes-128"):
+        legacy = pdf_bytes_encrypted(
+            lines, method=method, user_pw=pw.encode("latin-1")
+        )
+        assert extract_pdf_text(legacy, password=pw) == lines, method
+        with pytest.raises(PdfUnsupported, match="supplied password"):
+            extract_pdf_text(legacy, password="cafè")
+    modern = pdf_bytes_encrypted(lines, method="aes-256", user_pw=pw.encode("utf-8"))
+    assert extract_pdf_text(modern, password=pw) == lines
+    # a str outside Latin-1 (e.g. CJK) simply has no classic form — the
+    # UTF-8 attempt stands alone and a wrong one is still a refusal
+    with pytest.raises(PdfUnsupported, match="supplied password"):
+        extract_pdf_text(modern, password="密码")
+
+
 def test_extract_document_text_sniff_and_quarantine(spark):
     """r08: the user-facing document-ingest operator — PDF and DOCX
     payloads sniffed and extracted, NULL/garbage quarantined to the
@@ -1637,6 +1670,46 @@ def test_pdf_encrypted_mutation_fuzz_stays_typed():
             except PdfUnsupported:
                 continue
             assert isinstance(out, list), (method, trial)
+
+
+def test_pdf_crypt_r3_short_key_owner_password():
+    """r12 ADVICE (medium): ISO 32000-1 Algorithm 3 step (c) — the 50x
+    MD5 loop feeds each iteration only the FIRST key_bytes of the
+    previous digest (the same truncation Algorithm 2 step (h) applies
+    in compute_file_key). At /Length 128 that is a no-op on a 16-byte
+    digest, so only a short-key R3 handler (/V 2 /Length 40..112)
+    exposes it: before the fix a CORRECT owner password derived the
+    wrong RC4 key and was refused. Pinned against an inline
+    spec-literal reimplementation, not writer/reader self-consistency
+    alone — the bug was self-consistent (compute_o_value and
+    authenticate_owner_password shared it)."""
+    import hashlib
+
+    from automated_property_data_ingestion_document_pipeline_spark.sources import pdf_crypt as pc
+
+    id0, p = b"\xab" * 16, -44
+    for r, kb in ((3, 5), (3, 10), (3, 16), (4, 16)):
+        o = pc.compute_o_value(b"owner-secret", b"user-pw", r, kb)
+        # Algorithm 3 steps (a)-(f), written out from the spec
+        d = hashlib.md5(pc._pad_password(b"owner-secret")).digest()
+        for _ in range(50):
+            d = hashlib.md5(d[:kb]).digest()
+        rk = d[:kb]
+        expect = pc.rc4(rk, pc._pad_password(b"user-pw"))
+        for i in range(1, 20):
+            expect = pc.rc4(bytes(b ^ i for b in rk), expect)
+        assert o == expect, (r, kb)
+        fk = pc.compute_file_key(b"user-pw", o, p, id0, r, kb)
+        u = pc.compute_u_value(fk, id0, r)
+        # the correct owner password recovers the user password and the
+        # SAME file key; a wrong one stays a clean refusal
+        assert (
+            pc.authenticate_owner_password(b"owner-secret", o, u, p, id0, r, kb)
+            == fk
+        ), (r, kb)
+        assert (
+            pc.authenticate_owner_password(b"wrong", o, u, p, id0, r, kb) is None
+        ), (r, kb)
 
 
 def test_pdf_crypt_primitives_known_answers():
