@@ -167,7 +167,7 @@ def minhash_signature_df(
     )
 
 
-def minhash_candidate_pairs(
+def minhash_banded_df(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -175,19 +175,17 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` bands of r rows,
-    hash each band, self-join on (band_idx, band_hash) → candidate pairs
-    ``(id_a, id_b)`` with id_a < id_b, deduplicated.
-
-    The self-join shuffles on band hash — bucket sizes follow the LSH
-    s-curve, so hot buckets mean genuinely-similar clusters, which is the
-    work we want. AQE skew-join handles pathological clusters.
-    """
+    """The banded LSH relation ``(_id, band_idx, band_hash)`` — the
+    signature split into ``bands`` bands of r rows, each band hashed.
+    Split out of :func:`minhash_candidate_pairs` (r12) so the relation
+    can be PERSISTED per corpus (bucketed on the band key) and the
+    candidate self-join read it with zero Exchange instead of
+    re-signing the corpus every run."""
     r = num_hashes // bands
     sig = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_k).withColumnRenamed(
         id_col, "_id"
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.posexplode(
             F.array(
@@ -198,6 +196,17 @@ def minhash_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def candidate_pairs_from_bands(banded: DataFrame) -> DataFrame:
+    """Self-join a banded relation on (band_idx, band_hash) → candidate
+    pairs ``(id_a, id_b)`` with id_a < id_b, deduplicated.
+
+    The self-join shuffles on band hash — bucket sizes follow the LSH
+    s-curve, so hot buckets mean genuinely-similar clusters, which is the
+    work we want. AQE skew-join handles pathological clusters. When
+    ``banded`` is a table bucketed on (band_idx, band_hash), the join
+    compiles with no Exchange on either side."""
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -209,6 +218,23 @@ def minhash_candidate_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH banding end-to-end: :func:`minhash_banded_df` →
+    :func:`candidate_pairs_from_bands` (kept as the one-shot form for
+    ad-hoc corpora; corpus-resident lanes persist the banded relation
+    and call the two halves separately)."""
+    return candidate_pairs_from_bands(
+        minhash_banded_df(df, text_col, id_col, num_hashes, bands, shingle_k)
     )
 
 
@@ -326,6 +352,24 @@ def connected_components(
     return labels.select("id", F.col("cc").alias("cluster_id"))
 
 
+def shingle_sets_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc distinct shingle SETS ``(_id, _set)`` — the relation the
+    exact-Jaccard verify joins against. Split out of
+    :func:`ngram_jaccard_pairs` (r12) so corpus-resident lanes can
+    persist it bucketed on ``_id`` and verify candidate pairs with
+    zero corpus-side Exchange."""
+    return df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "_id", F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("_set")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,
@@ -333,6 +377,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.7,
+    sets_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
@@ -343,12 +388,11 @@ def ngram_jaccard_pairs(
     doc), so the joins are PINNED sort-merge: Spark's post-aggregate
     size estimates are unreliable, and at sf10 a mis-estimate
     broadcast a corpus-sized relation and OOM-guarded the job
-    (PERFORMANCE.md finding 93)."""
-    sets_df = df.select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        "_id", F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("_set")
-    )
+    (PERFORMANCE.md finding 93). ``sets_df`` (r12) lets the caller
+    supply a PERSISTED ``(_id, _set)`` relation (bucketed on _id) so
+    the corpus side never re-tokenizes or shuffles."""
+    if sets_df is None:
+        sets_df = shingle_sets_df(df, text_col, id_col, shingle_k)
     a = sets_df.hint("merge").alias("a")
     b = sets_df.hint("merge").alias("b")
     joined = (

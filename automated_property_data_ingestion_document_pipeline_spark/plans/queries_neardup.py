@@ -34,10 +34,16 @@ from automated_property_data_ingestion_document_pipeline_spark.plans.queries_tex
 _K = 16          # signature length
 _BANDS = 4       # 4 bands x 4 rows
 _JACC_MIN = 0.3  # verification threshold on exact Jaccard
-# Bucket count for the persisted banded-base tables behind
-# q_neardup_incremental: one local task wave here; at 100 TB you size
-# it for 100-500 MB bucket files (bucketing.py rule of thumb).
-_BASE_BUCKETS = 16
+# Bucket count for the persisted banded-base tables. Every join against
+# a bucketed table runs at EXACTLY this many partitions (co-partitioning
+# admits no AQE coalesce/split), so it bounds both the verify stage's
+# parallelism and its per-partition sort size: r12 raised 16 → 64 after
+# the full-corpus lanes adopted the base — at sf10 the pair-attach
+# intermediate sorts tens of GB, and 64 partitions keeps each sort
+# inside the executor while still giving local[32] two task waves. At
+# 100 TB you size it for 100-500 MB bucket files (bucketing.py rule of
+# thumb) — the stamp folds the count in, so retuning rebuilds cleanly.
+_BASE_BUCKETS = 64
 
 
 def _sig_cols_sql() -> str:
@@ -123,6 +129,91 @@ def _portable_bands(shingles: DataFrame) -> DataFrame:
     return bands
 
 
+def ensure_portable_base(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str, str]:
+    """Build-once-per-corpus persistence of the portable near-dup BASE
+    (r12, verdict ask #3 — generalizing the r11 incremental-lane
+    infrastructure to every full-corpus lane): four corpus-
+    fingerprint-stamped bucket-sorted warehouse tables over the FULL
+    non-null corpus —
+
+    - shingles        (doc_id, sh)  bucketed+sorted (doc_id, sh)
+    - shingles_bydoc  (doc_id, sh)  bucketed doc_id, sorted (doc_id, sh)
+    - bands   (doc_id, band, bh)    bucketed+sorted (band, bh)
+    - sizes   (doc_id, n_sh)        bucketed+sorted doc_id
+
+    The shingle relation is persisted TWICE, one layout per join shape
+    the verify stage needs: the intersection join keys (doc_id, sh)
+    and the candidate-pair attach keys (doc_id) alone. One table
+    cannot serve both — Spark only exploits a bucketed side when the
+    join keys cover ALL bucket columns (and under the default
+    ``spark.sql.requireAllClusterKeysForCoPartition`` it will not
+    co-partition the other side on a strict subset), so a doc_id-only
+    bucket re-sorts the intersection side and a (doc_id, sh) bucket
+    re-shuffles the attach side. Duplicating the bytes buys BOTH
+    shapes zero base-side Exchange and zero Sort — at 100 TB, storage
+    is strictly cheaper than re-sorting the corpus' shingle relation
+    on every dedup run (the sf10 finding-104 spill source).
+
+    Returns (shingles, shingles_bydoc, bands, sizes) table names; the
+    first caller per corpus pays the one-time banding build (the work
+    every lane previously repeated inline per run), later sessions
+    adopt the on-disk build via its _graft_stamp (ensure_bucketed
+    tier 2, zero data movement). Table names carry
+    :func:`bucketing.corpus_table_tag` (basename + path hash), so
+    same-basename tmp corpora never thrash one table (r12 ADVICE);
+    orphaned corpora are reclaimed by scripts/gc_warehouse.py."""
+    import os as _os
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+    tag = bucketing.corpus_table_tag(sf_dir)
+    # the fingerprint carries every CONTENT parameter the tables are a
+    # function of (corpus bytes + shingle/signature/banding constants);
+    # the physical bucket spec is folded into the stamp by
+    # ensure_bucketed itself, so a layout change rebuilds without any
+    # caller-side bookkeeping. v2: full-corpus tables (r11's v1 held
+    # base-only rows for the incremental lane alone).
+    fp = (
+        bucketing.corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+        + f":v2:k3 s{_K} b{_BANDS}"
+    )
+    sh_t = f"b_nd_shingles_{tag}"
+    bydoc_t = f"b_nd_shingles_bydoc_{tag}"
+    bands_t = f"b_nd_bands_{tag}"
+    sz_t = f"b_nd_sizes_{tag}"
+    nb = _BASE_BUCKETS
+    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bucketing.ensure_bucketed(
+        spark, sh_t, ["doc_id", "sh"], fp,
+        lambda: _portable_shingles(docs).repartition(nb, "doc_id", "sh"),
+        num_buckets=nb,
+    )
+    # the second layout and the derived tables all read the
+    # just-persisted shingle table, so the corpus-wide shingle explode
+    # runs ONCE per build, not once per table
+    bucketing.ensure_bucketed(
+        spark, bydoc_t, "doc_id", fp,
+        lambda: spark.table(sh_t).repartition(nb, "doc_id"),
+        num_buckets=nb, sort_keys=["doc_id", "sh"],
+    )
+    bucketing.ensure_bucketed(
+        spark, bands_t, ["band", "bh"], fp,
+        lambda: _portable_bands(spark.table(sh_t)).repartition(nb, "band", "bh"),
+        num_buckets=nb,
+    )
+    bucketing.ensure_bucketed(
+        spark, sz_t, "doc_id", fp,
+        lambda: spark.table(sh_t)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+        .repartition(nb, "doc_id"),
+        num_buckets=nb,
+    )
+    return sh_t, bydoc_t, bands_t, sz_t
+
+
 @query(
     "q_minhash_portable",
     oracle=f"""
@@ -157,10 +248,19 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing, value-verified by the driver (see module docstring). Word
     3-gram shingles → 16 lexicographic-MIN hex signatures in ONE
     grouped aggregate → 4 row-local band hashes → bucket equi-join for
-    candidates → exact Jaccard on candidate shingle sets only."""
-    docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    shingles = _portable_shingles(docs)
-    bands = _portable_bands(shingles)
+    candidates → exact Jaccard on candidate shingle sets only.
+
+    r12 (verdict ask #3): the shingle/band/size base reads the
+    PERSISTED bucket-sorted tables (:func:`ensure_portable_base`)
+    instead of re-banding the corpus inline every run. The candidate
+    self-join is now a zero-Exchange bucketed merge of the bands table
+    with itself, and the verify stage streams bucket-sorted shingles —
+    at sf10 the inline form shuffled 45.6 GB and spilled 345 GB of
+    memory sorting the corpus' shingle relation per run; the persisted
+    form pays that once per corpus at build time. Results are
+    bit-identical (same oracle hash)."""
+    sh_t, bydoc_t, bands_t, sz_t = ensure_portable_base(spark, sf_dir)
+    bands = spark.table(bands_t)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("bh").alias("bh_a")
     )
@@ -168,7 +268,8 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b")
     )
     cand = (
-        a.join(
+        a.hint("merge")
+        .join(
             b_,
             (F.col("band_a") == F.col("band_b"))
             & (F.col("bh_a") == F.col("bh_b"))
@@ -177,9 +278,16 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingles.select(F.col("doc_id").alias("_db"), F.col("sh").alias("sh_b"))
+    sizes = spark.table(sz_t)
+    # one shingle layout per join shape (see ensure_portable_base): the
+    # pair-attach join keys doc_a alone → the doc_id-bucketed copy; the
+    # intersection join keys (doc_b, sh) → the (doc_id, sh) bucket
+    sa = spark.table(bydoc_t).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = spark.table(sh_t).select(
+        F.col("doc_id").alias("_db"), F.col("sh").alias("sh_b")
+    )
     # every relation below GROWS WITH THE CORPUS (shingle sets, candidate
     # pairs, per-doc sizes), so none may ever broadcast: Spark's
     # post-aggregate size estimates are unreliable and at sf10 the
@@ -816,66 +924,39 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-explode size estimates cannot be trusted to pick a build
     side).
 
-    Deployment shape IN the lane (r11, verdict ask #3 — previously it
-    lived only in tests/test_bucketing.py): the base corpus is banded
-    ONCE per (session, corpus) into three bucket-sorted warehouse
-    tables — shingles on (doc_id, sh), bands on (band, bh), shingle
-    counts on (doc_id) — guarded by a corpus fingerprint
-    (operators/bucketing.ensure_bucketed), and the probe then reads
-    them with ZERO base-side Exchange and ZERO base-side Sort: each
-    bucket is one bucket-sorted file, so the merge joins stream the
-    base while only the delta (ingest-rate-sized) shuffles and sorts.
-    That deletes the sf10 finding-104 spill source (the base-side
-    verify sort over 90% of the corpus' shingles) and bounds per-probe
-    cost by |delta| x bucket density. The FIRST process to see a corpus
-    pays the build (the same banding work the lane previously did
-    inline, plus one bucketed write); later sessions ADOPT the on-disk
-    build via its _graft_stamp (ensure_bucketed tier 2 — catalog
-    re-registration, zero data movement) and every later call in a
-    session probes only — bench median-of-3, the driver's runs, and
-    any real ingest cadence amortize exactly this way."""
-    import os as _os
-    import re as _re
-
-    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
-
+    Deployment shape IN the lane (r11 verdict ask #3; r12: the tables
+    are now the CORPUS-WIDE triple shared with q_minhash_portable —
+    :func:`ensure_portable_base` — with the base-membership predicate
+    applied at scan time): the corpus is banded ONCE into three
+    bucket-sorted warehouse tables — shingles bucketed doc_id / sorted
+    (doc_id, sh), bands on (band, bh), shingle counts on (doc_id) —
+    guarded by a corpus fingerprint (operators/bucketing.
+    ensure_bucketed), and the probe then reads them with ZERO
+    base-side Exchange and ZERO base-side Sort: each bucket is one
+    bucket-sorted file, so the merge joins stream the base while only
+    the delta (ingest-rate-sized) shuffles and sorts. That deletes the
+    sf10 finding-104 spill source (the base-side verify sort over 90%
+    of the corpus' shingles) and bounds per-probe cost by |delta| x
+    bucket density. The FIRST process to see a corpus pays the build
+    (the same banding work the lane previously did inline, plus one
+    bucketed write); later sessions ADOPT the on-disk build via its
+    _graft_stamp (ensure_bucketed tier 2 — catalog re-registration,
+    zero data movement) and every later call in a session probes only
+    — bench median-of-3, the driver's runs, and any real ingest
+    cadence amortize exactly this way."""
     docs = catalog.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     is_delta = F.col("doc_id") % 10 == 7
-    sf_tag = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    # the fingerprint carries every CONTENT parameter the tables are a
-    # function of (corpus bytes + shingle/signature/banding constants);
-    # the physical bucket spec (keys, width, sort) is folded into the
-    # stamp by ensure_bucketed itself, so a layout change rebuilds
-    # without any caller-side bookkeeping
-    fp = (
-        bucketing.corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
-        + f":v1:k3 s{_K} b{_BANDS}"
-    )
-    sh_t = f"b_nd_base_shingles_{sf_tag}"
-    bands_t = f"b_nd_base_bands_{sf_tag}"
-    sz_t = f"b_nd_base_sizes_{sf_tag}"
-    nb = _BASE_BUCKETS
-    bucketing.ensure_bucketed(
-        spark, sh_t, ["doc_id", "sh"], fp,
-        lambda: _portable_shingles(docs.filter(~is_delta)).repartition(nb, "doc_id", "sh"),
-        num_buckets=nb,
-    )
-    # bands and sizes derive from the just-persisted shingle table, so
-    # the corpus-wide shingle explode runs ONCE per build, not once per
-    # derived table
-    bucketing.ensure_bucketed(
-        spark, bands_t, ["band", "bh"], fp,
-        lambda: _portable_bands(spark.table(sh_t)).repartition(nb, "band", "bh"),
-        num_buckets=nb,
-    )
-    bucketing.ensure_bucketed(
-        spark, sz_t, ["doc_id"], fp,
-        lambda: spark.table(sh_t)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"))
-        .repartition(nb, "doc_id"),
-        num_buckets=nb,
-    )
+    # r12 (verdict ask #3): the base reads the SHARED full-corpus
+    # tables (one build per corpus serves this lane, q_minhash_portable
+    # and the long-match decontamination probe) with the base-
+    # membership predicate applied at scan time — a doc_id filter on a
+    # bucketed scan preserves both the bucketing and the bucket-sort
+    # order, so the zero-base-side-Exchange/Sort property (finding 107)
+    # is unchanged. Per-doc rows (shingles, bands, sizes) depend only
+    # on that doc's own text, so filter(full_tables) ≡ build(base_docs)
+    # row-for-row.
+    sh_t, _bydoc_t, bands_t, sz_t = ensure_portable_base(spark, sf_dir)
+    is_base = F.col("doc_id") % 10 != 7
 
     # delta side: shingled/banded inline (it arrives fresh each probe);
     # filtered BEFORE shingling so the probe never re-explodes the base.
@@ -895,6 +976,7 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         spark.table(bands_t)
+        .filter(is_base)
         .hint("merge")
         .join(
             delta_bands,
@@ -904,7 +986,7 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sa = delta_sh.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("sh_a"))
-    sb = spark.table(sh_t).select(
+    sb = spark.table(sh_t).filter(is_base).select(
         F.col("doc_id").alias("_db"), F.col("sh").alias("sh_b")
     )
     inter = (
@@ -922,7 +1004,7 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sh"))
         .select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("n_a"))
     )
-    zb = spark.table(sz_t).select(
+    zb = spark.table(sz_t).filter(is_base).select(
         F.col("doc_id").alias("base_id"), F.col("n_sh").alias("n_b")
     )
     jacc = F.col("n_common").cast("double") / (

@@ -464,16 +464,71 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- MinHash LSH near-dup (rows-only) -----------------------------------------
 
+# xxhash-lane persisted-base bucket count — same sizing logic as
+# queries_neardup._BASE_BUCKETS (the verify joins run at exactly this
+# many partitions; 64 bounds sf10 sort sizes and keeps 32 cores busy)
+_XX_BASE_BUCKETS = 64
+
+
+def _ensure_xx_base(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once-per-corpus persistence of the PRODUCTION (xxhash64)
+    near-dup base (r12, verdict ask #3 — the same amortization
+    queries_neardup.ensure_portable_base gives the portable twin):
+
+    - xx_bands (_id, band_idx, band_hash)  bucketed on the band key
+    - xx_sets  (_id, _set)                 bucketed on _id
+
+    The candidate self-join then compiles to a zero-Exchange bucketed
+    merge, and the Jaccard verify joins read bucket-sorted set rows
+    with no corpus-side Exchange/Sort — the corpus is signed and
+    tokenized ONCE per corpus, not once per run. Parameters are the
+    production lane's (16 hashes / 8 bands / 3-token shingles), folded
+    into the fingerprint so a knob change rebuilds."""
+    import os as _os
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+    tag = bucketing.corpus_table_tag(sf_dir)
+    fp = (
+        bucketing.corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+        + ":v1:xx h16 b8 k3"
+    )
+    bands_t = f"b_nd_xx_bands_{tag}"
+    sets_t = f"b_nd_xx_sets_{tag}"
+    nb = _XX_BASE_BUCKETS
+    d = catalog.load(spark, sf_dir, "documents")
+    bucketing.ensure_bucketed(
+        spark, bands_t, ["band_idx", "band_hash"], fp,
+        lambda: dedup.minhash_banded_df(
+            d, num_hashes=16, bands=8, shingle_k=3
+        ).repartition(nb, "band_idx", "band_hash"),
+        num_buckets=nb,
+    )
+    bucketing.ensure_bucketed(
+        spark, sets_t, "_id", fp,
+        lambda: dedup.shingle_sets_df(d, shingle_k=3).repartition(nb, "_id"),
+        num_buckets=nb,
+    )
+    return bands_t, sets_t
+
 
 @query("q_minhash_neardup")  # rows-only: LSH banding uses engine-specific xxhash64
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: shingle → MinHash signature → LSH band
     bucket self-join → exact Jaccard verify ≥ 0.5. Candidate generation
     is bucket-local (sub-quadratic); verify join only touches candidate
-    pairs."""
+    pairs. r12: signatures and shingle sets read the persisted
+    per-corpus base tables (:func:`_ensure_xx_base`) — candidate
+    generation is a zero-Exchange bucketed self-join and the verify
+    stage streams bucket-sorted sets."""
     d = catalog.load(spark, sf_dir, "documents")
-    candidates = dedup.minhash_candidate_pairs(d, num_hashes=16, bands=8, shingle_k=3)
-    return dedup.ngram_jaccard_pairs(d, candidates, shingle_k=3, threshold=0.5)
+    bands_t, sets_t = _ensure_xx_base(spark, sf_dir)
+    candidates = dedup.candidate_pairs_from_bands(
+        spark.table(bands_t).hint("merge")
+    )
+    return dedup.ngram_jaccard_pairs(
+        d, candidates, shingle_k=3, threshold=0.5, sets_df=spark.table(sets_t)
+    )
 
 
 # -- scale-path dedup clusters: MinHash → exact verify → CC (rows-only) -------
@@ -494,10 +549,17 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence. Sub-quadratic end-to-end: candidates are
     band-bucket-local, verify touches candidates only, CC shuffles once
     per round on node id (rounds = component diameter, reported in
-    bench output)."""
+    bench output). r12: the banding + tokenization read the persisted
+    per-corpus base (:func:`_ensure_xx_base`) shared with
+    q_minhash_neardup — only the CC rounds are per-run work."""
     d = catalog.load(spark, sf_dir, "documents")
-    candidates = dedup.minhash_candidate_pairs(d, num_hashes=16, bands=8, shingle_k=3)
-    verified = dedup.ngram_jaccard_pairs(d, candidates, shingle_k=3, threshold=0.5)
+    bands_t, sets_t = _ensure_xx_base(spark, sf_dir)
+    candidates = dedup.candidate_pairs_from_bands(
+        spark.table(bands_t).hint("merge")
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        d, candidates, shingle_k=3, threshold=0.5, sets_df=spark.table(sets_t)
+    )
     cc = dedup.connected_components(verified)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -961,6 +1023,148 @@ def q_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("longest_match", F.lit(0).cast("bigint")).alias("longest_match"),
             F.coalesce("n_partners", F.lit(0).cast("bigint")).alias("n_partners"),
+        )
+    )
+
+
+# -- train/eval decontamination via exact long-match --------------------------
+
+
+def ensure_anchor_base(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-corpus persistence of the 8-token anchor stream
+    (doc_id, pos, g), bucketed + sorted on the gram hash key ``g``
+    (r12, verdict ask #6): the decontamination probe's train×eval
+    anchor join then reads BOTH sides from bucket-sorted files with no
+    Exchange and no Sort — at 100 TB the anchor relation is
+    |tokens|-scale, the largest relation in the text family, and this
+    is exactly the table you'd never want to rebuild per eval sweep.
+    Same lifecycle as the near-dup base (corpus fingerprint stamp,
+    tier-2 adoption, gc_warehouse reclaim)."""
+    import os as _os
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+    tag = bucketing.corpus_table_tag(sf_dir)
+    fp = (
+        bucketing.corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+        + f":v1:anchors{_ANCHOR_LEN}"
+    )
+    t = f"b_nd_anchors_{tag}"
+    nb = _XX_BASE_BUCKETS
+    d = catalog.load(spark, sf_dir, "documents")
+    bucketing.ensure_bucketed(
+        spark, t, "g", fp,
+        lambda: token_anchors(d).repartition(nb, "g"),
+        num_buckets=nb, sort_keys=["g"],
+    )
+    return t
+
+
+@query(
+    "q_decontaminate_longmatch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL.format(col='text')} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, u.s[1] AS pos, u.s[2] AS g
+      FROM toks,
+      LATERAL (
+        SELECT unnest(list_zip(
+          range(1, greatest(len(tk) - {_ANCHOR_LEN - 2}, 1)),
+          list_transform(range(1, greatest(len(tk) - {_ANCHOR_LEN - 2}, 1)),
+                         i -> array_to_string(tk[i:i+{_ANCHOR_LEN - 1}], ' ')))) AS s
+      ) u),
+    pp AS (
+      SELECT e.doc_id AS de, t.doc_id AS dt, e.pos - t.pos AS diag, e.pos AS pe
+      FROM sh e JOIN sh t ON e.g = t.g
+      WHERE e.doc_id % 10 = 7 AND t.doc_id % 10 <> 7),
+    isl AS (
+      SELECT de, dt, diag, pe,
+             pe - ROW_NUMBER() OVER (PARTITION BY de, dt, diag ORDER BY pe) AS grp
+      FROM pp),
+    runs AS (
+      SELECT de, dt, CAST(COUNT(*) + {_ANCHOR_LEN - 1} AS BIGINT) AS run_tokens
+      FROM isl GROUP BY de, dt, diag, grp),
+    agg AS (
+      SELECT de AS doc_id, CAST(MAX(run_tokens) AS BIGINT) AS longest_overlap,
+             CAST(COUNT(DISTINCT dt) AS BIGINT) AS n_train_docs
+      FROM runs GROUP BY de)
+    SELECT d.doc_id,
+           COALESCE(a.longest_overlap, 0) AS longest_overlap,
+           COALESCE(a.n_train_docs, 0) AS n_train_docs,
+           CAST(COALESCE(a.longest_overlap, 0) >= {_ANCHOR_LEN} AS BOOLEAN)
+             AS contaminated
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    WHERE d.doc_id % 10 = 7
+    """,
+)
+def q_decontaminate_longmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval DECONTAMINATION by exact verbatim overlap (r12,
+    verdict ask #6 — the question every LLM pipeline asks before
+    reporting a benchmark number): for each EVAL document (modeled as
+    doc_id % 10 == 7, the same held-out convention as the incremental
+    dedup lane), the longest token run (>= 8) appearing verbatim in
+    ANY train document, the number of distinct train documents hit,
+    and the resulting contaminated flag. Complements the
+    membership-based q_decontaminate (queries_training.py), which only
+    catches whole-doc leakage — this lane catches the realistic kind:
+    an eval question pasted into a forum thread inside an otherwise
+    novel train doc.
+
+    Same anchor-diagonal + gaps-and-islands machinery as
+    q_longest_match, restricted to eval×train pairs — so the join
+    fan-out is Σ_g df_eval(g)·df_train(g), ingest-shaped (scales with
+    the eval set), never corpus². Both join sides read the PERSISTED
+    anchor table (:func:`ensure_anchor_base`, bucketed+sorted on g):
+    the plan carries zero anchor-side Exchange/Sort, and re-sweeping a
+    new eval set against the same train corpus re-reads the same
+    bucket files — the deployment cadence of eval-suite refreshes."""
+    d = catalog.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    anchors_t = ensure_anchor_base(spark, sf_dir)
+    is_eval = F.col("doc_id") % 10 == 7
+    ev = (
+        spark.table(anchors_t)
+        .filter(is_eval)
+        .select(F.col("doc_id").alias("de"), F.col("pos").alias("pe"), "g")
+    )
+    tr = (
+        spark.table(anchors_t)
+        .filter(~is_eval)
+        .select(F.col("doc_id").alias("dt"), F.col("pos").alias("pt"), F.col("g").alias("gt"))
+    )
+    # merge-pinned: both sides are corpus-scale anchor streams
+    # (finding-94 class) — and both are the SAME bucketed table, so the
+    # pin compiles to an exchange-free bucket merge
+    pp = (
+        ev.hint("merge")
+        .join(tr, F.col("g") == F.col("gt"))
+        .select("de", "dt", (F.col("pe") - F.col("pt")).alias("diag"), "pe")
+    )
+    w = Window.partitionBy("de", "dt", "diag").orderBy("pe")
+    isl = pp.withColumn("grp", F.col("pe") - F.row_number().over(w))
+    runs = isl.groupBy("de", "dt", "diag", "grp").agg(
+        (F.count("*") + (_ANCHOR_LEN - 1)).cast("bigint").alias("run_tokens")
+    )
+    agg = runs.groupBy("de").agg(
+        F.max("run_tokens").alias("longest_overlap"),
+        F.countDistinct("dt").cast("bigint").alias("n_train_docs"),
+    )
+    return (
+        d.filter(is_eval)
+        .select("doc_id")
+        .join(agg.withColumnRenamed("de", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("longest_overlap", F.lit(0).cast("bigint")).alias(
+                "longest_overlap"
+            ),
+            F.coalesce("n_train_docs", F.lit(0).cast("bigint")).alias("n_train_docs"),
+            (
+                F.coalesce("longest_overlap", F.lit(0).cast("bigint"))
+                >= _ANCHOR_LEN
+            ).alias("contaminated"),
         )
     )
 

@@ -188,3 +188,152 @@ def test_ensure_bucketed_build_once_guard(spark):
         # the warehouse dir + stamp for the next session to re-adopt
         bucketing.drop_bucketed(spark, t)
     assert not __import__("os").path.isdir(bucketing._table_location(spark, t))
+
+
+def test_corpus_tag_distinguishes_same_basename_dirs(tmp_path):
+    """r12 ADVICE: two corpora whose directories share a basename (the
+    shape every pytest tmp_path fixture produces) must map to DIFFERENT
+    table names, or they thrash full rebuilds of one table and a
+    rebuild's rmtree can yank files from under a reader of the other
+    corpus."""
+    a = tmp_path / "runA" / "corpus"
+    b = tmp_path / "runB" / "corpus"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    ta = bucketing.corpus_table_tag(str(a))
+    tb = bucketing.corpus_table_tag(str(b))
+    assert ta != tb
+    assert ta.startswith("corpus_") and tb.startswith("corpus_")
+    # stable across calls and trailing-slash spelling
+    assert bucketing.corpus_table_tag(str(a) + "/") == ta
+    assert ta == ta.lower(), "catalog lowercases table names"
+
+
+def test_corpus_fingerprint_samples_content(tmp_path):
+    """r12 ADVICE: a copy that preserves size AND mtime of different
+    bytes (cp -p, rsync -t, archive extraction) must not alias the
+    fingerprint — the first/last-4KB content sample catches it."""
+    import os
+
+    p = tmp_path / "data.parquet"
+    p.write_bytes(b"A" * 10000)
+    st = os.stat(p)
+    fp1 = bucketing.corpus_fingerprint(str(tmp_path))
+    # same size, same mtime, different content — the change sits in the
+    # sampled TAIL window, modeling a parquet footer rewrite (row
+    # counts / column stats live there)
+    p.write_bytes(b"A" * 8192 + b"C" * 1808)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp2 = bucketing.corpus_fingerprint(str(tmp_path))
+    assert os.stat(p).st_mtime_ns == st.st_mtime_ns
+    assert fp1 != fp2
+    # identical stat + identical content -> identical fingerprint
+    fp3 = bucketing.corpus_fingerprint(str(tmp_path))
+    assert fp2 == fp3
+
+
+def test_ensure_bucketed_sort_keys_superset(spark):
+    """r12: sort_keys lets the on-disk order be a superset of the
+    bucket key — the layout that serves BOTH a (doc_id) join and a
+    (doc_id, sh) merge join from one table. The sort spec is folded
+    into the stamp (a sort change rebuilds), and a self-join on the
+    full sort prefix compiles with no Sort over the scan output."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        df = spark.createDataFrame(
+            [(i % 7, f"s{i}") for i in range(100)], "doc_id long, sh string"
+        )
+        return df.repartition(2, "doc_id")
+
+    t = "t_sortkeys_superset"
+    try:
+        assert bucketing.ensure_bucketed(
+            spark, t, "doc_id", "fp-a", build, num_buckets=2,
+            sort_keys=["doc_id", "sh"],
+        )
+        assert bucketing.table_fingerprint(spark, t) == (
+            "fp-a|keys=doc_id|nb=2|sorted=True|sortkeys=doc_id,sh"
+        )
+        # same everything -> skip; different sort_keys -> rebuild
+        assert (
+            bucketing.ensure_bucketed(
+                spark, t, "doc_id", "fp-a", build, num_buckets=2,
+                sort_keys=["doc_id", "sh"],
+            )
+            is False
+        )
+        assert bucketing.ensure_bucketed(
+            spark, t, "doc_id", "fp-a", build, num_buckets=2
+        )
+        assert calls == [1, 1]
+    finally:
+        bucketing.drop_bucketed(spark, t)
+
+
+def test_drop_corpus_tables_purges_tag_matches(spark, tmp_path):
+    """drop_corpus_tables removes every table (and on-disk location)
+    carrying the corpus' tag and leaves other corpora alone."""
+    import os
+
+    a = tmp_path / "ca"
+    b = tmp_path / "cb"
+    a.mkdir()
+    b.mkdir()
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    ta = f"b_nd_test_{bucketing.corpus_table_tag(str(a))}"
+    tb = f"b_nd_test_{bucketing.corpus_table_tag(str(b))}"
+    bucketing.write_bucketed(df, ta, "id", num_buckets=2)
+    bucketing.write_bucketed(df, tb, "id", num_buckets=2)
+    dropped = bucketing.drop_corpus_tables(spark, str(a))
+    assert dropped == [ta]
+    assert not spark.catalog.tableExists(ta)
+    assert not os.path.isdir(bucketing._table_location(spark, ta))
+    assert spark.catalog.tableExists(tb)
+    bucketing.drop_corpus_tables(spark, str(b))
+    assert not spark.catalog.tableExists(tb)
+
+
+def test_gc_warehouse_collect_rules(tmp_path):
+    """scripts/gc_warehouse.py (r12, verdict ask #4): hash-tagged
+    b_nd_* tables survive iff a live corpus owns their tag; legacy
+    b_nd_base_* (the superseded r11 generation) always reclaim;
+    anything outside the b_nd_ prefix is never touched."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import gc_warehouse
+
+    live = tmp_path / "corpus_live"
+    dead = tmp_path / "corpus_dead"
+    live.mkdir()
+    dead.mkdir()
+    wh = tmp_path / "warehouse"
+    wh.mkdir()
+    live_tag = bucketing.corpus_table_tag(str(live))
+    dead_tag = bucketing.corpus_table_tag(str(dead))
+    names = [
+        f"b_nd_shingles_{live_tag}",       # keep: live corpus
+        f"b_nd_shingles_{dead_tag}",       # reclaim: no live corpus
+        "b_nd_base_bands_sf0_01",          # reclaim: legacy generation
+        "b_orders_sf0_1",                  # keep: not GC-managed
+        "t_lineitem_b",                    # keep: not GC-managed
+    ]
+    for n in names:
+        (wh / n).mkdir()
+    reclaim, keep = gc_warehouse.collect(str(wh), [str(live)])
+    assert sorted(reclaim) == sorted(
+        [f"b_nd_shingles_{dead_tag}", "b_nd_base_bands_sf0_01"]
+    )
+    assert f"b_nd_shingles_{live_tag}" in keep
+    assert "b_orders_sf0_1" in keep and "t_lineitem_b" in keep
+    # main() with --dry-run deletes nothing; without, exactly reclaim
+    rep = gc_warehouse.main(
+        ["--warehouse", str(wh), "--live", str(live), "--dry-run"]
+    )
+    assert rep["reclaimed"] == sorted(reclaim) and (wh / reclaim[0]).exists()
+    rep = gc_warehouse.main(["--warehouse", str(wh), "--live", str(live)])
+    for n in rep["reclaimed"]:
+        assert not (wh / n).exists()
+    assert (wh / f"b_nd_shingles_{live_tag}").exists()

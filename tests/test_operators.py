@@ -995,7 +995,15 @@ def test_neardup_incremental_probes_delta_only(spark, tmp_path):
     )
     sf = str(tmp_path)
     spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
-    rows = {r["doc_id"]: r for r in q_neardup_incremental(spark, sf).collect()}
+    try:
+        rows = {r["doc_id"]: r for r in q_neardup_incremental(spark, sf).collect()}
+    finally:
+        # tmp corpora must not leak a persisted base-table set per test
+        # run (r12 ADVICE)
+        from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+        dropped = bucketing.drop_corpus_tables(spark, sf)
+        assert dropped, "the lane should have persisted (and we dropped) base tables"
     assert set(rows) == {7, 17}, "only delta docs appear in the report"
     assert rows[7]["n_dup"] >= 1 and rows[7]["max_jaccard"] > 0.3
     assert rows[17]["n_cand"] == 0 and rows[17]["max_jaccard"] is None
@@ -1035,6 +1043,53 @@ def test_longest_match_exact_runs(spark, tmp_path):
     assert rows[1]["longest_match"] == 12 and rows[1]["n_partners"] == 1
     assert rows[2]["longest_match"] == 0 and rows[2]["n_partners"] == 0
     assert rows[3]["longest_match"] == 8 and rows[3]["n_partners"] == 1
+
+
+def test_decontaminate_longmatch_planted(spark, tmp_path):
+    """q_decontaminate_longmatch (r12): an eval doc (doc_id % 10 == 7)
+    carrying a verbatim 10-token run from a train doc is flagged with
+    the EXACT overlap length; a clean eval doc reports 0/False; overlap
+    BETWEEN train docs is never reported; eval×eval overlap does not
+    contaminate."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import (
+        q_decontaminate_longmatch,
+    )
+
+    leak = " ".join(f"q{i}" for i in range(10))  # the pasted eval question
+    evaldup = " ".join(f"e{i}" for i in range(9))
+    docs = pd.DataFrame(
+        {
+            # 7, 17, 27 are eval; 1, 2 are train
+            "doc_id": [1, 2, 7, 17, 27],
+            "text": [
+                f"forum thread intro {leak} forum thread outro pad pad",
+                "train doc with nothing shared at all among these words",
+                f"eval question {leak} choices follow here " + evaldup,
+                "clean eval item nothing verbatim from any train corpus doc",
+                f"another eval sharing only with eval {evaldup}",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [0] * 5,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    try:
+        rows = {r["doc_id"]: r for r in q_decontaminate_longmatch(spark, sf).collect()}
+    finally:
+        from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+        assert bucketing.drop_corpus_tables(spark, sf)
+    assert set(rows) == {7, 17, 27}, "only eval docs appear in the report"
+    assert rows[7]["longest_overlap"] == 10 and rows[7]["contaminated"]
+    assert rows[7]["n_train_docs"] == 1
+    assert rows[17]["longest_overlap"] == 0 and not rows[17]["contaminated"]
+    assert rows[27]["longest_overlap"] == 0 and not rows[27]["contaminated"], (
+        "eval×eval overlap is not contamination"
+    )
 
 
 def test_longest_match_winnowed_equals_naive(spark, tmp_path, sf_dir):
