@@ -163,6 +163,9 @@ HEADLINE = [
     # join runs only over docs sharing >=1 fingerprint with anyone)
     "q_longest_match",
     "q_longest_match_winnowed",
+    # round-12: train/eval decontamination over the persisted anchor
+    # base (the eval-sweep production shape)
+    "q_decontaminate_longmatch",
 ]
 
 
@@ -208,6 +211,42 @@ def shuffle_snapshot(spark) -> tuple[int, int]:
             n += 1
             total += w
     return n, total
+
+
+def preflight_quiet(
+    sentinel_run,
+    max_spread: float = 1.3,
+    max_load: float = 4.0,
+    attempts: int = 4,
+    backoffs: tuple = (30, 60, 120),
+) -> tuple[bool, list]:
+    """Machine-quiet gate (r12, verdict ask #2): the r11 bench session
+    ran under 3.56x sentinel drift and its headline number could not
+    evidence that round's real perf work — adjudicating 'code vs
+    environment' by argument instead of measurement. Before the timed
+    loop, run the ~100 ms sentinel 5x and require max/median <=
+    ``max_spread`` AND 1-minute loadavg <= ``max_load`` (drift is the
+    primary signal — the r11 noise showed loadavg 1.85 on 32 CPUs, so
+    the load bound only catches gross co-tenancy). On failure, back
+    off 30/60/120 s and retry up to ``attempts`` times; if the machine
+    never quiets, RUN ANYWAY and stamp ``degraded: true`` on the
+    driver line so the round's verdict can discount the denominator
+    mechanically. Returns (quiet, per-attempt history)."""
+    history: list[dict] = []
+    for attempt in range(max(1, attempts)):
+        runs = [sentinel_run() for _ in range(5)]
+        med = sorted(runs)[len(runs) // 2]
+        spread = round(max(runs) / med, 2) if med > 0 else None
+        try:
+            load = round(os.getloadavg()[0], 2)
+        except OSError:
+            load = 0.0
+        history.append({"spread": spread, "loadavg_1m": load})
+        if spread is not None and spread <= max_spread and load <= max_load:
+            return True, history
+        if attempt + 1 < max(1, attempts):
+            time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
+    return False, history
 
 
 def load_round_baseline() -> tuple[str, dict] | None:
@@ -271,10 +310,13 @@ def main() -> None:
     sentinel_df = QUERIES["q_scan_count"](spark, SF_DIR)
     sentinels: list[float] = []
 
-    def run_sentinel() -> None:
+    def sentinel_once() -> float:
         t0 = time.perf_counter()
         materialize(sentinel_df)
-        sentinels.append(round(time.perf_counter() - t0, 3))
+        return round(time.perf_counter() - t0, 3)
+
+    def run_sentinel() -> None:
+        sentinels.append(sentinel_once())
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
@@ -283,6 +325,13 @@ def main() -> None:
     # first-touch costs (~2.5x steady state) and would dominate the
     # drift ratio, masking genuine mid-run machine shifts
     materialize(sentinel_df)
+    # machine-quiet gate (r12): retry-with-backoff until the sentinel
+    # spread and loadavg look quiet, else run anyway flagged degraded.
+    # SPARK_GRAFT_QUIET_ATTEMPTS=1 skips the waiting (dev loops).
+    quiet, preflight = preflight_quiet(
+        sentinel_once,
+        attempts=int(os.environ.get("SPARK_GRAFT_QUIET_ATTEMPTS", "4")),
+    )
     run_sentinel()
     keys = [k for k in HEADLINE if k in KEYS_FILTER] if KEYS_FILTER else HEADLINE
     for i, key in enumerate(keys):
@@ -340,9 +389,15 @@ def main() -> None:
         "sf": sf,
         "protocol": "median3",
         "sentinel_drift_x": drift,
+        # r12 quiet gate: true = the pre-flight never saw a quiet
+        # machine (sentinel spread <=1.3x, loadavg <=4) within its
+        # backoff budget — discount this round's wall-clock deltas
+        "degraded": not quiet,
     }
     detail_doc: dict = {"sf": sf, "queries": detail, "protocol": "median_of_3"}
     detail_doc["sentinel_secs"] = sentinels
+    detail_doc["preflight"] = preflight
+    detail_doc["degraded"] = not quiet
     try:
         detail_doc["loadavg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:
