@@ -4,10 +4,15 @@
 #  2. driver-contract simulation at sf0.01 (DuckDB oracle, all keys)
 #  3. the same over the adversarial edge corpus
 #  4. headline bench at sf0.1 (one JSON line)
+#  5. one-line ledger artifact (VERIFY_SUMMARY.json): registry totals,
+#     latest-witness histogram, next driver window — the judge's
+#     recomputation in one step (r12, verdict ask #8)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-python -m pytest tests/ -q
+python -m pytest tests/ -q | tee /tmp/verify_pytest.out
+PYTEST_TAIL=$(grep -E "passed|failed" /tmp/verify_pytest.out | tail -1)
 python scripts/drive_driver.py
 python scripts/make_edge_corpus.py /tmp/sf_edge
 DRIVE_SF=/tmp/sf_edge python scripts/drive_driver.py
 python bench.py
+python scripts/verdict_summary.py --pytest "$PYTEST_TAIL" --out VERIFY_SUMMARY.json
