@@ -390,7 +390,14 @@ def ngram_jaccard_pairs(
     broadcast a corpus-sized relation and OOM-guarded the job
     (PERFORMANCE.md finding 93). ``sets_df`` (r12) lets the caller
     supply a PERSISTED ``(_id, _set)`` relation (bucketed on _id) so
-    the corpus side never re-tokenizes or shuffles."""
+    the corpus side never re-tokenizes or shuffles. The joins stay
+    MERGE-pinned even then: a hash build of the _set ARRAY rows was
+    measured OOMing the sf10 heap (finding 109 — a bucket of fat array
+    rows hashes to several times its file size, and 32 concurrent
+    builds blew 8 GB), while the bucket-sorted scan gives the merge
+    join its table-side order for free; only the slim candidate stream
+    sorts. Hash-vs-merge is decided by ROW WIDTH: the portable lane's
+    (doc_id, 32-char sh) rows hash-build safely, these don't."""
     if sets_df is None:
         sets_df = shingle_sets_df(df, text_col, id_col, shingle_k)
     a = sets_df.hint("merge").alias("a")

@@ -293,14 +293,18 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-aggregate size estimates are unreliable and at sf10 the
     # planner broadcast the ENTIRE deduped shingle relation — the
     # largest thing in the lane — OOM-guarding the job
-    # (notEnoughMemoryToBuildAndBroadcastTable, finding 93). Pins:
-    # sort-merge for the shingle joins (no hash build at any scale),
-    # shuffle_hash for the per-doc size lookups (n_docs rows,
-    # partition-local build).
+    # (notEnoughMemoryToBuildAndBroadcastTable, finding 93). Pins (r12,
+    # finding 109): the shingle joins build SHUFFLED HASH tables from
+    # the BUCKETED table side — each build is one bucket file
+    # (corpus/nb rows, bounded by the bucket-sizing rule) read with no
+    # Exchange, while the STREAM side (candidate pairs, then
+    # pairs×shingles — the relations that grow super-linearly on
+    # dup-dense corpora) is never sorted: under the previous merge pins
+    # the pair-attach sort was 213 GB of the lane's 214 GB sf10 spill.
     inter = (
-        cand.hint("merge").join(sa, "doc_a")
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
         .join(
-            sb.hint("merge"),
+            sb.hint("shuffle_hash"),
             (F.col("doc_b") == F.col("_db")) & (F.col("sh_b") == F.col("sh_a")),
         )
         .groupBy("doc_a", "doc_b")
@@ -818,7 +822,7 @@ def q_longest_match_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import (
-        token_anchors,
+        ensure_anchor_base,
     )
 
     d = catalog.load(spark, sf_dir, "documents")
@@ -826,7 +830,13 @@ def q_longest_match_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = _winnow_fps(nn, with_counts=False)
     inc = fps.withColumn("ndw", F.count("*").over(Window.partitionBy("fp")))
     cand_docs = inc.filter(F.col("ndw") >= 2).select("doc_id").distinct()
-    sh = token_anchors(nn).join(cand_docs.hint("shuffle_hash"), "doc_id", "leftsemi")
+    # r12: the anchor stream reads the persisted per-corpus table
+    # (token_anchors == the table's builder; null-text docs emit no
+    # anchors, so the non-null filter is implicit). The doc-gate
+    # semi-join redistributes by doc_id either way — the table saves
+    # the per-run tokenize + explode of the whole corpus.
+    anchors = spark.table(ensure_anchor_base(spark, sf_dir))
+    sh = anchors.join(cand_docs.hint("shuffle_hash"), "doc_id", "leftsemi")
     a = sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "g")
     b = sh.select(
         F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("g").alias("gb")

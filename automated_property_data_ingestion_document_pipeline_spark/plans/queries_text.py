@@ -994,11 +994,16 @@ def q_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — then one window + two partial aggs, all shuffling on
     (da, db, diag)-grained keys. The join must never broadcast:
     both sides are the SAME corpus-scale explode (finding-94 class).
+    r12: that explode now runs once per CORPUS, not once per run — the
+    self-join reads the persisted g-bucketed anchor table
+    (:func:`ensure_anchor_base`, shared with the decontamination lane)
+    from both sides, so candidate generation is an exchange-free
+    bucket merge and only the diagonal window shuffles per run.
     """
     d = catalog.load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    sh = token_anchors(d)
+    sh = spark.table(ensure_anchor_base(spark, sf_dir))
     a = sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "g")
     b = sh.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "g")
     pp = (

@@ -1038,7 +1038,12 @@ def test_longest_match_exact_runs(spark, tmp_path):
     )
     sf = str(tmp_path)
     spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
-    rows = {r["doc_id"]: r for r in q_longest_match(spark, sf).collect()}
+    try:
+        rows = {r["doc_id"]: r for r in q_longest_match(spark, sf).collect()}
+    finally:
+        from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+        bucketing.drop_corpus_tables(spark, sf)
     assert rows[0]["longest_match"] == 12 and rows[0]["n_partners"] == 2
     assert rows[1]["longest_match"] == 12 and rows[1]["n_partners"] == 1
     assert rows[2]["longest_match"] == 0 and rows[2]["n_partners"] == 0
@@ -1126,7 +1131,12 @@ def test_longest_match_winnowed_equals_naive(spark, tmp_path, sf_dir):
     )
     sf = str(tmp_path)
     spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
-    for corpus in (sf, sf_dir):
-        naive = {tuple(r) for r in q_longest_match(spark, corpus).collect()}
-        gated = {tuple(r) for r in q_longest_match_winnowed(spark, corpus).collect()}
-        assert naive == gated and len(naive) > 0, corpus
+    try:
+        for corpus in (sf, sf_dir):
+            naive = {tuple(r) for r in q_longest_match(spark, corpus).collect()}
+            gated = {tuple(r) for r in q_longest_match_winnowed(spark, corpus).collect()}
+            assert naive == gated and len(naive) > 0, corpus
+    finally:
+        from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+        bucketing.drop_corpus_tables(spark, sf)

@@ -414,12 +414,17 @@ def test_minhash_portable_bucket_join_never_cartesian(spark, sf_dir):
     # r09 finding 93: the VERIFY-stage relations grow with the corpus
     # (shingle sets, candidate pairs, per-doc sizes) — at sf10 a
     # mis-estimated broadcast of the FULL shingle relation OOM-guarded
-    # the job. The merge/shuffle_hash hints must hold at every SF:
-    # both shingle joins sort-merge, both size lookups shuffled-hash.
-    # (The bands self-join MAY still broadcast at tiny SF — that one is
-    # size-adaptive by design and equal-sided, so it can't mis-plan.)
-    assert plan.count("SortMergeJoin") >= 2, plan[:2000]
-    assert plan.count("ShuffledHashJoin") >= 2, plan[:2000]
+    # the job. r12 (finding 109): the verify joins build SHUFFLED HASH
+    # tables from the bucketed base side (one bounded bucket file per
+    # partition, zero Exchange) so the super-linear pair streams are
+    # never sorted; the bands self-join stays a bucket MERGE of the
+    # same table with itself. Pins: 4 hash joins (2 shingle attaches +
+    # 2 size lookups), >=1 sort-merge (bands), no broadcast anywhere,
+    # all 6 base scans bucketed.
+    assert plan.count("SortMergeJoin") >= 1, plan[:2000]
+    assert plan.count("ShuffledHashJoin") >= 4, plan[:2000]
+    assert plan.count("Bucketed: true") == 6, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
 
 
 def test_revenue_bridge_no_joins_one_exchange(spark, sf_dir):
