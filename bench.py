@@ -442,6 +442,16 @@ def main() -> None:
         # ever failing the hard assert below
         line["queries"] = {k: round(v, 1) for k, v in timings.items()}
         out = json.dumps(line, separators=(",", ":"))
+    if len(out) >= 1950:
+        # r12: 82 keys + the quiet-gate field crossed the guard even at
+        # 1 decimal. Next rungs, cheapest information first: a FALSE
+        # degraded flag is the common case and its absence means the
+        # same thing (BENCH_DETAIL always carries it), and "protocol"
+        # is constant across rounds.
+        if not line["degraded"]:
+            del line["degraded"]
+        line.pop("protocol", None)
+        out = json.dumps(line, separators=(",", ":"))
     # hard guard: the driver records only a 2000-char tail of the
     # MERGED output stream; the spec line must never overflow it again
     # (r03 lesson). The line must be the LAST bytes of that stream —
