@@ -870,10 +870,12 @@ def q_longest_match_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- incremental (delta-vs-base) near-dup probe -------------------------------
 
 
-@query(
-    "q_neardup_incremental",
-    oracle=f"""
-    WITH {_portable_ctes_sql()},
+# Shared by q_neardup_incremental and its streaming twin
+# q_stream_neardup: the probe core is row-independent across delta
+# docs, so micro-batching cannot change a row and BOTH lanes carry
+# this same closed-form oracle.
+_INCREMENTAL_ORACLE = f"""
+    WITH {{ctes}},
     cand AS (
         SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
         FROM bands d JOIN bands b
@@ -911,7 +913,12 @@ def q_longest_match_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id FROM documents
           WHERE text IS NOT NULL AND doc_id % 10 = 7) t
     LEFT JOIN per_delta p ON p.delta_id = t.doc_id
-    """,
+    """
+
+
+@query(
+    "q_neardup_incremental",
+    oracle=_INCREMENTAL_ORACLE.format(ctes=_portable_ctes_sql()),
 )
 def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup: probe a small arriving DELTA (the daily
@@ -966,6 +973,26 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on that doc's own text, so filter(full_tables) ≡ build(base_docs)
     # row-for-row.
     sh_t, _bydoc_t, bands_t, sz_t = ensure_portable_base(spark, sf_dir)
+    return _probe_delta(spark, sh_t, bands_t, sz_t, docs.filter(is_delta))
+
+
+def _probe_delta(
+    spark: SparkSession,
+    sh_t: str,
+    bands_t: str,
+    sz_t: str,
+    delta_docs: DataFrame,
+) -> DataFrame:
+    """The delta-vs-base probe core, over an arbitrary batch of delta
+    documents (doc_id, text — already delta-filtered, non-null text):
+    band the batch inline, candidate-join against the persisted base
+    bands, exact-Jaccard-verify against the persisted base shingles,
+    and report (doc_id, n_cand, n_dup, max_jaccard) for EVERY input
+    doc. Split out of q_neardup_incremental (r12) because each delta
+    doc's row depends only on that doc vs the BASE — rows are
+    independent across delta docs — so any micro-batching of the delta
+    yields byte-identical rows: q_stream_neardup runs exactly this per
+    Structured Streaming batch and inherits the batch twin's oracle."""
     is_base = F.col("doc_id") % 10 != 7
 
     # delta side: shingled/banded inline (it arrives fresh each probe);
@@ -976,9 +1003,7 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r11 review finding; transient per-query cut, so durable=False)
     from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
 
-    delta_sh = cut_lineage(
-        _portable_shingles(docs.filter(is_delta)), durable=False
-    )
+    delta_sh = cut_lineage(_portable_shingles(delta_docs), durable=False)
     delta_bands = _portable_bands(delta_sh).select(
         F.col("doc_id").alias("delta_id"),
         F.col("band").alias("band_d"),
@@ -1032,11 +1057,9 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup"),
         F.round(F.max("jacc"), 6).alias("max_jaccard"),
     )
-    delta_docs = docs.filter(is_delta).select("doc_id")
     return (
-        delta_docs.join(
-            per_delta.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left"
-        )
+        delta_docs.select("doc_id")
+        .join(per_delta.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_cand", F.lit(0).cast("bigint")).alias("n_cand"),
@@ -1044,3 +1067,81 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_jaccard",
         )
     )
+
+
+@query(
+    "q_stream_neardup",
+    oracle=_INCREMENTAL_ORACLE.format(ctes=_portable_ctes_sql()),
+)
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AT-INGEST AS A STREAM (r12 — the production shape
+    q_neardup_incremental models, actually run through Structured
+    Streaming): documents arrive on a file-source stream, the delta
+    docs (doc_id % 10 == 7) of each micro-batch are banded inline and
+    probed against the PERSISTED base tables via foreachBatch running
+    the shared :func:`_probe_delta` core, and each batch's per-doc
+    report is appended to a parquet sink. Because a delta doc's row
+    depends only on that doc vs the base — never on other delta docs —
+    micro-batching is EXACT, so this lane carries the batch twin's
+    closed-form oracle instead of the weaker rows-only check: one
+    value hash witnesses that streaming loses, duplicates, or
+    re-scores not a single ingested document.
+
+    Deployment reading: the base tables are built/adopted ONCE before
+    the stream starts (ensure_portable_base — on a real cluster the
+    nightly compaction job owns this); each trigger then pays only
+    |batch| x bucket-density work with zero base-side Exchange/Sort,
+    and the sink is idempotent per batch id under the checkpoint, the
+    same recovery contract tests/test_streaming_fanout.py proves for
+    the quarantine sink. The checkpoint here is per-invocation scratch
+    (a verification lane must reprocess; production keeps it stable —
+    that IS the exactly-once story)."""
+    import shutil
+    import tempfile
+
+    from automated_property_data_ingestion_document_pipeline_spark.streaming import (
+        sessions as streaming_sessions,
+    )
+
+    sh_t, _bydoc_t, bands_t, sz_t = ensure_portable_base(spark, sf_dir)
+    stream = streaming_sessions.read_documents_stream(spark, sf_dir)
+    delta = stream.filter(
+        (F.col("doc_id") % 10 == 7) & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+
+    import os as _os
+
+    repo_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+    out_dir = _os.path.join(
+        repo_root, ".scratch", f"stream_neardup_{bucketing.corpus_table_tag(sf_dir)}"
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch-id dir: a recovery replay OVERWRITES its
+        # own batch instead of double-appending (the dead_letter_split
+        # contract)
+        report = _probe_delta(spark, sh_t, bands_t, sz_t, batch_df)
+        report.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    # fresh scratch per invocation — a reused checkpoint would mark the
+    # source already-processed and this run would see ZERO batches
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="stream_neardup_ckpt_")
+    try:
+        q = (
+            delta.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    out = spark.read.parquet(out_dir)
+    return out.select("doc_id", "n_cand", "n_dup", "max_jaccard")

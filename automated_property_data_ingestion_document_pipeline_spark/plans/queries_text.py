@@ -869,35 +869,26 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     document hashing (q_doc_dedup) and MinHash (q_minhash_neardup) both
     miss.
 
-    One-scan shape after the explode: shingles group to (doc, shingle,
-    tf) once; cross-document incidence is an unordered COUNT window
-    over the grouped rows (each (doc,shingle) row is unique, so the
-    partition count IS the number of docs containing the shingle — no
-    join-back); the per-doc rollup rides the same rows. At 100 TB the
-    explode dominates (~|tokens| rows) — the same cost class as every
-    shingling dedup — and both aggregates are partial-agg shuffles on
-    uniform keys.
+    One-scan shape: shingles group to (doc, shingle, tf) once;
+    cross-document incidence is an unordered COUNT window over the
+    grouped rows (each (doc,shingle) row is unique, so the partition
+    count IS the number of docs containing the shingle — no
+    join-back); the per-doc rollup rides the same rows. r12: the
+    8-token shingle stream IS the anchor table's gram column
+    (token_anchors — same tokenizer, same length, every position with
+    multiplicity), so the per-run tokenize + explode that used to
+    dominate at 100 TB becomes a scan of the persisted g-bucketed
+    table (:func:`ensure_anchor_base`) — and because the table is
+    bucketed on the gram, the (doc_id, shingle) groupBy clusters on a
+    superset of the bucket key and compiles with ZERO Exchange, while
+    the incidence window needs only a partition-local sort. One
+    shuffle per run (the final per-doc rollup).
     """
-    d = catalog.load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    # Materialize the token array once — a HOF lambda over the raw
-    # filter(split(text)) expression re-evaluates it per element
-    # (O(len²) per doc; same fix as q_skipgram_pmi).
-    toks_df = d.select(
-        "doc_id", F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
+    sh = spark.table(ensure_anchor_base(spark, sf_dir)).select(
+        "doc_id", F.col("g").alias("shingle")
     )
-    tk = F.col("tk")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - 7),
-        lambda i: F.array_join(F.slice(tk, i, 8), " "),
-    )
-    # Spark's sequence(1, n) DESCENDS for n < 1 ([1, 0]) instead of
-    # yielding empty — short docs must be gated explicitly.
-    shingles = F.when(F.size(tk) >= 8, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
-    sh = toks_df.select("doc_id", F.explode(shingles).alias("shingle"))
     grouped = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
     flagged = grouped.withColumn(
         "n_docs_with", F.count("*").over(Window.partitionBy("shingle"))

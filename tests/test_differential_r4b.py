@@ -258,7 +258,31 @@ def test_khop_matches_bfs_model(spark):
 # -- dup spans ----------------------------------------------------------------
 
 
-def test_dup_spans_flags_shared_boilerplate(spark):
+def _tmp_docs_corpus(spark, tmp_path, rows):
+    """Write (doc_id, text) rows as a real documents.parquet corpus —
+    r12: q_dup_spans reads the persisted per-corpus anchor table, so
+    these tests must feed it a REAL corpus directory (a monkeypatched
+    catalog.load would band the injected frame under the true corpus'
+    fingerprint and poison the shared table)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [0] * len(rows),
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return sf
+
+
+def test_dup_spans_flags_shared_boilerplate(spark, tmp_path):
     """Two docs sharing an 8+-token boilerplate prefix must both carry
     dup mass; a unique doc must have dup_frac 0; short docs drop out."""
     boiler = "all your base are belong to us now"  # 8 tokens
@@ -268,18 +292,16 @@ def test_dup_spans_flags_shared_boilerplate(spark):
         (3, "completely unrelated text with eight distinct tokens here ok"),
         (4, "too short"),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    import automated_property_data_ingestion_document_pipeline_spark.catalog as cat
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
     from automated_property_data_ingestion_document_pipeline_spark.plans import (
         queries_text as qt,
     )
 
-    orig = cat.load
+    sf = _tmp_docs_corpus(spark, tmp_path, rows)
     try:
-        cat.load = lambda _s, _d, _t: df
-        got = {r.doc_id: r for r in qt.q_dup_spans(spark, SF_DIR).collect()}
+        got = {r.doc_id: r for r in qt.q_dup_spans(spark, sf).collect()}
     finally:
-        cat.load = orig
+        bucketing.drop_corpus_tables(spark, sf)
     assert 4 not in got  # < 8 tokens -> no shingles
     assert got[1].n_dup == 1 and got[2].n_dup == 1  # exactly the shared prefix
     assert got[3].n_dup == 0 and got[3].dup_frac == 0.0
@@ -287,22 +309,20 @@ def test_dup_spans_flags_shared_boilerplate(spark):
 
 
 @pytest.mark.parametrize("n_toks", [0, 1, 7, 8, 9])
-def test_dup_spans_shingle_count_boundary(spark, n_toks):
+def test_dup_spans_shingle_count_boundary(spark, n_toks, tmp_path):
     """sequence(1, n-7) descends for n<8 — the explicit gate must yield
     max(n-7, 0) shingles, never the phantom [1,0] positions."""
-    text = " ".join(f"t{i}" for i in range(n_toks))
-    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-    import automated_property_data_ingestion_document_pipeline_spark.catalog as cat
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
     from automated_property_data_ingestion_document_pipeline_spark.plans import (
         queries_text as qt,
     )
 
-    orig = cat.load
+    text = " ".join(f"t{i}" for i in range(n_toks))
+    sf = _tmp_docs_corpus(spark, tmp_path, [(1, text)])
     try:
-        cat.load = lambda _s, _d, _t: df
-        rows = qt.q_dup_spans(spark, SF_DIR).collect()
+        rows = qt.q_dup_spans(spark, sf).collect()
     finally:
-        cat.load = orig
+        bucketing.drop_corpus_tables(spark, sf)
     if n_toks < 8:
         assert rows == []
     else:
