@@ -84,7 +84,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # most-rewritten keys; all six re-witnessed green in CORRECTNESS_r11,
 # so r12 unpinned them per the r11 verdict ask #1 and the window is
 # pure staleness order again — draining the r05-vintage tail).
-_MANUAL_PRIORITY: list[str] = []
+#
+# r13: the r12 round rewrote the lanes below (persisted-base reads,
+# merge->shuffle_hash pin flips, the %16 form cycle) but emptied this
+# list, so none were re-witnessed in r12 — the r12 ADVICE flagged the
+# contradiction. Seeded for ONE round per the documented policy; the
+# last three were rewritten in r13 itself (stream staging keyed by
+# corpus tag, empty-batch read guard, the q_stream_multi single-batch
+# oracle). Unpin in r14 once CORRECTNESS_r13 shows them green.
+_MANUAL_PRIORITY: list[str] = [
+    "q_minhash_portable",
+    "q_neardup_incremental",
+    "q_minhash_neardup",
+    "q_neardup_clusters",
+    "q_longest_match",
+    "q_longest_match_winnowed",
+    "q_pdf_extract",
+    "q_stream_neardup",
+    "q_stream_multi",
+]
 
 
 def _witness_rounds() -> dict[str, int]:

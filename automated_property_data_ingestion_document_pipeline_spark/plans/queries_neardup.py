@@ -109,24 +109,34 @@ def _portable_shingles(docs: DataFrame) -> DataFrame:
     return toks.select("doc_id", F.explode(grams).alias("sh")).distinct()
 
 
-def _portable_bands(shingles: DataFrame) -> DataFrame:
-    """16-way seeded-min md5 signature in one grouped aggregate, then
-    the 4 row-local band hashes, unioned to (doc_id, band, bh)."""
+def _portable_bands(
+    shingles: DataFrame, bands: int = _BANDS, rows: int = _K // _BANDS
+) -> DataFrame:
+    """``bands*rows``-way seeded-min md5 signature in one grouped
+    aggregate, then ``bands`` row-local band hashes, unioned to
+    (doc_id, band, bh). Defaults are the registered-oracle parameters
+    (4×4 over a 16-signature) — every registered lane calls with
+    defaults, so the oracle contract is untouched; the (bands, rows)
+    knob exists for the granularity study (scripts/banding_ab.py):
+    at fixed verification threshold, more rows per band tightens the
+    LSH s-curve and shrinks the candidate pair stream (the Σ n_b²
+    spill source at sf10) at the cost of a wider signature."""
+    k = bands * rows
     sig = shingles.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
-            for s in range(_K)
+            for s in range(k)
         ]
     )
-    bands = None
-    for b in range(_BANDS):
+    out = None
+    for b in range(bands):
         part = sig.select(
             "doc_id",
             F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"s{b * 4 + i}") for i in range(4)])).alias("bh"),
+            F.md5(F.concat(*[F.col(f"s{b * rows + i}") for i in range(rows)])).alias("bh"),
         )
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def ensure_portable_base(
@@ -258,8 +268,28 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf10 the inline form shuffled 45.6 GB and spilled 345 GB of
     memory sorting the corpus' shingle relation per run; the persisted
     form pays that once per corpus at build time. Results are
-    bit-identical (same oracle hash)."""
+    bit-identical (same oracle hash). r13: the cand→verify pipeline is
+    shared with the banding-granularity study as
+    :func:`_portable_pairs_from_tables` — same plan, same pins."""
     sh_t, bydoc_t, bands_t, sz_t = ensure_portable_base(spark, sf_dir)
+    return _portable_pairs_from_tables(spark, sh_t, bydoc_t, bands_t, sz_t)
+
+
+def _portable_pairs_from_tables(
+    spark: SparkSession,
+    sh_t: str,
+    bydoc_t: str,
+    bands_t: str,
+    sz_t: str,
+    jacc_min: float = _JACC_MIN,
+) -> DataFrame:
+    """The candidate-join + exact-Jaccard-verify pipeline over
+    PERSISTED base tables — the body of q_minhash_portable, split out
+    (r13) so scripts/banding_ab.py can run the IDENTICAL physical plan
+    against variant-banded tables. All join-strategy pins (merge for
+    the bucketed band self-join, shuffle_hash building from the
+    bucketed shingle/size side — see the comments below) live here
+    exactly once."""
     bands = spark.table(bands_t)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("bh").alias("bh_a")
@@ -330,7 +360,7 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-            >= _JACC_MIN
+            >= jacc_min
         )
     )
     return out
@@ -1143,5 +1173,18 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    out = spark.read.parquet(out_dir)
+    # Spark writes NO part files for an empty DataFrame, so a corpus
+    # with zero qualifying delta docs leaves out_dir without any
+    # parquet to infer a schema from (r12 ADVICE). Guard the read:
+    # no part files -> the same empty frame the oracle produces.
+    part_files = [
+        _os.path.join(dp, f)
+        for dp, _dn, fns in _os.walk(out_dir)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    schema = "doc_id bigint, n_cand bigint, n_dup bigint, max_jaccard double"
+    if not part_files:
+        return spark.createDataFrame([], schema)
+    out = spark.read.schema(schema).parquet(out_dir)
     return out.select("doc_id", "n_cand", "n_dup", "max_jaccard")

@@ -558,7 +558,18 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_multi")  # rows-only: two stateful operators, one query
+@query(
+    "q_stream_multi",
+    oracle="""
+    WITH e AS (SELECT ts, event_type FROM events WHERE ts IS NOT NULL),
+         wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM e)
+    SELECT date_trunc('hour', e.ts) AS bucket_start, e.event_type,
+           COUNT(*) AS n_events
+    FROM e, wm
+    WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+)
 def q_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO chained stateful operators in ONE streaming query —
     dropDuplicatesWithinWatermark feeding a tumbling-window aggregation,
@@ -570,13 +581,21 @@ def q_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     delay operator between them) passes each window end, and only
     CLOSED windows reach the append-mode sink — the exactly-once
     at-least-once-bus rollup, end to end in one checkpoint at 100 TB.
-    Rows-only: append-mode emission under multi-file availableNow
-    triggers is processing-order-dependent by design; the single-state
-    pieces are covered by q_stream_dedup / q_stream_tumbling and the
-    batch twin q_tumbling_window (oracle)."""
-    stream = streaming_sessions.read_events_stream(spark, sf_dir).filter(
-        F.col("ts").isNotNull()
-    )
+
+    ORACLE-BACKED as of r13 (it was rows-only r08-r12): the run is
+    single-batch (``max_files_per_trigger=None``), so the watermark is
+    epoch-zero while data flows — no row can be dropped as late, and
+    dedup-within-watermark over the batch is exact (event_id is unique
+    in this corpus, so dedup is the identity on counts) — then the
+    availableNow final flush advances the watermark ONCE to
+    max(ts) - 2h and emits exactly the windows whose END <= that
+    watermark. Every emitted row is therefore a closed-form function
+    of the dataset: the SQL above. Multi-batch order-dependence is
+    still exercised by q_stream_dedup / q_stream_tumbling (rows-only
+    by design)."""
+    stream = streaming_sessions.read_events_stream(
+        spark, sf_dir, max_files_per_trigger=None
+    ).filter(F.col("ts").isNotNull())
     dd = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -48,21 +48,40 @@ def _events_schema(ts_is_long: bool) -> StructType:
 
 def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     """The file stream source requires a DIRECTORY (its basePath); stage
-    a symlink to the table's parquet under .scratch/."""
+    a symlink to the table's parquet under .scratch/.
+
+    The scratch dir is keyed by :func:`bucketing.corpus_table_tag`
+    (basename + abs-path hash), NOT the bare basename (r12 ADVICE):
+    two corpora sharing a basename — every pytest tmp_path fixture —
+    must stage to DIFFERENT dirs, or a stream would read one corpus'
+    rows while the caller probes the other corpus' base tables. Belt
+    and braces, the staged link is also re-validated against the
+    requested source on every call and re-pointed if it drifted
+    (e.g. a recreated tmp dir reusing an inode path)."""
     import os
+    import shutil
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators.bucketing import (
+        corpus_table_tag,
+    )
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(repo_root, ".scratch", f"stream_{table}_{tag}")
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    d = os.path.join(repo_root, ".scratch", f"stream_{table}_{corpus_table_tag(sf_dir)}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
+    if os.path.islink(link):
+        if os.path.realpath(link) != os.path.realpath(src):
+            os.unlink(link)  # stale target: same tag can't collide, but re-point anyway
     if not os.path.exists(link):
         try:
-            os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+            os.symlink(src, link)
         except OSError:
-            import shutil
-
-            shutil.copy(os.path.join(sf_dir, f"{table}.parquet"), link)
+            if os.path.isdir(src):
+                shutil.rmtree(link, ignore_errors=True)
+                shutil.copytree(src, link)
+            else:
+                shutil.copy(src, link)
     return d
 
 
@@ -86,22 +105,31 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: "int | None" = 1
+) -> DataFrame:
     """File-source stream over the events parquet (schema required for
     streaming reads). Probes the batch reader for the physical ``ts``
     type so nanos- and micros-generated corpora both stream correctly
-    (same dtype gate as catalog.load)."""
+    (same dtype gate as catalog.load).
+
+    ``max_files_per_trigger=1`` (default) exercises genuine multi-batch
+    behavior — backpressure, cross-batch state, watermark advancement.
+    ``None`` removes the cap so an availableNow run ingests everything
+    in ONE batch: the watermark is epoch-zero while data flows (no row
+    can be late-dropped) and only advances for the final flush, making
+    the emitted result a deterministic function of the dataset — the
+    property q_stream_multi's closed-form oracle relies on."""
     import os
 
     ts_is_long = (
         dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes).get("ts")
         == "bigint"
     )
-    raw = (
-        spark.readStream.schema(_events_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stage_stream_dir(sf_dir))
-    )
+    reader = spark.readStream.schema(_events_schema(ts_is_long))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(_stage_stream_dir(sf_dir))
     if ts_is_long:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw

@@ -249,11 +249,21 @@ def preflight_quiet(
     return False, history
 
 
-def load_round_baseline() -> tuple[str, dict] | None:
-    """Latest BENCH_r{N}.json beside this file with a PARSEABLE payload →
-    (name, per-query secs). r03's artifact has ``parsed: null`` (line
-    overflow, see module docstring) — skip such rounds instead of
-    comparing against nothing."""
+# The pre-flight quiet gate first ran in round 12 (verdict r11 ask #2);
+# earlier rounds have no machine-quiet evidence, so their numbers are
+# not valid cross-round denominators (r11 ran at 3.56x sentinel drift).
+_FIRST_GATED_ROUND = 12
+
+
+def load_round_baseline() -> tuple[str, dict, bool] | None:
+    """Latest GATE-PASSING BENCH_r{N}.json beside this file →
+    (name, per-query secs, gate_passing). Gate-passing = the round ran
+    under the pre-flight quiet gate (N >= 12) and was not stamped
+    ``degraded`` (a false flag is DELETED from the line to fit the
+    driver's 2000-char tail, so absence means passed). Falls back to
+    the latest merely-PARSEABLE round — flagged gate_passing=False so
+    BENCH_DETAIL records that the delta_x denominator is unquiet —
+    r03-style ``parsed: null`` artifacts are skipped either way."""
     import glob
     import re
 
@@ -263,6 +273,7 @@ def load_round_baseline() -> tuple[str, dict] | None:
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
         reverse=True,
     )
+    fallback: tuple[str, dict, bool] | None = None
     for path in rounds:
         try:
             with open(path) as f:
@@ -270,9 +281,15 @@ def load_round_baseline() -> tuple[str, dict] | None:
             queries = parsed.get("queries") or {}
         except (OSError, ValueError, AttributeError):
             continue
-        if queries:
-            return os.path.basename(path), queries
-    return None
+        if not queries:
+            continue
+        n = int(re.search(r"BENCH_r(\d+)", path).group(1))
+        gate_ok = n >= _FIRST_GATED_ROUND and not parsed.get("degraded", False)
+        if gate_ok:
+            return os.path.basename(path), queries, True
+        if fallback is None:
+            fallback = (os.path.basename(path), queries, False)
+    return fallback
 
 
 def main() -> None:
@@ -405,11 +422,19 @@ def main() -> None:
     baseline = load_round_baseline()
     if baseline:
         # pre-r03 rounds recorded bare seconds; normalize dict forms.
-        name, base_q = baseline
+        name, base_q, gate_passing = baseline
         base_sec = {
             k: (v["sec"] if isinstance(v, dict) else v) for k, v in base_q.items()
         }
         detail_doc["baseline"] = name
+        # r12 verdict ask #5: make the canonical denominator explicit —
+        # delta_x compares against the last GATE-PASSING round, and the
+        # flag below says whether one existed (False = unquiet fallback,
+        # read deltas with suspicion).
+        detail_doc["baseline_round"] = int(
+            __import__("re").search(r"BENCH_r(\d+)", name).group(1)
+        )
+        detail_doc["baseline_gate_passing"] = gate_passing
         detail_doc["baseline_total"] = round(sum(base_sec.values()), 3)
         detail_doc["delta_x"] = {
             k: round(timings[k] / base_sec[k], 2) for k in timings if base_sec.get(k)

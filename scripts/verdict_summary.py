@@ -31,6 +31,55 @@ from automated_property_data_ingestion_document_pipeline_spark.plans import (  #
 )
 
 
+def _bench_section(here: str) -> dict:
+    """The quantitative spine of the verdict's performance section
+    (r12 verdict ask #8): the committed BENCH_DETAIL's gate fields and
+    headline totals, so the judge reads one artifact instead of
+    cross-referencing three."""
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return {"available": False}
+    queries = d.get("queries") or {}
+    return {
+        "available": True,
+        "n_keys": len(queries),
+        "total_sec": round(sum(v["sec"] for v in queries.values()), 3),
+        "degraded": d.get("degraded"),
+        "preflight": d.get("preflight"),
+        "baseline": d.get("baseline"),
+        "baseline_round": d.get("baseline_round"),
+        "baseline_gate_passing": d.get("baseline_gate_passing"),
+        "baseline_total": d.get("baseline_total"),
+        "worst_delta_x": dict(
+            sorted(
+                (d.get("delta_x") or {}).items(), key=lambda kv: kv[1], reverse=True
+            )[:5]
+        ),
+    }
+
+
+def _scale_section(here: str) -> dict:
+    """Index of SCALE_STUDY_sf1.json lanes: which lane groups exist and
+    which keys each carries — the map the verdict's grade-for-scale
+    audit walks."""
+    try:
+        with open(os.path.join(here, "SCALE_STUDY_sf1.json")) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return {"available": False}
+    return {
+        "available": True,
+        "lane_groups": {
+            k: sorted(x for x in v if x != "note")
+            if isinstance(v, dict)
+            else type(v).__name__
+            for k, v in d.items()
+        },
+    }
+
+
 def summarize(pytest_line: "str | None" = None) -> dict:
     witness = entry._witness_rounds()
     reg = sorted(QUERIES)
@@ -40,6 +89,7 @@ def summarize(pytest_line: "str | None" = None) -> dict:
     stalest = [
         {"key": k, "last_witness": per_key.get(k)} for k in order[:50]
     ]
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return {
         "registry_keys": len(reg),
         "oracle_keys": len([k for k in reg if k in ORACLES]),
@@ -49,6 +99,8 @@ def summarize(pytest_line: "str | None" = None) -> dict:
         "manual_priority": list(entry._MANUAL_PRIORITY),
         "next_window_head": stalest,
         "pytest": pytest_line,
+        "bench": _bench_section(here),
+        "scale_study": _scale_section(here),
     }
 
 

@@ -337,3 +337,37 @@ def test_gc_warehouse_collect_rules(tmp_path):
     for n in rep["reclaimed"]:
         assert not (wh / n).exists()
     assert (wh / f"b_nd_shingles_{live_tag}").exists()
+
+
+def test_stream_neardup_empty_delta_returns_typed_empty(spark, tmp_path):
+    """r12 ADVICE: a corpus with NO qualifying delta docs (doc_id%10==7
+    with non-null text) means every foreachBatch writes an empty frame
+    — Spark emits no parquet part files — so the final read must not
+    crash on schema inference; it returns an empty, correctly-typed
+    result, matching the oracle's empty answer."""
+    import duckdb
+
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_neardup import (
+        q_stream_neardup,
+    )
+
+    corpus = tmp_path / "empty_delta_corpus"
+    corpus.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE doc_id % 10 != 7) TO '"
+        + str(corpus / "documents.parquet")
+        + "' (FORMAT PARQUET)"
+    )
+    con.close()
+
+    out = q_stream_neardup(spark, str(corpus))
+    assert out.columns == ["doc_id", "n_cand", "n_dup", "max_jaccard"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint",
+        "bigint",
+        "bigint",
+        "double",
+    ]
+    assert out.count() == 0

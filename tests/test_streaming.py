@@ -12,6 +12,8 @@ from automated_property_data_ingestion_document_pipeline_spark.operators.session
 )
 from automated_property_data_ingestion_document_pipeline_spark.streaming import sessions as ss
 
+from conftest import SF_DIR
+
 
 def test_stream_sessions_match_batch(spark, sf_dir):
     stream = ss.read_events_stream(spark, sf_dir)
@@ -185,3 +187,55 @@ def test_watermark_drop_metrics_are_observable(spark, sf_dir, tmp_path):
     assert ops, "expected stateOperators in streaming progress"
     assert any("numRowsDroppedByWatermark" in op for op in ops)
     assert any(op.get("numRowsTotal", 0) > 0 for op in ops)
+
+
+def test_stage_stream_dir_distinguishes_same_basename(tmp_path):
+    """r12 ADVICE: two corpora whose directories share a BASENAME (every
+    pytest tmp_path fixture looks like this) must stage to DIFFERENT
+    stream dirs, each resolving to its own corpus — a basename-keyed
+    scratch dir would silently stream one corpus while the caller
+    probes the other's base tables."""
+    import os
+    import shutil
+
+    a = tmp_path / "parent_a" / "corpus"
+    b = tmp_path / "parent_b" / "corpus"
+    for d in (a, b):
+        d.mkdir(parents=True)
+        shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+
+    da = ss._stage_stream_dir(str(a))
+    db = ss._stage_stream_dir(str(b))
+    assert da != db, "same-basename corpora must not share a staging dir"
+    for staged, src in ((da, a), (db, b)):
+        link = os.path.join(staged, "events.parquet")
+        assert os.path.realpath(link) == os.path.realpath(
+            str(src / "events.parquet")
+        )
+
+
+def test_stage_stream_dir_repoints_stale_link(tmp_path):
+    """A corpus dir deleted and recreated at the SAME path (so the tag
+    matches) but whose parquet is now a different file must have its
+    staged symlink re-validated, not blindly reused."""
+    import os
+    import shutil
+
+    c = tmp_path / "corpus"
+    c.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), c / "events.parquet")
+    d1 = ss._stage_stream_dir(str(c))
+    link = os.path.join(d1, "events.parquet")
+    first_target = os.path.realpath(link)
+
+    # recreate the corpus: same path, new inode/content location
+    shutil.rmtree(c)
+    c.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), c / "events.parquet")
+    d2 = ss._stage_stream_dir(str(c))
+    assert d2 == d1
+    assert os.path.realpath(os.path.join(d2, "events.parquet")) == os.path.realpath(
+        str(c / "events.parquet")
+    )
+    # and the link actually resolves (the old target was rmtree'd)
+    assert os.path.exists(os.path.join(d2, "events.parquet"))
