@@ -239,7 +239,11 @@ def minhash_candidate_pairs(
 
 
 def simhash64_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    tokens_col: "str | None" = None,
 ) -> DataFrame:
     """63-bit SimHash (sign bit skipped): majority vote per bit over
     per-shingle xxhash64 values. Near-dups differ in few bits (Charikar
@@ -258,7 +262,14 @@ def simhash64_df(
     (22 vs 64 longs per group crossing the map-side-combine shuffle).
     Field width bounds shingle count at 2^21 per doc — far above any
     real document."""
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    # tokens_col: read a PRE-tokenized array column instead of splitting
+    # text (r13 token-adoption A/B, scripts/token_adoption_ab.py) —
+    # every downstream expression is shared, so both paths hash
+    # identically.
+    if tokens_col is None:
+        toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    else:
+        toked = df.select(F.col(id_col), F.col(tokens_col).alias("_toks"))
     hashed = toked.select(
         F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_k)).alias("_sh")
     ).select(id_col, F.xxhash64("_sh").alias("_h"))

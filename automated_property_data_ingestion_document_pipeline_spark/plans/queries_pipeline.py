@@ -762,6 +762,122 @@ def q_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_image_dhash_neardup",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, y.y, x.x,
+             (13*y.y*(1 + (d.doc_id//4) % 7) + 29*x.x*(1 + (d.doc_id//4) % 11)
+              + 31*(d.doc_id//4)
+              + CASE WHEN d.doc_id % 4 <> 0
+                      AND ((d.doc_id % 4)*53 + y.y*7 + x.x*11) % 37 = 0
+                     THEN 180 ELSE 0 END) % 251 AS v
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 256) d,
+           range(16) y(y), range(18) x(x)
+    ),
+    grid AS (
+      SELECT doc_id, y//2 AS gy, x//2 AS gx, SUM(v) AS s
+      FROM px GROUP BY doc_id, y//2, x//2
+    ),
+    cmp AS (
+      SELECT doc_id, gy, gx, s,
+             LEAD(s) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS s_next
+      FROM grid
+    ),
+    bits AS (
+      SELECT doc_id, gy, gx, CASE WHEN s > s_next THEN 1 ELSE 0 END AS bit
+      FROM cmp WHERE gx < 8 AND NOT (gy = 7 AND gx = 7)
+    ),
+    h AS (
+      SELECT doc_id, CAST(SUM(bit * (1::BIGINT << (gy*8+gx))) AS BIGINT) AS dhash
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, dhash, k.k AS band_idx,
+             (dhash >> (16*k.k)) & 65535 AS band_val
+      FROM h, range(4) k(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.dhash AS ha, b.dhash AS hb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (dHash) near-dup detection over the image corpus —
+    dedup extended past text to the multimodal columns (r13, VERDICT
+    r12 stretch #7). Each document's deterministic 16×18 grayscale
+    image goes through the REAL codec path — PNG-encode (rotating
+    filter types), stdlib decode (sources/png.py), 2×2 box downsample
+    to the 9×8 dHash grid, 63-bit difference hash
+    (operators/imagehash.py) — then banding over 16-bit hash slices
+    generates candidate pairs JVM-side and exact integer Hamming ≤ 6
+    verifies them. The image design plants near-dups: docs sharing a
+    scene (doc_id//4) differ only by a sparse jitter (~8 of 288
+    pixels), landing within Hamming 6 of each other, while cross-scene
+    hashes measure ≥ 16 apart. The oracle recomputes pixels, hash,
+    banding, and verify arithmetically over a range() lattice — it
+    never sees a PNG — so a hash match proves encode → decode →
+    downsample → dhash → band-join → Hamming verify end to end. Like
+    the MinHash lanes, banding is the candidate GENERATOR (Hamming ≤ 6
+    spread across all 4 slices can evade it) and the oracle applies
+    the same banding, so the contract is self-consistent. At 100 TB:
+    pixels never shuffle (row-local mapInPandas), the band join moves
+    16 bytes per image — the pair stream is the only super-linear
+    relation and it is banded, never all-pairs."""
+    import pandas as pd
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators.imagehash import (
+        box_downsample_sums,
+        dhash63,
+        hamming_pairs,
+    )
+    from automated_property_data_ingestion_document_pipeline_spark.sources.png import (
+        decode_png,
+        encode_png,
+    )
+
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 256)
+        .select("doc_id")
+    )
+
+    def _hashes(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "dhash": []}
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                scene = did // 4
+                y, x = np.ogrid[0:16, 0:18]
+                jit = np.where(
+                    (did % 4 != 0)
+                    & (((did % 4) * 53 + y * 7 + x * 11) % 37 == 0),
+                    180,
+                    0,
+                )
+                px = (
+                    (13 * y * (1 + scene % 7) + 29 * x * (1 + scene % 11)
+                     + 31 * scene + jit) % 251
+                ).astype(np.uint8)
+                decoded = decode_png(encode_png(px, filter_type=did % 5))[:, :, 0]
+                grid = box_downsample_sums(decoded.astype(np.int64), 2, 2)
+                out["doc_id"].append(did)
+                out["dhash"].append(dhash63(grid))
+            yield pd.DataFrame(out)
+
+    hashes = d.mapInPandas(_hashes, "doc_id bigint, dhash bigint")
+    return hamming_pairs(hashes, max_hamming=6)
+
+
+@query(
     "q_audio_energy",
     oracle="""
     WITH s AS (

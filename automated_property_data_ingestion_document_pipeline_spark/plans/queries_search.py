@@ -65,7 +65,14 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms out of the output."""
     d = catalog.load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
-    t = d.select("doc_id", F.explode(toks).alias("tok")).distinct()
+    return _inverted_from_tk(d.select("doc_id", toks.alias("tk")))
+
+
+def _inverted_from_tk(tk_df: DataFrame) -> DataFrame:
+    """Inverted index over a (doc_id, tk array<string>) relation —
+    everything below the tokenize, shared by the registered lane and
+    the persisted-token A/B variant."""
+    t = tk_df.select("doc_id", F.explode("tk").alias("tok")).distinct()
     return (
         t.groupBy("tok")
         .agg(
@@ -124,7 +131,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands are identical, the evaluation isn't."""
     d = catalog.load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
-    docs = d.select("doc_id", toks.alias("tk")).withColumn(
+    return _bm25_from_tk(d.select("doc_id", toks.alias("tk")))
+
+
+def _bm25_from_tk(tk_df: DataFrame) -> DataFrame:
+    """BM25 over a (doc_id, tk array<string>) relation — the whole plan
+    below the tokenize step, shared verbatim by the registered lane and
+    the persisted-token A/B variant (scripts/token_adoption_ab.py) so
+    the comparison isolates exactly the tokenize-vs-read cost."""
+    docs = tk_df.withColumn(
         "doc_len", F.size("tk").cast("bigint")
     ).filter(F.col("doc_len") > 0)
     t = docs.select("doc_id", "doc_len", F.explode("tk").alias("tok"))

@@ -1280,6 +1280,13 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_df = d.select(
         F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
     )
+    return _skipgram_pmi_from_toks(toks_df)
+
+
+def _skipgram_pmi_from_toks(toks_df: DataFrame) -> DataFrame:
+    """Skip-gram PMI over a (tk array<string>) relation — the plan
+    below the tokenize, shared by the registered lane and the
+    persisted-token A/B variant (scripts/token_adoption_ab.py)."""
     tk = F.col("tk")
 
     def skip_pairs(dist: int):
