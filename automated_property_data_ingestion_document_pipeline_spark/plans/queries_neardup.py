@@ -34,6 +34,15 @@ from automated_property_data_ingestion_document_pipeline_spark.plans.queries_tex
 _K = 16          # signature length
 _BANDS = 4       # 4 bands x 4 rows
 _JACC_MIN = 0.3  # verification threshold on exact Jaccard
+# Granularity knob, measured at sf10 (SCALE_STUDY r13_lanes,
+# scripts/banding_ab.py): with this lane's LOW verification threshold
+# (0.3), more rows/band erases the J in [0.3,0.7) tail (4*0.5^8 ~ 1.6%
+# band-collision at J=0.5) and 2x8 at constant K loses 13.4% of even
+# the J>=0.7 pairs — so 4x4 stays registered. Lanes verifying at
+# J>=0.5 should use the xx composition at r=3-4 instead (see
+# queries_text._ensure_xx_base). The b-raising direction (8x2) filled
+# 43 GB of scratch with candidate shuffle and died ENOSPC at sf10 —
+# never widen bands at scale.
 # Bucket count for the persisted banded-base tables. Every join against
 # a bucketed table runs at EXACTLY this many partitions (co-partitioning
 # admits no AQE coalesce/split), so it bounds both the verify stage's

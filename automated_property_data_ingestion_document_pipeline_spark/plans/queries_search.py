@@ -31,9 +31,9 @@ from automated_property_data_ingestion_document_pipeline_spark.plans.queries_gra
 )
 from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import (
     _TOKS_SQL,
+    ensure_token_base,
 )
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
-from automated_property_data_ingestion_document_pipeline_spark.functions.text import WS_SPLIT
 
 _POSTINGS_CAP = 8  # sorted-prefix length emitted per term
 
@@ -62,10 +62,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon identically across engine→pandas bridges; the joined prefix
     pins ordering and content). Two shuffles total — explode+distinct,
     then the term aggregate; df >= 3 bounds the long tail of hapax
-    terms out of the output."""
-    d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
-    return _inverted_from_tk(d.select("doc_id", toks.alias("tk")))
+    terms out of the output. r13: the token arrays come from the
+    persisted per-corpus table (queries_text.ensure_token_base) —
+    5.0 -> 2.25 s steady at sf1.0, and 11.7 MB of tokenize shuffle
+    drops to 0.1."""
+    tok_t = ensure_token_base(spark, sf_dir)
+    return _inverted_from_tk(spark.table(tok_t))
 
 
 def _inverted_from_tk(tk_df: DataFrame) -> DataFrame:
@@ -128,10 +130,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (engine-side expression compilation, likely FMA
     contraction, reassociates the saturation chain), so this is the
     §41 carve-out case that genuinely KEEPS the defensive ROUND: the
-    operands are identical, the evaluation isn't."""
-    d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
-    return _bm25_from_tk(d.select("doc_id", toks.alias("tk")))
+    operands are identical, the evaluation isn't. r13: token arrays
+    from the persisted per-corpus table (ensure_token_base) — 4.9 ->
+    0.83 s steady at sf1.0."""
+    tok_t = ensure_token_base(spark, sf_dir)
+    return _bm25_from_tk(spark.table(tok_t))
 
 
 def _bm25_from_tk(tk_df: DataFrame) -> DataFrame:
@@ -267,11 +270,15 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is the posting-list intersection, not a corpus
     scan), the AND is ``COUNT(term) == |query|`` on the grouped rows,
     and the join back to documents fetches display fields for the page
-    of results only."""
+    of results only. r13: postings explode from the persisted token
+    table (queries_text.ensure_token_base — the measured-family
+    adoption, SCALE_STUDY r13_lanes)."""
     d = catalog.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
-    t = d.select("doc_id", F.explode(toks).alias("tok")).filter(
-        F.col("tok").isin(*_QUERY_TERMS)
+    tok_t = ensure_token_base(spark, sf_dir)
+    t = (
+        spark.table(tok_t)
+        .select("doc_id", F.explode("tk").alias("tok"))
+        .filter(F.col("tok").isin(*_QUERY_TERMS))
     )
     tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     hits = (
@@ -317,11 +324,10 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes the postings before any shuffle, and adjacency is an
     equi-join on (doc, pos+1) — the positional-index intersection every
     phrase query compiles to. Documents that match both terms but never
-    adjacently (q_boolean_search hits) drop out here."""
-    d = catalog.load(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id", F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
-    )
+    adjacently (q_boolean_search hits) drop out here. r13: positions
+    come from the persisted token table (queries_text.ensure_token_base
+    — the measured-family adoption, SCALE_STUDY r13_lanes)."""
+    toked = spark.table(ensure_token_base(spark, sf_dir))
     t = (
         toked.select("doc_id", F.posexplode("tk").alias("pos0", "tok"))
         .filter(F.col("tok").isin(*_QUERY_TERMS))

@@ -483,7 +483,19 @@ def _ensure_xx_base(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     with no corpus-side Exchange/Sort — the corpus is signed and
     tokenized ONCE per corpus, not once per run. Parameters are the
     production lane's (16 hashes / 8 bands / 3-token shingles), folded
-    into the fingerprint so a knob change rebuilds."""
+    into the fingerprint so a knob change rebuilds.
+
+    Granularity, measured at sf10 (SCALE_STUDY r13_lanes,
+    scripts/banding_ab.py): with this lane's J>=0.5 verify threshold,
+    sub-threshold candidates are pure waste, so MORE rows per band is
+    nearly free — (48h, 16b, r=3) found 550 MORE verified pairs than
+    the registered (16h, 8b, r=2) while cutting pair+verify wall
+    243.5 -> 165.0 s and CC wall 270.1 -> 189.7 s; (32h, 8b, r=4) cut
+    verify mem-spill 70.1 -> 50.3 GB and CC spill 131.6 -> 92.3 GB at
+    a 0.064% verified-pair loss. A 100 TB caller acting at J>=0.5
+    should run r=3 (no recall loss) or r=4 (max spill thrift); the
+    registered parameters stay at r=2 only to keep the committed
+    oracle hashes byte-stable."""
     import os as _os
 
     from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
@@ -510,6 +522,42 @@ def _ensure_xx_base(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         num_buckets=nb,
     )
     return bands_t, sets_t
+
+
+def ensure_token_base(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-corpus persistence of the WS_SPLIT token stream —
+    (doc_id, tk array<string>), bucketed+sorted on doc_id (r13, verdict
+    r12 ask #6). Every text-analysis lane starts with the same regex
+    split over documents.text; persisting the array once per corpus
+    removes that CPU from every run. Measured at sf1.0 (SCALE_STUDY
+    r13_lanes token_adoption_ab, steady-state second iterations):
+    q_bm25 4.88 -> 0.83 s, q_simhash 5.20 -> 0.97 s, q_skipgram_pmi
+    9.42 -> 2.05 s, q_inverted_index 5.02 -> 2.25 s — all past the
+    verdict's 1.5x adoption bar, for an 11.7 s one-time build. tk holds
+    EXACTLY functions.text.tokens(text) (null text -> null array), so
+    adopting lanes produce byte-identical results and their oracles are
+    untouched. doc_id bucketing additionally makes per-doc groupBys
+    (the SimHash majority vote) exchange-free."""
+    import os as _os
+
+    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
+
+    tag = bucketing.corpus_table_tag(sf_dir)
+    fp = (
+        bucketing.corpus_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+        + ":v1:tok ws"
+    )
+    tok_t = f"b_tok_arrays_{tag}"
+    nb = _XX_BASE_BUCKETS
+    d = catalog.load(spark, sf_dir, "documents")
+    bucketing.ensure_bucketed(
+        spark, tok_t, "doc_id", fp,
+        lambda: d.select(
+            "doc_id", T.tokens(F.col("text")).alias("tk")
+        ).repartition(nb, "doc_id"),
+        num_buckets=nb,
+    )
+    return tok_t
 
 
 @query("q_minhash_neardup")  # rows-only: LSH banding uses engine-specific xxhash64
@@ -570,9 +618,12 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_simhash")  # rows-only: xxhash64-based fingerprint is engine-specific
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash fingerprints (Charikar/Manku near-dup at crawl
-    scale): explode → codegen'd per-bit majority aggregates."""
-    d = catalog.load(spark, sf_dir, "documents")
-    return dedup.simhash64_df(d, shingle_k=2)
+    scale): explode → codegen'd per-bit majority aggregates. r13: reads
+    the persisted token table (:func:`ensure_token_base`) instead of
+    re-splitting text — 5.2 -> 0.97 s steady at sf1.0, and the doc_id
+    bucketing makes the per-doc majority groupBy exchange-free."""
+    tok_t = ensure_token_base(spark, sf_dir)
+    return dedup.simhash64_df(spark.table(tok_t), shingle_k=2, tokens_col="tk")
 
 
 # -- unigram log-frequency quality score --------------------------------------
@@ -1272,15 +1323,14 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, corpus totals broadcast from one row. The ratio is computed
     in a fixed double tree (numerators cast before multiply — int64
     would overflow at sf ≥ 1), rounded at 6."""
-    d = catalog.load(spark, sf_dir, "documents")
-    # Materialize the token array ONCE: HOF lambdas that reference the
-    # raw filter(split(text)) expression re-evaluate it per element —
+    # Materialized token array: HOF lambdas that reference the raw
+    # filter(split(text)) expression re-evaluate it per element —
     # O(len²) per doc (the classic expression-blowup; 19.5 s → ~3 s at
-    # sf0.1 from this select alone).
-    toks_df = d.select(
-        F.filter(F.split("text", WS_SPLIT), lambda t: t != "").alias("tk")
-    )
-    return _skipgram_pmi_from_toks(toks_df)
+    # sf0.1 from this select alone). r13: the array now comes from the
+    # persisted per-corpus token table (ensure_token_base) — 9.4 ->
+    # 2.05 s steady at sf1.0.
+    tok_t = ensure_token_base(spark, sf_dir)
+    return _skipgram_pmi_from_toks(spark.table(tok_t).select("tk"))
 
 
 def _skipgram_pmi_from_toks(toks_df: DataFrame) -> DataFrame:

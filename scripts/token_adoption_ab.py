@@ -20,6 +20,15 @@ expression is shared with the lane via the package helpers.
 
 Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1.0 python scripts/token_adoption_ab.py
 Output: one JSON line per measurement on stdout.
+
+OUTCOME (r13, recorded in SCALE_STUDY_sf1.json r13_lanes): steady-state
+second iterations at sf1.0 measured q_bm25 4.88 -> 0.83 s, q_simhash
+5.20 -> 0.97 s, q_skipgram_pmi 9.42 -> 2.05 s, q_inverted_index 5.02 ->
+2.25 s — every lane past the 1.5x bar, build cost 11.7 s one-time — so
+all four registered lanes ADOPTED the persisted table
+(queries_text.ensure_token_base). Re-running this script now measures
+adopted-vs-adopted (the "registered" arm reads the same table); the
+pre-adoption numbers above are the historical A/B.
 """
 
 from __future__ import annotations
@@ -52,30 +61,15 @@ def measured(spark, fn):
 
 
 def ensure_tok_arrays(spark) -> str:
-    """Persist (doc_id, tk array<string>) for the corpus — WS_SPLIT
-    tokens, the shared contract of all four lanes — bucketed on doc_id
-    (the groupBy key every consumer aggregates on)."""
-    from pyspark.sql import functions as F
-
-    from automated_property_data_ingestion_document_pipeline_spark import catalog
-    from automated_property_data_ingestion_document_pipeline_spark.functions.text import tokens
-    from automated_property_data_ingestion_document_pipeline_spark.operators import bucketing
-
-    tag = bucketing.corpus_table_tag(SF_DIR)
-    fp = (
-        bucketing.corpus_fingerprint(os.path.join(SF_DIR, "documents.parquet"))
-        + ":ab:tok_arrays"
+    """The production table (queries_text.ensure_token_base) — the
+    script shares the lanes' stamp so A/B runs never thrash the
+    warehouse build."""
+    from automated_property_data_ingestion_document_pipeline_spark.plans.queries_text import (
+        ensure_token_base,
     )
-    t = f"b_tok_arrays_{tag}"
-    d = catalog.load(spark, SF_DIR, "documents")
+
     t0 = time.perf_counter()
-    bucketing.ensure_bucketed(
-        spark, t, "doc_id", fp,
-        lambda: d.select(
-            "doc_id", tokens(F.col("text")).alias("tk")
-        ).repartition(64, "doc_id"),
-        num_buckets=64,
-    )
+    t = ensure_token_base(spark, SF_DIR)
     emit({"step": "build_tok_arrays", "sec": round(time.perf_counter() - t0, 3)})
     return t
 
