@@ -115,9 +115,16 @@ def hamming_pairs(
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_val").alias("band_val_b"),
     )
+    # finding 93/94 class: both sides of the candidate self-join are
+    # corpus-sized post-explode relations — the optimizer can't see the
+    # Generate fan-out and happily broadcasts one side at small SF,
+    # which is exactly the shape that falls over at 1B images. Pin the
+    # partitioned join; rows are slim (id + hash + slice = ~28 bytes),
+    # so shuffle_hash per the measured row-width rule (SCALE_STUDY
+    # r12_lanes: SHJ wins wall AND spill on slim rows, OOMs on fat).
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("band_idx") == F.col("band_idx_b"))
             & (F.col("band_val") == F.col("band_val_b"))
             & (F.col("doc_a") < F.col("doc_b")),
