@@ -6,13 +6,14 @@ The near-dup lanes persist corpus-derived warehouse tables named
 one table set per corpus ever probed. ensure_bucketed rebuilds a STALE
 corpus in place, but a corpus that simply stops being used (a deleted
 tmp dir, a rotated ingest snapshot) leaves its tables behind forever.
-This script reclaims them: any hash-tagged ``b_nd_*`` table whose tag
-matches NO live corpus directory is deleted, as are the superseded
-r11-generation ``b_nd_base_*`` tables (replaced by the shared
-full-corpus v2 set).
+This script reclaims them: any hash-tagged ``b_nd_*`` or
+``b_tok_arrays_*`` table (including ``_v<knob>`` banding-study
+variants) whose tag matches NO live corpus directory is deleted, as
+are the superseded r11-generation ``b_nd_base_*`` tables (replaced by
+the shared full-corpus v2 set).
 
-Tables outside the ``b_nd_`` prefix (demo lanes like ``b_orders_*``,
-test scratch tables) are never touched — they are overwritten by their
+Tables outside those prefixes (demo lanes like ``b_orders_*``, test
+scratch tables) are never touched — they are overwritten by their
 creators per run and carry no per-corpus accumulation.
 
 Purely filesystem-level: the engine's catalog is in-memory per session
@@ -46,7 +47,12 @@ from automated_property_data_ingestion_document_pipeline_spark.operators.bucketi
     corpus_table_tag,
 )
 
-_HASHED = re.compile(r"^b_nd_.*_[0-9a-f]{8}$")
+# Per-corpus accumulating prefixes: near-dup bases (b_nd_*) and the
+# r13 token-stream table (b_tok_arrays_*, queries_text.ensure_token_base).
+# The optional _v<knob> suffix covers banding-study variant tables
+# (scripts/banding_ab.py b_nd_*_{tag}_v4x8 etc.), which the r12
+# $-anchored pattern silently classified "keep" forever.
+_HASHED = re.compile(r"^b_(?:nd_|tok_arrays_).*_[0-9a-f]{8}(?:_v\w+)?$")
 _LEGACY = re.compile(r"^b_nd_base_")
 
 
@@ -67,7 +73,10 @@ def collect(warehouse: str, live_dirs: list[str]) -> tuple[list[str], list[str]]
         if _LEGACY.match(name):
             reclaim.append(name)  # superseded r11 v1 generation
         elif _HASHED.match(name):
-            alive = any(name.endswith(f"_{t}") for t in live_tags)
+            # substring on "_{tag}" (tag embeds hash8 — collision-proof
+            # in practice) so variant-suffixed tables match their
+            # corpus' liveness too
+            alive = any(f"_{t}" in name for t in live_tags)
             (keep if alive else reclaim).append(name)
         else:
             keep.append(name)

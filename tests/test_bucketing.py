@@ -319,14 +319,27 @@ def test_gc_warehouse_collect_rules(tmp_path):
         "b_nd_base_bands_sf0_01",          # reclaim: legacy generation
         "b_orders_sf0_1",                  # keep: not GC-managed
         "t_lineitem_b",                    # keep: not GC-managed
+        # r13: token-stream tables and banding-study variant suffixes
+        # are GC-managed per-corpus accumulators too
+        f"b_tok_arrays_{live_tag}",        # keep: live corpus
+        f"b_tok_arrays_{dead_tag}",        # reclaim: no live corpus
+        f"b_nd_bands_{live_tag}_v2x8",     # keep: variant of live corpus
+        f"b_nd_xx_bands_{dead_tag}_v48x16",  # reclaim: variant, dead
     ]
     for n in names:
         (wh / n).mkdir()
     reclaim, keep = gc_warehouse.collect(str(wh), [str(live)])
     assert sorted(reclaim) == sorted(
-        [f"b_nd_shingles_{dead_tag}", "b_nd_base_bands_sf0_01"]
+        [
+            f"b_nd_shingles_{dead_tag}",
+            "b_nd_base_bands_sf0_01",
+            f"b_tok_arrays_{dead_tag}",
+            f"b_nd_xx_bands_{dead_tag}_v48x16",
+        ]
     )
     assert f"b_nd_shingles_{live_tag}" in keep
+    assert f"b_tok_arrays_{live_tag}" in keep
+    assert f"b_nd_bands_{live_tag}_v2x8" in keep
     assert "b_orders_sf0_1" in keep and "t_lineitem_b" in keep
     # main() with --dry-run deletes nothing; without, exactly reclaim
     rep = gc_warehouse.main(
