@@ -241,7 +241,15 @@ def preflight_quiet(
             load = round(os.getloadavg()[0], 2)
         except OSError:
             load = 0.0
-        history.append({"spread": spread, "loadavg_1m": load})
+        # median_sec is the ABSOLUTE machine floor (r13): relative
+        # spread can pass while the whole host runs slow (observed:
+        # three same-code same-idle dev runs at 128/141/154 s totals,
+        # every gate green) — recording the sentinel's absolute median
+        # lets a cross-round delta be discounted by floor shift
+        # mechanically instead of by argument.
+        history.append(
+            {"spread": spread, "loadavg_1m": load, "median_sec": med}
+        )
         if spread is not None and spread <= max_spread and load <= max_load:
             return True, history
         if attempt + 1 < max(1, attempts):
