@@ -128,6 +128,8 @@ HEADLINE = [
     "q_gif_stats",
     "q_bmp_stats",
     "q_tiff_stats",
+    # round-13: perceptual image near-dup (codec path + banded Hamming)
+    "q_image_dhash_neardup",
     "q_zip_ingest",
     "q_archive_decode",
     "q_pdf_extract",
