@@ -19,6 +19,7 @@ from automated_property_data_ingestion_document_pipeline_spark.operators.dedup i
     last_write_wins,
     last_write_wins_agg,
 )
+from automated_property_data_ingestion_document_pipeline_spark.operators.fanout import fan_out
 from automated_property_data_ingestion_document_pipeline_spark.plans.registry import query
 from automated_property_data_ingestion_document_pipeline_spark.sources import doc_sink, http_source
 
@@ -1341,11 +1342,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf_bytes_with_update_chain,
     )
 
-    d = (
+    d = fan_out(
         catalog.load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 128)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def _extract(batches):
@@ -1780,7 +1780,7 @@ def q_flac_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining subframe surface are pinned by tests/test_flac.py."""
     import pandas as pd
 
-    d = (
+    d = fan_out(
         catalog.load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 256)
         .select("doc_id")
@@ -2114,7 +2114,11 @@ def q_letter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["roundtrip_ok"].append(got == expected)
             yield pd.DataFrame(out)
 
-    return letters.mapInPandas(
+    # fan_out AFTER the compose: the exchange carries (key, ~200-char
+    # letter_text) scalar proxies; the ~250 µs/row render+extract CPU is
+    # what the repartition spreads across the cluster (guide §2.5 — the
+    # single-file corpus otherwise plans this whole lane as ONE task).
+    return fan_out(letters).mapInPandas(
         _roundtrip,
         "o_orderkey bigint, render_format string, n_lines bigint, "
         "total_chars bigint, roundtrip_ok boolean",
@@ -2204,7 +2208,7 @@ def q_ref_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     tpl = doc_sink.load_reference_template_bytes()
-    d = (
+    d = fan_out(
         catalog.load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 64)
         .select("doc_id")
@@ -2297,7 +2301,7 @@ def q_report_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf_bytes_with_incremental_update,
     )
 
-    d = (
+    d = fan_out(
         catalog.load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 128)
         .select("doc_id")

@@ -538,28 +538,39 @@ def test_centroid_assign_zero_exchanges(spark, sf_dir):
 
 
 def test_ref_template_extract_map_only(spark, sf_dir):
-    """r08: the real-template render→extract lane is scan → row-local
-    mapInPandas — zero exchanges; template bytes ride the task closure,
-    never a join. An Exchange here means the artifact roundtrip stopped
-    being embarrassingly parallel."""
+    """r08 (shape updated r13): the real-template render→extract lane is
+    scan → fan_out → row-local mapInPandas; template bytes ride the task
+    closure, never a join. The ONLY exchange allowed is the r13 fan_out's
+    RoundRobin over scalar ids (operators/fanout.py — the single-file
+    corpus otherwise plans the whole decode as ONE task); a
+    hashpartitioning exchange would mean the roundtrip stopped being
+    embarrassingly parallel."""
     plan = plan_of(spark, sf_dir, "q_ref_template_extract")
-    assert "Exchange" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]  # the fan_out only
+    assert "RoundRobinPartitioning" in plan, plan[:2000]
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
 
 
 def test_report_archive_extract_map_only(spark, sf_dir):
-    """r08: the ZIP-of-PDF-reports composition (S9 × S8) is scan →
-    row-local mapInPandas — zip pack/unpack, PDF render and xref-indexed
-    extract all inside one task; zero exchanges."""
+    """r08 (shape updated r13): the ZIP-of-PDF-reports composition
+    (S9 × S8) is scan → fan_out → row-local mapInPandas — zip
+    pack/unpack, PDF render and xref-indexed extract all inside one
+    task; the only exchange is the fan_out RoundRobin over ids."""
     plan = plan_of(spark, sf_dir, "q_report_archive_extract")
-    assert "Exchange" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "RoundRobinPartitioning" in plan, plan[:2000]
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
 
 
 def test_doc_text_extract_map_only(spark, sf_dir):
     """r08: the user-facing extract_document_text ingest shape — two
     chained row-local mapInPandas (build payloads, sniff+extract) with
-    zero exchanges; the quarantine column never forces a shuffle."""
+    zero exchanges; the quarantine column never forces a shuffle.
+    (r13 measured the fan_out here 0.21 -> 0.57 s — the sniff/extract
+    CPU is too cheap to amortize the extra stage — and kept the
+    map-only shape; see OPTIMIZATION_r13.md.)"""
     plan = plan_of(spark, sf_dir, "q_doc_text_extract")
     assert "Exchange" not in plan, plan[:2000]
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
@@ -569,7 +580,8 @@ def test_quarantine_stats_single_exchange(spark, sf_dir):
     """r09: the dead-letter taxonomy lane — payload build + sniff/
     extract/quarantine are chained row-local mapInPandas; the ONLY
     exchange is the final (err_kind, kind) rollup, which carries a
-    partial_count/partial_sum map-side combine."""
+    partial_count/partial_sum map-side combine. (r13 measured the
+    fan_out here 0.49 -> 0.75 s and kept this shape.)"""
     plan = plan_of(spark, sf_dir, "q_quarantine_stats")
     assert plan.count("Exchange") == 1, plan[:2000]
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
