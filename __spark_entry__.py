@@ -102,6 +102,15 @@ _MANUAL_PRIORITY: list[str] = [
     "q_pdf_extract",
     "q_stream_neardup",
     "q_stream_multi",
+    # r13 optimization round rewrites (fan_out repartition ahead of the
+    # decode stage; the SimHash SQL-text aggregate) — seeded for ONE
+    # round so each gets a fresh oracle witness on the rewritten plan.
+    # q_pdf_extract (also fan_out-normalized) is already seeded above.
+    "q_letter_roundtrip",
+    "q_flac_energy",
+    "q_ref_template_extract",
+    "q_report_archive_extract",
+    "q_simhash",
 ]
 
 
