@@ -137,15 +137,27 @@ def _portable_bands(
             for s in range(k)
         ]
     )
-    out = None
-    for b in range(bands):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"s{b * rows + i}") for i in range(rows)])).alias("bh"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    # r13: one posexplode pass instead of a ``bands``-way unionByName —
+    # the union re-ran the signature aggregate's final stage per branch
+    # (ReusedExchange shares only the shuffle), measured 0.74 → 0.50 s
+    # warm / 5.2 → 0.87 s cold on the sf0.1 delta with row-identical
+    # output. Matters per PROBE (q_neardup_incremental, every
+    # q_stream_neardup micro-batch band their delta inline); the
+    # persisted band tables rebuild to byte-identical content.
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"s{b * rows + i}") for i in range(rows)])
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(arr).alias("_bb")).select(
+        "doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bh").alias("bh")
+    )
 
 
 def ensure_portable_base(
