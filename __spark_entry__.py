@@ -111,6 +111,7 @@ _MANUAL_PRIORITY: list[str] = [
     "q_ref_template_extract",
     "q_report_archive_extract",
     "q_simhash",
+    "q_pagerank_portable",
 ]
 
 
