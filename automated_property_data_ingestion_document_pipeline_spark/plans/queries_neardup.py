@@ -137,27 +137,25 @@ def _portable_bands(
             for s in range(k)
         ]
     )
-    # r13: one posexplode pass instead of a ``bands``-way unionByName —
-    # the union re-ran the signature aggregate's final stage per branch
-    # (ReusedExchange shares only the shuffle), measured 0.74 → 0.50 s
-    # warm / 5.2 → 0.87 s cold on the sf0.1 delta with row-identical
-    # output. Matters per PROBE (q_neardup_incremental, every
-    # q_stream_neardup micro-batch band their delta inline); the
-    # persisted band tables rebuild to byte-identical content.
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(*[F.col(f"s{b * rows + i}") for i in range(rows)])
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig.select("doc_id", F.explode(arr).alias("_bb")).select(
-        "doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bh").alias("bh")
-    )
+    # r13 tried a one-pass posexplode here instead of the bands-way
+    # unionByName (the union re-runs the signature aggregate's final
+    # stage per branch; the explode measured 0.74 → 0.50 s warm on the
+    # isolated bands step, row-identical output) — and REVERTED it: a
+    # Generate in the delta-bands subtree changes its size estimate,
+    # and the COMPOSED q_neardup_incremental probe regressed ~2x on a
+    # same-floor A/B (explode 6.8-10.8 s median-of-3 across two fresh
+    # processes vs union 4.7 s on the same slowed machine floor; both
+    # forms ~2.3 s on the earlier fast floor). Plan stability under
+    # estimate drift beats the one-stage saving — keep the union.
+    out = None
+    for b in range(bands):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"s{b * rows + i}") for i in range(rows)])).alias("bh"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def ensure_portable_base(
