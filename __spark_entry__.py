@@ -85,34 +85,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # so r12 unpinned them per the r11 verdict ask #1 and the window is
 # pure staleness order again — draining the r05-vintage tail).
 #
-# r13: the r12 round rewrote the lanes below (persisted-base reads,
-# merge->shuffle_hash pin flips, the %16 form cycle) but emptied this
-# list, so none were re-witnessed in r12 — the r12 ADVICE flagged the
-# contradiction. Seeded for ONE round per the documented policy; the
-# last three were rewritten in r13 itself (stream staging keyed by
-# corpus tag, empty-batch read guard, the q_stream_multi single-batch
-# oracle). Unpin in r14 once CORRECTNESS_r13 shows them green.
-_MANUAL_PRIORITY: list[str] = [
-    "q_minhash_portable",
-    "q_neardup_incremental",
-    "q_minhash_neardup",
-    "q_neardup_clusters",
-    "q_longest_match",
-    "q_longest_match_winnowed",
-    "q_pdf_extract",
-    "q_stream_neardup",
-    "q_stream_multi",
-    # r13 optimization round rewrites (fan_out repartition ahead of the
-    # decode stage; the SimHash SQL-text aggregate) — seeded for ONE
-    # round so each gets a fresh oracle witness on the rewritten plan.
-    # q_pdf_extract (also fan_out-normalized) is already seeded above.
-    "q_letter_roundtrip",
-    "q_flac_energy",
-    "q_ref_template_extract",
-    "q_report_archive_extract",
-    "q_simhash",
-    "q_pagerank_portable",
-]
+# r14: the 15 r13-seeded keys all re-witnessed green in CORRECTNESS_r13
+# (oracle keys PASS, rows-only keys ran with rows), so the list is
+# emptied per the documented one-round policy (VERDICT r13 ask #8) and
+# the window returns to pure staleness order. Lanes whose internals
+# change in r14 without changing declared output (checkpoint cadence,
+# shuffle reuse) keep their oracle semantics bit-identical and are
+# re-proven by the local driver-contract run, so no new seeds.
+_MANUAL_PRIORITY: list[str] = []
 
 
 def _witness_rounds() -> dict[str, int]:

@@ -36,5 +36,9 @@ def fan_out(df: DataFrame, width_factor: int = 1) -> DataFrame:
     inside the stage, never shuffled. ``width_factor > 1`` trades a few
     extra tiny tasks for straggler slack on stages whose per-row cost is
     skewed (e.g. mixed-format extract lanes)."""
+    if width_factor < 1:
+        # a non-positive factor would reach DataFrame.repartition as a
+        # non-positive partition count and die with an opaque JVM error
+        raise ValueError(f"width_factor must be >= 1, got {width_factor}")
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism * width_factor)

@@ -132,20 +132,27 @@ def pagerank(
     outdeg = both.groupBy("s").agg(F.count("*").alias("odeg"))
     adj = cut_lineage(both.join(outdeg, "s"), eager=True)
     ranks = outdeg.select(F.col("s").alias("node"), F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
+    # r14: same every-4th-iteration checkpoint cadence as
+    # pagerank_fixedpoint (adopted there in r13: the ranks chain grows
+    # LINEARLY per round, so a 4-deep window keeps Catalyst cost flat
+    # while paying 2 eager checkpoint jobs per 8 rounds instead of 8).
+    # The cadence changes WHEN lineage is materialized, never the
+    # dataflow, so the computed ranks are unchanged (the lane stays
+    # rows-only at the driver for the usual double-associativity
+    # reason, which is independent of cadence).
+    for i in range(iterations):
         contrib = (
             adj.join(ranks, adj["s"] == ranks["node"])
             .select(F.col("d").alias("node"), (F.col("rank") / F.col("odeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
         )
-        ranks = cut_lineage(
-            contrib.select(
-                "node",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.col("csum")).alias("rank"),
-            ),
-            eager=True,
+        ranks = contrib.select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("csum")).alias("rank"),
         )
+        if i % 4 == 3 or i == iterations - 1:
+            ranks = cut_lineage(ranks, eager=True)
     return ranks
 
 

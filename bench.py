@@ -175,6 +175,15 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _trim_second(v: float) -> float | int:
+    """Last-rung per-key value: 1-decimal rounding, with integral results
+    emitted as ints to save the '.0' (r13 rung). The int() must wrap the
+    ROUNDED value: ``int(v)`` truncated 0.96 → 0 (recorded as dropped by
+    the driver, VERDICT r13 'What's wrong' #1)."""
+    r = round(v, 1)
+    return int(r) if r.is_integer() else r
+
+
 def exchange_count(df) -> int:
     """Number of Exchange nodes in the STATIC physical plan (pre-AQE,
     deterministic across runs) — the plan-shape regression signal the
@@ -494,10 +503,11 @@ def main() -> None:
         # diagnostic (full history in BENCH_DETAIL's sentinel_secs /
         # preflight), and integral seconds don't need their '.0'.
         line.pop("sentinel_drift_x", None)
-        line["queries"] = {
-            k: (int(v) if round(v, 1).is_integer() else round(v, 1))
-            for k, v in timings.items()
-        }
+        # r14 fix (VERDICT r13 gate): the integral branch must integerize
+        # the ROUNDED value — `int(v)` truncated v∈[n.95, n+1.0) to n
+        # (q_curation_pipeline2 0.96 s printed as 0 and the driver
+        # counted it dropped).
+        line["queries"] = {k: _trim_second(v) for k, v in timings.items()}
         out = json.dumps(line, separators=(",", ":"))
     # hard guard: the driver records only a 2000-char tail of the
     # MERGED output stream; the spec line must never overflow it again

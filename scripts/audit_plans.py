@@ -8,7 +8,10 @@ names (§3 joins, §4 Python boundary, §6 pushdown):
 - ``CartesianProduct`` / ``BroadcastNestedLoopJoin``  accidental all-pairs
 - ``SortMergeJoin``              counted (fine per se — flagged only to eyeball)
 - ``Exchange`` count             shuffle budget per key
-- scan count without ``PushedFilters: [`` non-empty where a Filter exists
+- ``scans_pushed_empty``         raw count of ``PushedFilters: []`` scan
+  occurrences — NOT cross-checked against Filter nodes, so a scan that
+  legitimately has no filter counts the same as a missed pushdown; treat
+  it as a lead to eyeball, not a violation (r13 ADVICE wording fix)
 
 Streaming keys (``q_stream_*``) execute on build and are skipped here —
 their batch twins cover the plan shapes. Output: one JSON line per key to
