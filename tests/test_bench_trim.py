@@ -45,6 +45,18 @@ def test_trim_second_emits_int_type_for_integral():
     assert isinstance(v, float)
 
 
+def test_round_baseline_ignores_core_count_variants():
+    """load_round_baseline must pick the canonical BENCH_r{N}.json, not
+    a suffixed variant at another core count (BENCH_r13_c8.json is the
+    driver's 8-core scaling run — comparing a 32-core run against it
+    corrupts every delta_x)."""
+    picked = bench.load_round_baseline()
+    assert picked is not None
+    name, _, gate = picked
+    assert name == "BENCH_r13.json"
+    assert gate is True
+
+
 def test_fully_trimmed_line_fits_hard_guard():
     """Realistic-worst-case driver line at the current HEADLINE key
     count: every key at a 3-char 1-decimal value ('9.9' — no sf0.1 key
