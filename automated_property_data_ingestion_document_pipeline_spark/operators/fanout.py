@@ -42,3 +42,30 @@ def fan_out(df: DataFrame, width_factor: int = 1) -> DataFrame:
         raise ValueError(f"width_factor must be >= 1, got {width_factor}")
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism * width_factor)
+
+
+def fan_out_if_narrow(df: DataFrame, width_factor: int = 1) -> DataFrame:
+    """:func:`fan_out`, applied ONLY when the scan plans fewer tasks
+    than one executor wave (r14, verdict ask #3 — the CONDITIONAL form
+    for JVM-compute lanes).
+
+    The unconditional form is right for Python decode stages whose
+    per-row cost dwarfs an exchange; for pure-JVM lanes (broadcast-join
+    chains, decimal aggregates) the exchange only pays for itself when
+    the input is effectively unsplittable (the bench corpus: one
+    parquet file with one row group ⇒ a 1-task scan serializes the
+    whole pipeline on one core). On a real multi-file table the scan
+    already plans at least a wave of tasks and this helper is an exact
+    no-op — so a 100 TB scan is never blanket-reshuffled.
+
+    The partition probe reads the FILE-SOURCE partitioning Spark
+    already computed at plan time (no job runs); apply this to the
+    scan-side DataFrame BEFORE joins/aggregates so the probe sees the
+    scan, not an exchange."""
+    if width_factor < 1:
+        raise ValueError(f"width_factor must be >= 1, got {width_factor}")
+    sc = df.sparkSession.sparkContext
+    width = sc.defaultParallelism * width_factor
+    if df.rdd.getNumPartitions() >= min(width, sc.defaultParallelism):
+        return df
+    return df.repartition(width)

@@ -709,6 +709,13 @@ def _winnow_fps(d: DataFrame, with_counts: bool = True) -> DataFrame:
 
     K, W = _WINNOW_K, _WINNOW_W
     tk = F.filter(F.split("text", WS_SPLIT), lambda t: t != "")
+    # r14: conditional fan-out of the gram+md5 map was measured and NOT
+    # adopted — an interleaved same-process A/B on q_winnowing read
+    # 0.85 s without vs 0.97 s with (the text-payload round-robin plus
+    # 32-task dispatch costs more than the ~0.6 s single-task md5 work
+    # it parallelizes at sf0.1; the cross-process runs that first
+    # suggested a win were floor drift). Revisit only if a profile at
+    # larger scale shows the single-task gram stage dominating.
     base = d.select("doc_id", tk.alias("tk"))
     idx = F.when(
         F.size("tk") >= K, F.sequence(F.lit(1), F.size("tk") - K + 1)
