@@ -85,6 +85,17 @@ def triangles_per_lowest_vertex(edges: DataFrame, src: str, dst: str) -> DataFra
     able degree joins) → wedge self-join on the pivot → closing
     equi-join on (min, max) of the wedge tips → aggregate. All
     equi-joins — AQE handles residual skew."""
+    # r14 measured and NOT adopted: ce feeds three subtrees and o feeds
+    # both wedge sides, and the renamed join keys defeat exchange
+    # reuse, so the canonicalize/orient map work runs 3×/2× — but those
+    # duplicate single-task stages run CONCURRENTLY on idle cores, so
+    # transient lineage cuts were wall-FLAT same-floor (1.605 s
+    # original vs 1.599 s with cuts at sf0.1) while adding two eager
+    # checkpoint jobs and, on a cluster, executor-loss fragility
+    # (durable=False pins localCheckpoint) to a lane that is otherwise
+    # pure recomputable lineage. The duplication is redundant I/O at
+    # scale, but the honest fix there is a persisted canonical-edge
+    # table, not a per-query checkpoint.
     ce = canonical_edges(edges, src, dst)
     o = _oriented(ce)
     wedges = (

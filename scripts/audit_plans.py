@@ -66,7 +66,7 @@ def main() -> None:
             "scans_pushed_empty": pushed_empty,
         }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.join(here, "plans", "r13", "AUDIT.json")
+    out = os.path.join(here, "plans", "r14", "AUDIT.json")
     with open(out, "w") as f:
         json.dump({"sf_dir": SF_DIR, "keys": rows}, f, indent=1, sort_keys=True)
     bad = {
