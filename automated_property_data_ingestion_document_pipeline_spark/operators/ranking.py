@@ -26,17 +26,32 @@ from pyspark.sql import functions as F
 from automated_property_data_ingestion_document_pipeline_spark.lineage import cut_lineage
 
 
+def _range_width(df: DataFrame, num_partitions: "int | None") -> int:
+    """Range-pass width: the caller's explicit value, else
+    ``max(8, defaultParallelism // 4)`` — 8 on any local dev box
+    (32 cores // 4 = 8, and the floor holds below that), so bench
+    numbers are unchanged, while a large cluster gets a proportional
+    width instead of the r04-vintage hard 8 (which at 100 TB would
+    force 8 giant sorts regardless of cluster size — the same
+    scale-adaptivity rule as session.tune's shuffle partitions)."""
+    if num_partitions is not None:
+        return num_partitions
+    return max(8, df.sparkSession.sparkContext.defaultParallelism // 4)
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[Column],
     rank_col: str = "rn",
-    num_partitions: int = 8,
+    num_partitions: "int | None" = None,
 ) -> DataFrame:
     """Append a 1-based global ROW_NUMBER over ``order_cols`` without a
     single-task window. ``order_cols`` must be a deterministic total
-    order (include a unique tiebreaker column last)."""
+    order (include a unique tiebreaker column last). The output is
+    provably invariant to partition-boundary placement (pinned by
+    tests/test_property_r4.py), so the width never changes results."""
     parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
+        df.repartitionByRange(_range_width(df, num_partitions), *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -100,7 +115,7 @@ def global_prefix_sum(
     order_cols: list[Column],
     sum_col: str,
     out_col: str = "prefix_sum",
-    num_partitions: int = 8,
+    num_partitions: "int | None" = None,
 ) -> DataFrame:
     """Append the INCLUSIVE running sum of ``sum_col`` in ``order_cols``
     order — the scalable twin of ``SUM(x) OVER (ORDER BY …)``, built
@@ -110,7 +125,7 @@ def global_prefix_sum(
     partition. ``order_cols`` must be a total order for a deterministic
     result (exclusive prefix = inclusive − current value)."""
     parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
+        df.repartitionByRange(_range_width(df, num_partitions), *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
